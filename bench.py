@@ -1,0 +1,62 @@
+"""Benchmark harness: time every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_query_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion with a count-collapsing action
+(``df.write.format("noop")``) so the full plan runs without driver
+materialization costs dominating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cs686_big_data_p1_spark import registry
+from cs686_big_data_p1_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers with the flagship query once.
+    run_one(spark, registry.QUERIES["tpch_q1_pricing"], SF_DIR)
+
+    times: dict[str, float] = {}
+    for name, fn in sorted(registry.QUERIES.items()):
+        try:
+            times[name] = round(run_one(spark, fn, SF_DIR), 4)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error {name}: {e}", file=sys.stderr)
+            times[name] = -1.0
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_query_seconds",
+        "value": round(sum(t for t in times.values() if t > 0), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Self-check harness: replicate the driver's Spark-vs-DuckDB compare.
+
+Runs every registered query at the given SF dir, runs its DuckDB
+oracle over the same parquet, and compares row count, schema (column
+names), and an order-insensitive value comparison (exact for
+non-floats, exact-then-approx diagnostics for floats).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"rows: spark={len(sdf)} oracle={len(odf)}")
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+            sv = sv.astype(float)
+            ov = ov.astype(float)
+            both_nan = sv.isna() & ov.isna()
+            exact = (sv == ov) | both_nan
+            if not exact.all():
+                close = pd.Series(
+                    [
+                        (a == b) or (not (math.isnan(a) or math.isnan(b)) and math.isclose(a, b, rel_tol=1e-9))
+                        for a, b in zip(sv.fillna(float("nan")), ov.fillna(float("nan")))
+                    ]
+                )
+                n_bad = int((~exact).sum())
+                tag = "EXACT-mismatch-but-close" if close.all() else "VALUE-mismatch"
+                idx = (~exact).idxmax()
+                problems.append(
+                    f"col {c}: {tag} ({n_bad} rows) e.g. spark={sv[idx]!r} oracle={ov[idx]!r}"
+                )
+        else:
+            eq = (sv == ov) | (sv.isna() & ov.isna())
+            if not eq.all():
+                idx = (~eq).idxmax()
+                problems.append(
+                    f"col {c}: VALUE-mismatch ({int((~eq).sum())} rows) e.g. spark={sv[idx]!r} oracle={ov[idx]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from cs686_big_data_p1_spark import registry
+    from cs686_big_data_p1_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("oracle-check")
+    con = duck_con(sf_dir)
+
+    failed = []
+    for name, fn in sorted(registry.QUERIES.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        osql = registry.ORACLES.get(name)
+        if osql is None:
+            status = "ROWS-ONLY" if len(sdf) >= 0 else "??"
+            print(f"{status:5s} {name}: {len(sdf)} rows (no oracle)")
+            continue
+        try:
+            odf = con.execute(osql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error: {e}")
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"OK    {name}: {len(sdf)} rows")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
