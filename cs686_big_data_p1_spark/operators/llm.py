@@ -1,0 +1,574 @@
+"""LLM training-data pipeline operators (SURVEY.md §2.I E1–E5).
+
+Deduplication (exact, MinHash-LSH near-dup, SimHash), text analysis
+(token counting, quality scoring, fingerprinting, language-ID),
+embedding similarity search (brute-force cosine top-k; LSH-bucketed
+variant in ann.py) — all over the documents/embeddings fixtures.
+
+Numeric policy: any float reduction (norms, dot products) goes through
+DECIMAL per-element casts so the sum is exact and order-independent —
+Spark's distributed fold and DuckDB's serial fold must agree bit-for-bit.
+
+Hash policy: only md5 (identical in Spark and DuckDB). SimHash bit
+extraction uses hex-substring -> integer (Spark conv(); DuckDB 0x cast)
+rather than engine-native hash functions, which differ.
+
+Scale: per-document work (tokenize/shingle/hash) is embarrassingly
+parallel and shuffle-free; dedup joins shuffle on the *bucket* key
+(bounded fan-in per bucket), never on raw text; the brute-force KNN
+broadcasts the query set and streams candidates — the O(n) baseline
+against which the LSH variant is judged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import load_table
+
+# --- dedup ----------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (E1).
+
+    Hashing the text first means the shuffle carries a 32-byte digest
+    per row, not the document body — at 100 TB this is the difference
+    between shuffling 100 TB and shuffling ~3 GB per billion docs.
+    dropDuplicates(["text"]) has the same semantics but shuffles full
+    text; the keeper = min(doc_id) rule makes the survivor set
+    deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> distinct 3-word shingles."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    d = d.select("doc_id", words.alias("w")).where(F.size("w") >= 3)
+    idx = F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i")
+    d = d.select("doc_id", "w", idx)
+    shingle = F.format_string(
+        "%s %s %s",
+        F.element_at("w", F.col("i")),
+        F.element_at("w", F.col("i") + 1),
+        F.element_at("w", F.col("i") + 2),
+    )
+    return d.select("doc_id", shingle.alias("shingle")).distinct()
+
+
+N_MINHASH_BANDS = 4
+
+DEDUP_NEAR_ORACLE = f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id,
+         printf('%s %s %s', w[i], w[i+1], w[i+2]) AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+),
+sigs AS (
+  SELECT doc_id, k, min(md5(printf('band%d|%s', k, shingle))) AS band_hash
+  FROM shingles CROSS JOIN (VALUES (0),(1),(2),(3)) AS b(k)
+  GROUP BY doc_id, k
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.k = b.k AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       za.n AS n_a, zb.n AS n_b,
+       CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+
+
+@query("dedup_near", oracle=DEDUP_NEAR_ORACLE)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates + exact Jaccard (E2).
+
+    Pipeline: 3-word shingles -> 4 salted min-hash bands -> bucket
+    self-join on (band, hash) -> candidate pairs -> exact Jaccard via a
+    shingle intersection join.
+
+    Scale: the only self-joins are on band buckets (fan-in bounded by
+    collision count) and on candidate pairs' shingles — the quadratic
+    all-pairs comparison never happens. This is the standard
+    shingle/minhash/band construction (Broder; Leskovec et al. MMDS
+    ch.3) expressed as DataFrame ops.
+    """
+    sh = _shingles_df(spark, sf_dir).cache()
+    bands = spark.range(N_MINHASH_BANDS).select(F.col("id").cast("int").alias("k"))
+    sigs = (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "k")
+        .agg(
+            F.min(
+                F.md5(F.format_string("band%d|%s", F.col("k"), F.col("shingle")))
+            ).alias("band_hash")
+        )
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_ORACLE = """
+WITH words AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT)
+                    // CAST(power(2, b.bit) AS BIGINT)) % 2 = 1
+              THEN 1 ELSE -1 END AS v
+  FROM words CROSS JOIN (
+    SELECT unnest(generate_series(0, 31)) AS bit) b
+),
+acc AS (SELECT doc_id, bit, sum(v) AS s FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0
+                THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS simhash
+FROM acc GROUP BY doc_id
+"""
+
+
+@query("dedup_simhash", oracle=SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (Charikar 2002).
+
+    Each distinct word hashes to 60 bits (md5 hex prefix -> int); bit b
+    votes +1/-1; the sign of each bit's vote sum forms the fingerprint.
+    Near-dups are documents whose fingerprints differ in few bits.
+
+    Scale: explode is words x 32 bits, aggregated map-side; no joins.
+    The md5-prefix hash (not xxhash64) keeps the oracle bit-identical.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
+    )
+    h = F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
+    voted = words.crossJoin(F.broadcast(bits)).select(
+        "doc_id",
+        "bit",
+        F.when(
+            F.shiftright(h, F.col("bit")).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("v"),
+    )
+    acc = voted.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
+    return acc.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit")))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+# --- text analysis --------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_words,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (E4): doc counts, length moments,
+    word counts — one shuffle-free partial agg per language."""
+    d = load_table(spark, sf_dir, "documents")
+    nw = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(nw).cast("double") / F.count(F.lit(1))).alias("avg_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "token_count",
+    oracle=r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       n_chars
+FROM documents
+""",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (E4): whitespace tokens plus a BPE-ish regex
+    segmentation (letter runs / digit runs / single punctuation) —
+    the pre-tokenizer used by GPT-style BPE vocabularies."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).alias(
+            "n_bpe_tokens"
+        ),
+        "n_chars",
+    )
+
+
+@query(
+    "quality_score",
+    oracle=r"""
+SELECT doc_id,
+       n_words,
+       punct,
+       digits,
+       stopwords,
+       CAST(stopwords AS DOUBLE) / n_words AS stopword_ratio,
+       CAST(len(replace(text, ' ', '')) AS DOUBLE) / n_words AS avg_word_len,
+       CASE WHEN n_words BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END
+         + CASE WHEN CAST(punct AS DOUBLE) / n_words < 0.3 THEN 0.3 ELSE 0.0 END
+         + CASE WHEN CAST(stopwords AS DOUBLE) / n_words
+                     BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END AS quality
+FROM (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct,
+         len(regexp_extract_all(text, '[0-9]')) AS digits,
+         len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|it)\b')) AS stopwords
+  FROM documents
+)
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (E4, Gopher/C4-style rules): length
+    band, punctuation density, stopword ratio — combined into a [0,1]
+    score. Pure JVM-side expressions, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))
+    digits = F.regexp_count("text", F.lit(r"[0-9]"))
+    stop = F.regexp_count("text", F.lit(r"\b(the|a|of|to|and|in|is|it)\b"))
+    base = d.select(
+        "doc_id",
+        "text",
+        n_words.alias("n_words"),
+        punct.alias("punct"),
+        digits.alias("digits"),
+        stop.alias("stopwords"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "punct",
+        "digits",
+        "stopwords",
+        (F.col("stopwords").cast("double") / F.col("n_words")).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.col("n_words")
+        ).alias("avg_word_len"),
+        (
+            F.when(F.col("n_words").between(5, 1000), 0.4).otherwise(0.0)
+            + F.when(F.col("punct").cast("double") / F.col("n_words") < 0.3, 0.3)
+            .otherwise(0.0)
+            + F.when(
+                (F.col("stopwords").cast("double") / F.col("n_words")).between(
+                    0.01, 0.6
+                ),
+                0.3,
+            ).otherwise(0.0)
+        ).alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (E4): lowercase, strip
+    non-alphanumerics, md5 — the canonical-form hash used for
+    normalization-invariant dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.lower(F.regexp_replace("text", "[^A-Za-z0-9 ]", "")).cast("binary")
+        ).alias("fingerprint"),
+    )
+
+
+LANG_LEXICON = [
+    ("en", "the"), ("en", "a"), ("en", "fast"), ("en", "slow"),
+    ("de", "hash"), ("de", "vector"), ("de", "filter"),
+    ("es", "data"), ("es", "group"), ("es", "row"),
+    ("fr", "window"), ("fr", "agg"), ("fr", "query"),
+    ("zh", "spark"), ("zh", "join"), ("zh", "merge"),
+]
+
+_LEX_VALUES = ", ".join(f"('{lang}', '{w}')" for lang, w in LANG_LEXICON)
+
+LANG_ID_ORACLE = f"""
+WITH lexicon (lex_lang, word) AS (VALUES {_LEX_VALUES}),
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+scores AS (
+  SELECT w.doc_id, l.lex_lang, count(*) AS hits
+  FROM words w JOIN lexicon l ON w.word = l.word
+  GROUP BY w.doc_id, l.lex_lang
+)
+SELECT doc_id, lex_lang AS predicted_lang, hits FROM (
+  SELECT doc_id, lex_lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lex_lang ASC) AS rk
+  FROM scores)
+WHERE rk = 1
+"""
+
+
+@query("lang_id", oracle=LANG_ID_ORACLE)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-scoring language ID (E4): count marker-word hits per
+    language, argmax with deterministic tie-break. (The fixture corpus
+    shares one vocabulary across langs, so this demonstrates the
+    operator shape — explode -> broadcast lexicon join -> argmax — not
+    real classification accuracy.)"""
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(LANG_LEXICON, "lex_lang string, word string")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    scores = (
+        words.join(F.broadcast(lex), "word")
+        .groupBy("doc_id", "lex_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lex_lang"))
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("lex_lang").alias("predicted_lang"), "hits")
+    )
+
+
+# --- embeddings -----------------------------------------------------------
+
+
+def _norm_sq_dec(col):
+    """Exact sum of squared elements: per-element double->decimal cast,
+    decimal accumulation (order-independent)."""
+    return F.aggregate(
+        col,
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: acc
+        + (x.cast("double") * x.cast("double")).cast("decimal(28,12)"),
+    )
+
+
+DOC_EMB_ORACLE = """
+WITH norms AS (
+  SELECT vec_id, label, len(embedding) AS dim,
+         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))
+             AS norm_sq
+  FROM (SELECT vec_id, label, embedding, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id, label, len(embedding)
+)
+SELECT d.doc_id, d.lang, d.source, n.label, n.dim,
+       CAST(n.norm_sq AS DOUBLE) AS norm_sq,
+       sqrt(CAST(n.norm_sq AS DOUBLE)) AS norm
+FROM documents d JOIN norms n ON d.doc_id = n.vec_id
+"""
+
+
+@query("doc_embedding_join", oracle=DOC_EMB_ORACLE)
+def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal co-residence (E5): text metadata joined with its
+    embedding vector; vector norm computed by an in-row array fold
+    (F.aggregate) — no explode, no shuffle for the fold itself."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    e2 = e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        _norm_sq_dec(F.col("embedding")).cast("double").alias("norm_sq"),
+    )
+    return (
+        d.join(e2, d.doc_id == e2.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "label",
+            "dim",
+            "norm_sq",
+            F.sqrt("norm_sq").alias("norm"),
+        )
+    )
+
+
+KNN_K = 5
+KNN_N_QUERIES = 5
+
+KNN_ORACLE = f"""
+WITH exploded AS (
+  SELECT vec_id, i, CAST(x AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+  FROM exploded GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+  FROM exploded q JOIN exploded c ON q.i = c.i
+  WHERE q.vec_id < {KNN_N_QUERIES} AND c.vec_id >= {KNN_N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / (nq.norm * nc.norm) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot / (nq.norm * nc.norm) DESC,
+                                     d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id)
+WHERE rank <= {KNN_K}
+"""
+
+
+@query("knn_bruteforce", oracle=KNN_ORACLE)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (E3 baseline).
+
+    Query vectors (vec_id < {N}) are broadcast; every candidate
+    partition computes dot products via zip_with + exact decimal fold,
+    then a per-query ranking window keeps top-k. O(n_candidates) work,
+    one narrow shuffle of (query, candidate, score) triples for the
+    window — the scale path is ann_lsh (bucketed), this is the recall
+    oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_norm_sq_dec(F.col("embedding")).cast("double"))
+    vecs = e.select("vec_id", "embedding", norm.alias("norm"))
+    q = vecs.where(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = vecs.where(F.col("vec_id") >= KNN_N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("c_emb"),
+            lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(28,12)"),
+        ),
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (dot / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,138 @@
+"""Structured Streaming recasts of the reference's control loops
+(SURVEY.md §2.F T1–T5).
+
+The reference runs polling threads (HeartbeatRunnable 5 s,
+HeartbeatMonitor 5 s, ChunkReplicationRunnable 10 s,
+ChunkCorruptionMonitor 25 s). Here each loop is a standing streaming
+query over the heartbeat event stream:
+
+  T1 heartbeat source     -> file stream over the events fixture
+  T2 liveness timeout     -> stateful max(ts) per node (complete mode);
+                             session_window + watermark for session ends
+  T3 corruption monitor   -> stream-static join against stored checksums
+  T5 incremental delta    -> Structured Streaming's incrementalization
+                             (each micro-batch sees only new rows)
+
+Tests drive these with Trigger.AvailableNow and assert the final state
+equals the batch analogs (dead_nodes, hb_session) — outcomes, not
+timing, per SURVEY.md §7 "What's hard".
+
+The batch-materializing wrappers register as rows-only queries so the
+driver sees streaming coverage; they are not SQL-expressible (stateful
+streaming), so no oracle entry.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import SCHEMAS
+from ..views import N_NODES
+
+
+def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the heartbeat event stream (storageNode/HeartbeatRunnable.java:33-80)
+    as a file-source stream over the events fixture, mapped to
+    (host, port, ts, hb_id) exactly like views.heartbeats_df."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    idx = F.col("user_id") % N_NODES
+    node_id = F.lit(14) + idx + F.when(idx >= 5, 1).otherwise(0)
+    return raw.select(
+        F.format_string("bass%02d", node_id).alias("host"),
+        (F.lit(9000) + node_id).cast("int").alias("port"),
+        F.col("ts"),
+        F.col("event_id").alias("hb_id"),
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the final result table."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@query("stream_node_last_seen")
+def stream_node_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 state: per-node latest heartbeat, maintained incrementally in
+    the streaming state store (the relational form of
+    `heartbeats.put(node, new Date())`, controller/MessageProcessor.java:283).
+
+    Complete-mode aggregation: state is one row per node — bounded by
+    cluster size, the canonical streaming-agg shape."""
+    hb = heartbeat_stream(spark, sf_dir)
+    agg = hb.groupBy("host", "port").agg(F.max("ts").alias("last_ts"))
+    return _run_to_memory(agg, "complete")
+
+
+@query("stream_hb_session")
+def stream_hb_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 session ends: watermarked session windows (30 min gap) per
+    node. A session closing = the node going silent — the streaming
+    analog of HeartbeatMonitor's timeout scan. Watermark bounds state;
+    append mode emits each session exactly once when it finalizes."""
+    hb = heartbeat_stream(spark, sf_dir)
+    sess = (
+        hb.withWatermark("ts", "40 minutes")
+        .groupBy("host", "port", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_beats"))
+        .select(
+            "host",
+            "port",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_beats",
+        )
+    )
+    return _run_to_memory(sess, "append")
+
+
+@query("stream_corruption_alerts")
+def stream_corruption_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: corruption monitor as a stream-static join
+    (storageNode/ChunkCorruptionMonitor.java:32-93).
+
+    Each heartbeat triggers a re-verification of the chunks its node
+    holds: stream ⋈ static replicas (on node) ⋈ static stored-vs-computed
+    checksums, keeping mismatches. Static sides are broadcast; the
+    stream never shuffles."""
+    from ..views import checksums_stored_df, chunks_df, replicas_df
+
+    hb = heartbeat_stream(spark, sf_dir).select("host", "port", "ts")
+    holds = replicas_df(spark, sf_dir)
+    bad = (
+        chunks_df(spark, sf_dir)
+        .select("filename", "sequence_no", F.col("checksum").alias("computed"))
+        .join(
+            checksums_stored_df(spark, sf_dir).select(
+                "filename", "sequence_no", F.col("checksum").alias("stored")
+            ),
+            ["filename", "sequence_no"],
+        )
+        .where(F.col("computed") != F.col("stored"))
+        .join(holds, ["filename", "sequence_no"])
+        .select("host", "port", "filename", "sequence_no")
+    )
+    alerts = (
+        hb.dropDuplicates(["host", "port"])  # first beat per node triggers scan
+        .join(F.broadcast(bad), ["host", "port"])
+        .select("host", "port", "filename", "sequence_no")
+    )
+    return _run_to_memory(alerts, "append")

@@ -10,6 +10,7 @@ parquet scan because we read declaratively.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SCHEMAS: dict[str, T.StructType] = {
@@ -78,10 +79,14 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # events.ts is physically timestamp[ns]; Spark 4 cannot read nano
+    # precision as TimestampType, so the scan reads raw INT64 nanos
+    # (spark.sql.legacy.parquet.nanosAsLong) and load_table converts to
+    # microsecond timestamps — the same ns->us truncation DuckDB applies.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -111,6 +116,12 @@ TABLE_NAMES = list(SCHEMAS)
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+        # integer DIV: ns-epoch values exceed 2^53, double division
+        # would lose up to ~128 us of precision
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -46,8 +46,25 @@ NODE_IDS = [14, 15, 16, 17, 18, 20, 21, 22, 23, 24]  # scripts/start-storage-nod
 # Liveness window. The reference uses 30 s against a 5 s heartbeat
 # (dfs.properties:1-3, a 6x multiple); our heartbeat stream is the
 # events fixture (~1 event/node/43 min at sf0.01), so the analogous
-# window is hours, not seconds. 4h keeps dead_nodes non-trivial.
-MAX_HEARTBEAT_AGE_SQL = "INTERVAL 4 HOUR"
+# window is minutes-to-hours, not seconds. 40 min yields ~3 dead
+# nodes at sf0.01 and several at sf0.001 — non-trivial at the gate SFs.
+MAX_HEARTBEAT_AGE_SQL = "INTERVAL 40 MINUTE"
+
+
+# Memo of cached derived views per (session, sf_dir). The DFS views
+# are metadata-scale (bounded ~1e5 rows at any SF), so pinning them in
+# memory is the right call even on a production cluster — this is the
+# controller's in-memory FileTable, relationally.
+_VIEW_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _cached(name: str, build, spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    df = _VIEW_CACHE.get(key)
+    if df is None:
+        df = build().cache()
+        _VIEW_CACHE[key] = df
+    return df
 
 
 def files_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,12 +85,16 @@ def files_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chunks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk plan per file: 1 MB chunks, short last chunk.
+    """Chunk plan per file: 1 MB chunks, short last chunk (cached).
 
     Mirrors Chunk.java:195-214 (count = ceil(size/chunk), last =
     size - (n-1)*chunk) and the non-empty guard Chunk.java:144-150.
     Keeps an internal ``fnum`` column for downstream derivations.
     """
+    return _cached("chunks", lambda: _build_chunks(spark, sf_dir), spark, sf_dir)
+
+
+def _build_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = files_df(spark, sf_dir).filter(F.col("size") > 0)
     f = f.withColumn(
         "n_chunks", F.ceil(F.col("size") / F.lit(float(CHUNK_SIZE))).cast("int")
@@ -103,12 +124,16 @@ def nodes_df(spark: SparkSession, sf_dir: str = "") -> DataFrame:
 
 
 def replicas_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk -> replica placements (1..3 per chunk, deterministic).
+    """Chunk -> replica placements (1..3 per chunk, deterministic, cached).
 
     Placement hash is plain arithmetic so DuckDB reproduces it; the
     three probes collide for ~10-20% of chunks, which keeps
     under_replicated (controller/FileTable.java:41-52) non-trivial.
     """
+    return _cached("replicas", lambda: _build_replicas(spark, sf_dir), spark, sf_dir)
+
+
+def _build_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = chunks_df(spark, sf_dir)
     k = spark.range(3).select(F.col("id").cast("int").alias("k"))
     idx = (
@@ -142,6 +167,12 @@ def heartbeats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def offline_nodes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(
+        "offline_nodes", lambda: _build_offline_nodes(spark, sf_dir), spark, sf_dir
+    )
+
+
+def _build_offline_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     hb = heartbeats_df(spark, sf_dir)
     last = hb.groupBy("host", "port").agg(F.max("ts").alias("last_ts"))
     cutoff = hb.agg(
@@ -297,6 +328,18 @@ free_space AS (
 """.strip()
 
 
+# MATERIALIZED: without it DuckDB inlines every CTE reference and the
+# chunks->replicas derivation gets re-expanded per reference — a
+# corruption_scan-style 3-view join then takes minutes instead of ~2 s.
+_PRELUDE_MATERIALIZED = DUCKDB_PRELUDE.replace(" AS (", " AS MATERIALIZED (")
+
+
 def oracle(body: str) -> str:
-    """Wrap an oracle SELECT with the DFS-view CTE prelude."""
-    return f"WITH {DUCKDB_PRELUDE}\n{body}"
+    """Wrap an oracle query with the DFS-view CTE prelude.
+
+    Merges the body's own WITH clause into the prelude's if present.
+    """
+    body = body.strip()
+    if body.upper().startswith("WITH "):
+        body = "," + body[len("WITH ") :]
+    return f"WITH {_PRELUDE_MATERIALIZED}\n{body}"

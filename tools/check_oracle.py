@@ -10,8 +10,11 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import functools
 import math
 import sys
+
+print = functools.partial(print, flush=True)
 
 sys.path.insert(0, "/root/repo")
 
