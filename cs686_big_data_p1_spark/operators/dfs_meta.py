@@ -794,9 +794,10 @@ def queue_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=oracle(
         """
 SELECT sequence_no, size, checksum,
-       coalesce(sum(size) OVER (ORDER BY sequence_no
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                0) AS byte_offset
+       CAST(coalesce(sum(size) OVER (PARTITION BY filename ORDER BY sequence_no
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                     0) AS BIGINT) AS byte_offset
 FROM chunks WHERE filename = 'file0000.dat'
 """
     ),
@@ -806,8 +807,11 @@ def reassembly_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     createFileFromChunks): one file's chunks in sequence order with the
     running byte offset each chunk writes at — a cumulative-sum frame."""
     c = chunks_df(spark, sf_dir).where(F.col("filename") == "file0000.dat")
+    # partitionBy(filename) so the cumulative sum generalizes to many files
+    # without a single-partition global sort (here it also prunes to one file).
     w = (
-        Window.orderBy("sequence_no")
+        Window.partitionBy("filename")
+        .orderBy("sequence_no")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return c.select(

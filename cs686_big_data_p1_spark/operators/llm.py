@@ -5,9 +5,11 @@ Deduplication (exact, MinHash-LSH near-dup, SimHash), text analysis
 embedding similarity search (brute-force cosine top-k; LSH-bucketed
 variant in ann.py) — all over the documents/embeddings fixtures.
 
-Numeric policy: any float reduction (norms, dot products) goes through
-DECIMAL per-element casts so the sum is exact and order-independent —
-Spark's distributed fold and DuckDB's serial fold must agree bit-for-bit.
+Numeric policy: any float reduction (norms, dot products) quantizes each
+term to a fixed-point bigint (floor(x*y*1e12)) and sums integers, so the
+result is order-independent and engine-independent — Spark's distributed
+fold and DuckDB's serial fold agree bit-for-bit. Cheaper than decimal
+arithmetic, and immune to double->decimal rounding-rule differences.
 
 Hash policy: only md5 (identical in Spark and DuckDB). SimHash bit
 extraction uses hex-substring -> integer (Spark conv(); DuckDB 0x cast)
@@ -222,21 +224,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10).cast(
         "bigint"
     )
+    hashed = words.select("doc_id", h.alias("h"))
     bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
-    voted = words.crossJoin(F.broadcast(bits)).select(
+    # SQL shiftright/shiftleft accept a column shift amount; the Python
+    # F.shiftright wrapper requires a literal int, hence F.expr here.
+    voted = hashed.crossJoin(F.broadcast(bits)).select(
         "doc_id",
         "bit",
-        F.when(
-            F.shiftright(h, F.col("bit")).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        )
+        F.when(F.expr("shiftright(h, bit) % 2") == 1, F.lit(1))
         .otherwise(F.lit(-1))
         .alias("v"),
     )
     acc = voted.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
     return acc.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit")))
-            .otherwise(F.lit(0))
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("bigint"))
         )
         .cast("bigint")
         .alias("simhash")
@@ -439,28 +443,34 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embeddings -----------------------------------------------------------
 
 
-def _norm_sq_dec(col):
-    """Exact sum of squared elements: per-element double->decimal cast,
-    decimal accumulation (order-independent)."""
+def _norm_sq_q(col):
+    """Deterministic sum of squared elements via fixed-point quantization.
+
+    Each float32 element widens exactly to double; x*x is exact (48-bit
+    product mantissa < 53); floor(x*x*1e12) is the same bigint in every
+    IEEE-754 engine, and the bigint sum is order-independent — so Spark's
+    distributed fold and DuckDB's serial fold agree bit-for-bit, with no
+    double->decimal rounding-rule dependence. Result is norm_sq * 1e12.
+    """
     return F.aggregate(
         col,
-        F.lit(0).cast("decimal(38,12)"),
+        F.lit(0).cast("bigint"),
         lambda acc, x: acc
-        + (x.cast("double") * x.cast("double")).cast("decimal(28,12)"),
+        + F.floor(x.cast("double") * x.cast("double") * F.lit(1e12)).cast("bigint"),
     )
 
 
 DOC_EMB_ORACLE = """
 WITH norms AS (
   SELECT vec_id, label, len(embedding) AS dim,
-         sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))
-             AS norm_sq
+         sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12) AS BIGINT))
+             AS norm_sq_q
   FROM (SELECT vec_id, label, embedding, unnest(embedding) AS x FROM embeddings)
   GROUP BY vec_id, label, len(embedding)
 )
 SELECT d.doc_id, d.lang, d.source, n.label, n.dim,
-       CAST(n.norm_sq AS DOUBLE) AS norm_sq,
-       sqrt(CAST(n.norm_sq AS DOUBLE)) AS norm
+       CAST(n.norm_sq_q AS DOUBLE) / 1e12 AS norm_sq,
+       sqrt(CAST(n.norm_sq_q AS DOUBLE) / 1e12) AS norm
 FROM documents d JOIN norms n ON d.doc_id = n.vec_id
 """
 
@@ -476,7 +486,9 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.size("embedding").alias("dim"),
-        _norm_sq_dec(F.col("embedding")).cast("double").alias("norm_sq"),
+        (_norm_sq_q(F.col("embedding")).cast("double") / F.lit(1e12)).alias(
+            "norm_sq"
+        ),
     )
     return (
         d.join(e2, d.doc_id == e2.vec_id)
@@ -503,12 +515,15 @@ WITH exploded AS (
         FROM embeddings)
 ),
 norms AS (
-  SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)) AS norm
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
   FROM exploded GROUP BY vec_id
 ),
 dots AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(sum(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) AS dot
+         CAST(sum(CAST(floor(q.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
   FROM exploded q JOIN exploded c ON q.i = c.i
   WHERE q.vec_id < {KNN_N_QUERIES} AND c.vec_id >= {KNN_N_QUERIES}
   GROUP BY q.vec_id, c.vec_id
@@ -531,14 +546,14 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search (E3 baseline).
 
     Query vectors (vec_id < {N}) are broadcast; every candidate
-    partition computes dot products via zip_with + exact decimal fold,
+    partition computes dot products via zip_with + fixed-point bigint fold,
     then a per-query ranking window keeps top-k. O(n_candidates) work,
     one narrow shuffle of (query, candidate, score) triples for the
     window — the scale path is ann_lsh (bucketed), this is the recall
     oracle.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    norm = F.sqrt(_norm_sq_dec(F.col("embedding")).cast("double"))
+    norm = F.sqrt(_norm_sq_q(F.col("embedding")).cast("double") / F.lit(1e12))
     vecs = e.select("vec_id", "embedding", norm.alias("norm"))
     q = vecs.where(F.col("vec_id") < KNN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -550,15 +565,20 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("q_emb"),
-            F.col("c_emb"),
-            lambda x, y: (x.cast("double") * y.cast("double")).cast("decimal(28,12)"),
-        ),
-        F.lit(0).cast("decimal(38,12)"),
-        lambda acc, x: acc + x,
-    ).cast("double")
+    dot = (
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("c_emb"),
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(1e12)
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(1e12)
+    )
     pairs = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
