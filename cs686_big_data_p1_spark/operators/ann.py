@@ -1,0 +1,284 @@
+"""Approximate similarity search via random-hyperplane LSH (SURVEY.md §2.I E3).
+
+The 100 TB scale path for embedding similarity: `knn_bruteforce`
+(operators/llm.py) is O(n_candidates * n_queries) and exists as the
+recall oracle; the queries here prune candidate generation to LSH
+bucket-mates so per-query work is bounded by bucket occupancy, not the
+corpus size.
+
+Construction (Charikar 2002 sign-LSH): N_TABLES independent hash
+tables, each hashing a vector to an N_BITS key where bit b is the sign
+of the dot product with a pseudo-random hyperplane. Collision
+probability per bit is 1 - theta/pi, so true near-duplicates
+(theta -> 0) collide with probability -> 1 while random pairs are
+pruned — exactly the asymmetry a dedup/similarity pass wants.
+
+Determinism contract (everything here must hash-match a DuckDB oracle):
+  * Hyperplane component (t, b, i) is derived from
+    md5("hyperplane|t|b|i") — identical in Python's hashlib (used to
+    build Spark literals) and DuckDB's md5() (used in the oracle SQL).
+  * Every dot product / norm uses the fixed-point bigint fold from
+    functions/vector.py, so bit signs and cosines are bit-identical
+    across engines regardless of fold order.
+
+Scale shape: bucket keys are computed by in-row folds (no explode, no
+shuffle); the only shuffles are groupBy/join on compact
+(table, bucket) int keys; the query side is broadcast. Oversized
+buckets (skew) are handled upstream for dedup by the exact-dup
+prefilter in dedup_near; for ann the bucket fan-in is 2^N_BITS-bounded
+in expectation and AQE skew-join covers pathological keys.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import dot as v_dot
+from ..functions.vector import norm as v_norm
+from ..registry import query
+from ..tables import load_table
+
+EMB_DIM = 64
+N_TABLES = 8
+N_BITS = 6
+ANN_K = 5
+ANN_N_QUERIES = 5  # same query split as knn_bruteforce
+DEDUP_COS_THRESHOLD = 0.35
+
+
+def _plane(t: int, b: int) -> list[float]:
+    """Pseudo-random hyperplane (t, b): component i in [-1, 1] derived
+    from md5 so the DuckDB oracle can regenerate the identical values."""
+    out = []
+    for i in range(1, EMB_DIM + 1):
+        h = int(
+            hashlib.md5(f"hyperplane|{t}|{b}|{i}".encode()).hexdigest()[:15], 16
+        )
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+def _bucketed(e: DataFrame) -> DataFrame:
+    """vec_id, embedding -> (vec_id, embedding, t, bucket) with one row
+    per hash table. Bucket bits are signs of quantized hyperplane dots;
+    all work is in-row (whole-stage codegen), zero shuffle."""
+    tables = []
+    for t in range(N_TABLES):
+        bucket = F.lit(0)
+        for b in range(N_BITS):
+            arr = F.array(*[F.lit(v) for v in _plane(t, b)])
+            s = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    arr,
+                    lambda x, r: F.floor(
+                        x.cast("double") * r * F.lit(1e12)
+                    ).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        tables.append(bucket.cast("int"))
+    return e.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(F.array(*tables)).alias("t", "bucket"),
+    )
+
+
+# Oracle-side regeneration of the same planes / buckets. DuckDB's
+# md5/printf match hashlib byte-for-byte; (h % 2001 - 1000)/1000.0 is the
+# same IEEE double; floor(x*r*1e12) quantization makes the bit signs
+# fold-order independent.
+_BUCKETS_CTE = f"""
+planes AS (
+  SELECT t, b, i,
+         (CAST(('0x' || substr(md5(printf('hyperplane|%d|%d|%d', t, b, i)),
+                        1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0 AS r
+  FROM (SELECT unnest(generate_series(0, {N_TABLES - 1})) AS t)
+  CROSS JOIN (SELECT unnest(generate_series(0, {N_BITS - 1})) AS b)
+  CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)
+),
+ex AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+bits AS (
+  SELECT e.vec_id, p.t, p.b,
+         CASE WHEN sum(CAST(floor(e.x * p.r * 1e12) AS BIGINT)) >= 0
+              THEN CAST(power(2, p.b) AS INTEGER) ELSE 0 END AS bv
+  FROM ex e JOIN planes p ON e.i = p.i
+  GROUP BY e.vec_id, p.t, p.b
+),
+buckets AS (
+  SELECT vec_id, t, CAST(sum(bv) AS INTEGER) AS bucket
+  FROM bits GROUP BY vec_id, t
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM ex GROUP BY vec_id
+)
+"""
+
+ANN_LSH_ORACLE = f"""
+WITH {_BUCKETS_CTE},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < {ANN_N_QUERIES} AND c.vec_id >= {ANN_N_QUERIES}
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST(sum(CAST(floor(q.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM cand cd
+  JOIN ex q ON q.vec_id = cd.query_id
+  JOIN ex c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / (nq.norm * nc.norm) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot / (nq.norm * nc.norm) DESC,
+                                     d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id)
+WHERE rank <= {ANN_K}
+"""
+
+
+@query("ann_lsh", oracle=ANN_LSH_ORACLE)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k cosine search (E3 scale path).
+
+    Candidates for each query are its bucket-mates in any of the
+    N_TABLES hash tables, so scored pairs are ~n/2^N_BITS per table per
+    query instead of n. Candidate id-pairs are deduped before the
+    (expensive) cosine step; the small query side is broadcast twice —
+    once for bucket probing, once to attach query embeddings.
+    tests/test_ann.py asserts recall vs knn_bruteforce.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bk = _bucketed(e.select("vec_id", "embedding")).select("vec_id", "t", "bucket")
+    qb = bk.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket"
+    )
+    cb = bk.where(F.col("vec_id") >= ANN_N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "t", "bucket"
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["t", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = e.select("vec_id", "embedding", v_norm(F.col("embedding")).alias("norm"))
+    qv = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                v_dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+DEDUP_EMBEDDING_ORACLE = f"""
+WITH {_BUCKETS_CTE},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT cd.vec_a, cd.vec_b,
+         CAST(sum(CAST(floor(xa.x * xb.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM cand cd
+  JOIN ex xa ON xa.vec_id = cd.vec_a
+  JOIN ex xb ON xb.vec_id = cd.vec_b AND xb.i = xa.i
+  GROUP BY cd.vec_a, cd.vec_b
+)
+SELECT d.vec_a, d.vec_b, d.dot / (na.norm * nb.norm) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_a
+JOIN norms nb ON nb.vec_id = d.vec_b
+WHERE d.dot / (na.norm * nb.norm) >= {DEDUP_COS_THRESHOLD}
+"""
+
+
+@query("dedup_embedding", oracle=DEDUP_EMBEDDING_ORACLE)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic-dedup pass of
+    a training-data pipeline): LSH bucket-mates with cosine >= 0.35.
+
+    True near-duplicates (cosine -> 1) collide in some table with
+    probability -> 1, so LSH candidate generation loses essentially
+    nothing at the dedup operating point while never forming the
+    quadratic all-pairs set. Self-join is on (t, bucket) int keys only;
+    embeddings are attached per side after pair dedup.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bk = _bucketed(e.select("vec_id", "embedding")).select("vec_id", "t", "bucket")
+    a = bk.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+    b = bk.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    vecs = e.select("vec_id", "embedding", v_norm(F.col("embedding")).alias("norm"))
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                v_dot(F.col("a_emb"), F.col("b_emb"))
+                / (F.col("a_norm") * F.col("b_norm"))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= DEDUP_COS_THRESHOLD)
+    )

@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.vector import dot as v_dot
+from ..functions.vector import norm as v_norm
+from ..functions.vector import norm_sq_q
 from ..registry import query
 from ..tables import load_table
 
@@ -443,21 +446,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- embeddings -----------------------------------------------------------
 
 
-def _norm_sq_q(col):
-    """Deterministic sum of squared elements via fixed-point quantization.
-
-    Each float32 element widens exactly to double; x*x is exact (48-bit
-    product mantissa < 53); floor(x*x*1e12) is the same bigint in every
-    IEEE-754 engine, and the bigint sum is order-independent — so Spark's
-    distributed fold and DuckDB's serial fold agree bit-for-bit, with no
-    double->decimal rounding-rule dependence. Result is norm_sq * 1e12.
-    """
-    return F.aggregate(
-        col,
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc
-        + F.floor(x.cast("double") * x.cast("double") * F.lit(1e12)).cast("bigint"),
-    )
+# Deterministic fixed-point folds shared with operators/ann.py; see
+# functions/vector.py for the bit-exactness argument.
 
 
 DOC_EMB_ORACLE = """
@@ -486,7 +476,7 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.size("embedding").alias("dim"),
-        (_norm_sq_q(F.col("embedding")).cast("double") / F.lit(1e12)).alias(
+        (norm_sq_q(F.col("embedding")).cast("double") / F.lit(1e12)).alias(
             "norm_sq"
         ),
     )
@@ -553,8 +543,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    norm = F.sqrt(_norm_sq_q(F.col("embedding")).cast("double") / F.lit(1e12))
-    vecs = e.select("vec_id", "embedding", norm.alias("norm"))
+    vecs = e.select("vec_id", "embedding", v_norm(F.col("embedding")).alias("norm"))
     q = vecs.where(F.col("vec_id") < KNN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -565,20 +554,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
-    dot = (
-        F.aggregate(
-            F.zip_with(
-                F.col("q_emb"),
-                F.col("c_emb"),
-                lambda x, y: F.floor(
-                    x.cast("double") * y.cast("double") * F.lit(1e12)
-                ).cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-        / F.lit(1e12)
-    )
+    dot = v_dot(F.col("q_emb"), F.col("c_emb"))
     pairs = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",

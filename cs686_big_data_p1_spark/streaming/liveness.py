@@ -39,9 +39,12 @@ def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a file-source stream over the events fixture, mapped to
     (host, port, ts, hb_id) exactly like views.heartbeats_df."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The fixture is a single file; the file stream source needs a directory
+    # basePath, so stream the sf dir filtered down to the events file.
     raw = (
         spark.readStream.schema(SCHEMAS["events"])
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     idx = F.col("user_id") % N_NODES

@@ -1,0 +1,111 @@
+"""Property tests from SURVEY.md §5.3.
+
+The reference's state-mutation invariants, checked relationally:
+  * publishChunk is an idempotent upsert (controller/FileTable.java:107-122):
+    applying the merge twice equals applying it once.
+  * heartbeat delta identity (storageNode/HeartbeatRunnable.java:101-143):
+    old snapshot ⊕ getDiff(old, new) = new snapshot.
+  * node-offline cascade (controller/FileTable.java:59-97): after the
+    cascade, no surviving chunk has zero online replicas, and lost_chunks
+    is exactly the set with zero online replicas.
+
+Structural properties run under hypothesis on generated replica tables
+(small example counts — each example round-trips through Spark); the
+cascade invariant runs on the real fixture views.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (filename, sequence_no, host, port) replica rows over a tiny key space so
+# generated tables actually overlap
+_replica_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["fa.dat", "fb.dat", "fc.dat"]),
+        st.integers(0, 3),
+        st.sampled_from(["bass14", "bass15", "bass16"]),
+        st.sampled_from([9014, 9015]),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+_SCHEMA = "filename string, sequence_no int, host string, port int"
+_KEY = ["filename", "sequence_no", "host", "port"]
+
+
+def _multiset_equal(a, b) -> bool:
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+@_SETTINGS
+@given(table=_replica_rows, incoming=_replica_rows)
+def test_publish_upsert_idempotent(spark, table, incoming):
+    t = spark.createDataFrame(table, _SCHEMA)
+    inc = spark.createDataFrame(incoming, _SCHEMA)
+
+    def upsert(base):
+        return base.unionByName(inc).dropDuplicates(_KEY)
+
+    once = upsert(t)
+    twice = upsert(once)
+    assert _multiset_equal(once.distinct(), twice.distinct())
+
+
+@_SETTINGS
+@given(old=_replica_rows, new=_replica_rows)
+def test_inventory_delta_identity(spark, old, new):
+    """old ⊕ delta = new for set-semantics snapshots (the reference's
+    chunk maps are sets: Map<String, SortedSet<Chunk>>)."""
+    o = spark.createDataFrame(old, _SCHEMA).distinct()
+    n = spark.createDataFrame(new, _SCHEMA).distinct()
+    delta = n.exceptAll(o)  # getDiff: what the next heartbeat reports
+    rebuilt = o.join(n, _KEY, "left_semi").unionByName(delta)
+    assert _multiset_equal(rebuilt.distinct(), n)
+
+
+def test_inventory_delta_identity_fixture(spark, registry):
+    from cs686_big_data_p1_spark.views import replicas_df
+
+    r = replicas_df(spark, SF_SMALL)
+    old = r.where((F.col("sequence_no") + F.col("port")) % 7 != 0)
+    delta = registry.QUERIES["inventory_delta"](spark, SF_SMALL)
+    assert _multiset_equal(old.unionByName(delta), r)
+
+
+def test_publish_upsert_idempotent_fixture(spark, registry):
+    once = registry.QUERIES["publish_upsert"](spark, SF_SMALL)
+    from cs686_big_data_p1_spark.operators.dfs_meta import round_robin_assign
+
+    twice = (
+        once.unionByName(round_robin_assign(spark, SF_SMALL))
+        .dropDuplicates(_KEY)
+    )
+    assert _multiset_equal(once, twice)
+
+
+def test_cascade_no_zero_replica_survivors(spark, registry):
+    """Every chunk either keeps >=1 online replica after the cascade or
+    appears in lost_chunks — and never both."""
+    from cs686_big_data_p1_spark.views import chunks_df
+
+    chunk_key = ["filename", "sequence_no"]
+    surviving = registry.QUERIES["surviving_replicas"](spark, SF_SMALL)
+    lost = registry.QUERIES["lost_chunks"](spark, SF_SMALL)
+    chunks = chunks_df(spark, SF_SMALL).select(*chunk_key)
+
+    with_survivor = surviving.select(*chunk_key).distinct()
+    no_survivor = chunks.join(with_survivor, chunk_key, "left_anti")
+    assert _multiset_equal(no_survivor, lost.select(*chunk_key))
+    assert lost.join(with_survivor, chunk_key, "left_semi").isEmpty()
