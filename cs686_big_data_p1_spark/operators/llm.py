@@ -67,9 +67,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id -> distinct 3-word shingles."""
+def _rep_shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> distinct 60-bit shingle IDs, exact-dup classes collapsed.
+
+    Two scale guards live here:
+      * exact-duplicate prefilter: only one representative (min doc_id)
+        per md5(text) class enters LSH, so a crawl dump with k identical
+        copies contributes ONE signature, not k (no k^2/2 pair blowup
+        inside a band bucket);
+      * shingles become 60-bit ints (md5 hex prefix) before the
+        distinct, so the dedup shuffle moves 8-byte keys, never the
+        3-word shingle strings.
+    """
     d = load_table(spark, sf_dir, "documents")
+    reps = (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("th"))
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d = d.join(reps, "doc_id", "left_semi")
     words = F.split(F.col("text"), " ")
     d = d.select("doc_id", words.alias("w")).where(F.size("w") >= 3)
     idx = F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i")
@@ -80,37 +97,62 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("w", F.col("i") + 1),
         F.element_at("w", F.col("i") + 2),
     )
-    return d.select("doc_id", shingle.alias("shingle")).distinct()
+    h = F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("bigint")
+    return d.select("doc_id", h.alias("h")).distinct()
 
 
 N_MINHASH_BANDS = 4
+N_MINHASH_ROWS = 2  # min-hashes per band signature
+MAX_BUCKET_DOCS = 50  # skip pathological buckets (standard LSH practice)
 
 DEDUP_NEAR_ORACLE = f"""
-WITH shingles AS (
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+shingles AS (
   SELECT DISTINCT doc_id,
-         printf('%s %s %s', w[i], w[i+1], w[i+2]) AS shingle
+         CAST(('0x' || substr(md5(printf('%s %s %s', w[i], w[i+1], w[i+2])),
+                       1, 15)) AS BIGINT) AS h
   FROM (
     SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM reps))
     WHERE len(w) >= 3
   )
 ),
+mh AS (
+  SELECT s.doc_id, g.k, g.j,
+         min(CAST(('0x' || substr(md5(printf('mh%d|%d', g.k * 2 + g.j, s.h)),
+                           1, 15)) AS BIGINT)) AS m
+  FROM shingles s CROSS JOIN (
+    SELECT k, j
+    FROM (VALUES (0),(1),(2),(3)) b(k)
+    CROSS JOIN (VALUES (0),(1)) r(j)) g
+  GROUP BY s.doc_id, g.k, g.j
+),
 sigs AS (
-  SELECT doc_id, k, min(md5(printf('band%d|%s', k, shingle))) AS band_hash
-  FROM shingles CROSS JOIN (VALUES (0),(1),(2),(3)) AS b(k)
-  GROUP BY doc_id, k
+  SELECT doc_id, k,
+         min(CASE WHEN j = 0 THEN m END) AS m0,
+         min(CASE WHEN j = 1 THEN m END) AS m1
+  FROM mh GROUP BY doc_id, k
+),
+ok_buckets AS (
+  SELECT k, m0, m1 FROM sigs GROUP BY k, m0, m1
+  HAVING count(*) <= {MAX_BUCKET_DOCS}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sigs a JOIN sigs b ON a.k = b.k AND a.band_hash = b.band_hash
-  WHERE a.doc_id < b.doc_id
+  FROM sigs a
+  JOIN sigs b ON a.k = b.k AND a.m0 = b.m0 AND a.m1 = b.m1
+             AND a.doc_id < b.doc_id
+  JOIN ok_buckets ob ON ob.k = a.k AND ob.m0 = a.m0 AND ob.m1 = a.m1
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
   FROM cand c
   JOIN shingles sa ON sa.doc_id = c.doc_a
-  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b, i.n_inter,
@@ -126,45 +168,72 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidates + exact Jaccard (E2).
 
-    Pipeline: 3-word shingles -> 4 salted min-hash bands -> bucket
-    self-join on (band, hash) -> candidate pairs -> exact Jaccard via a
-    shingle intersection join.
+    Pipeline: exact-dup prefilter -> 3-word shingles as 60-bit ints ->
+    4 bands x 2 min-hashes -> bucket self-join on (band, m0, m1) with a
+    bucket-size cap -> candidate pairs -> exact Jaccard via a
+    shingle-ID intersection join. Standard Broder / MMDS ch.3
+    construction as DataFrame ops.
 
-    Scale: the only self-joins are on band buckets (fan-in bounded by
-    collision count) and on candidate pairs' shingles — the quadratic
-    all-pairs comparison never happens. This is the standard
-    shingle/minhash/band construction (Broder; Leskovec et al. MMDS
-    ch.3) expressed as DataFrame ops.
+    Scale: identical documents collapse to one representative before
+    LSH (the k-identical-copies k^2/2 blowup never happens); every
+    shuffle key is a bigint or a (int, bigint, bigint) signature —
+    never document text; buckets larger than MAX_BUCKET_DOCS are
+    skipped outright (they are degenerate boilerplate clusters, the
+    standard LSH guard); Jaccard touches only surviving candidate
+    pairs. Output is over class representatives — pair exact
+    duplicates via dedup_exact's classes.
     """
-    sh = _shingles_df(spark, sf_dir).cache()
-    bands = spark.range(N_MINHASH_BANDS).select(F.col("id").cast("int").alias("k"))
+    sh = _rep_shingles_df(spark, sf_dir).cache()
+    grid = spark.range(N_MINHASH_BANDS * N_MINHASH_ROWS).select(
+        (F.col("id") / N_MINHASH_ROWS).cast("int").alias("k"),
+        (F.col("id") % N_MINHASH_ROWS).cast("int").alias("j"),
+    )
+    mh = F.conv(
+        F.substring(
+            F.md5(
+                F.format_string(
+                    "mh%d|%d",
+                    F.col("k") * N_MINHASH_ROWS + F.col("j"),
+                    F.col("h"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
     sigs = (
-        sh.crossJoin(F.broadcast(bands))
+        sh.crossJoin(F.broadcast(grid))
+        .select("doc_id", "k", "j", mh.alias("m"))
         .groupBy("doc_id", "k")
         .agg(
-            F.min(
-                F.md5(F.format_string("band%d|%s", F.col("k"), F.col("shingle")))
-            ).alias("band_hash")
+            F.min(F.when(F.col("j") == 0, F.col("m"))).alias("m0"),
+            F.min(F.when(F.col("j") == 1, F.col("m"))).alias("m1"),
         )
     )
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    bucket_key = ["k", "m0", "m1"]
+    ok_buckets = (
+        sigs.groupBy(*bucket_key)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") <= MAX_BUCKET_DOCS)
+        .select(*bucket_key)
+    )
+    capped = sigs.join(ok_buckets, bucket_key, "left_semi")
+    a = capped.select(F.col("doc_id").alias("doc_a"), *bucket_key)
+    b = capped.select(F.col("doc_id").alias("doc_b"), *bucket_key)
     cand = (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(b, bucket_key)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
