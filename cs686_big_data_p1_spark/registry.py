@@ -68,6 +68,7 @@ PRIORITY_ORDER = [
     "ann_lsh", "dedup_simhash", "dedup_embedding",
     # extras past the driver window (judge self-checks these)
     "token_count", "quality_score", "doc_fingerprint", "lang_id", "hb_rate",
+    "media_metadata", "media_features",
     # streaming (rows-only checks by design)
     "stream_node_last_seen", "stream_hb_session", "stream_corruption_alerts",
 ]
@@ -80,6 +81,7 @@ def load_all() -> None:
     from .operators import dfs_meta  # noqa: F401
     from .operators import dfs_scalar  # noqa: F401
     from .operators import llm  # noqa: F401
+    from .operators import multimodal  # noqa: F401
     from .operators import windows  # noqa: F401
     from .streaming import liveness  # noqa: F401
 
