@@ -14,8 +14,11 @@ that checks these operators (operators/llm.py, operators/ann.py).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 SCALE = 1e12
 
@@ -59,3 +62,36 @@ def dot_q(a: Column, b: Column) -> Column:
 def dot(a: Column, b: Column) -> Column:
     """Dot product as double, from the quantized fold."""
     return dot_q(a, b).cast("double") / F.lit(SCALE)
+
+
+# --- Arrow-vectorized fast path -------------------------------------------
+#
+# F.aggregate / F.zip_with are CodegenFallback in Spark — every lambda
+# step is interpreted, ~1 us/element. For pair-scoring stages that fold
+# millions of elements, the same quantized math runs 100x faster as a
+# numpy batch inside a pandas UDF: float32 -> float64 widening, IEEE
+# double multiply, floor, int64 sum are all bit-identical to the
+# column-expression fold, so results (and the DuckDB oracles) are
+# unchanged. Sub-batching keeps peak memory per Arrow batch bounded.
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    return np.stack(s.to_numpy()).astype(np.float64)
+
+
+@F.pandas_udf(LongType())  # DataType object: usable before a session exists
+def pair_dot_q_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Quantized dot product, Arrow-batched: identical semantics to
+    dot_q (floor(a_i*b_i*1e12) summed as int64), vectorized."""
+    out = np.empty(len(a), dtype=np.int64)
+    for lo in range(0, len(a), 4096):
+        hi = min(lo + 4096, len(a))
+        av = _stack(a.iloc[lo:hi])
+        bv = _stack(b.iloc[lo:hi])
+        out[lo:hi] = np.floor(av * bv * SCALE).astype(np.int64).sum(axis=1)
+    return pd.Series(out)
+
+
+def pair_dot_pd(a: Column, b: Column) -> Column:
+    """Dot product as double via the Arrow-batched quantized fold."""
+    return pair_dot_q_pd(a, b).cast("double") / F.lit(SCALE)

