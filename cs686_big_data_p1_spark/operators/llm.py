@@ -184,33 +184,42 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates via dedup_exact's classes.
     """
     sh = _rep_shingles_df(spark, sf_dir).cache()
-    grid = spark.range(N_MINHASH_BANDS * N_MINHASH_ROWS).select(
-        (F.col("id") / N_MINHASH_ROWS).cast("int").alias("k"),
-        (F.col("id") % N_MINHASH_ROWS).cast("int").alias("j"),
+    # All 8 min-hashes as aggregate columns of ONE groupBy — no 8x row
+    # fan-out, and the (mostly map-side) shuffle carries one narrow row
+    # per doc instead of 8. Hash strings match the oracle's
+    # printf('mh%d|%d', k*2+j, h) exactly.
+    min_cols = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.format_string(
+                            f"mh{k * N_MINHASH_ROWS + j}|%d", F.col("h")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"m_{k}_{j}")
+        for k in range(N_MINHASH_BANDS)
+        for j in range(N_MINHASH_ROWS)
+    ]
+    wide = sh.groupBy("doc_id").agg(*min_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col(f"m_{k}_0").alias("m0"),
+                F.col(f"m_{k}_1").alias("m1"),
+            )
+            for k in range(N_MINHASH_BANDS)
+        ]
     )
-    mh = F.conv(
-        F.substring(
-            F.md5(
-                F.format_string(
-                    "mh%d|%d",
-                    F.col("k") * N_MINHASH_ROWS + F.col("j"),
-                    F.col("h"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    sigs = (
-        sh.crossJoin(F.broadcast(grid))
-        .select("doc_id", "k", "j", mh.alias("m"))
-        .groupBy("doc_id", "k")
-        .agg(
-            F.min(F.when(F.col("j") == 0, F.col("m"))).alias("m0"),
-            F.min(F.when(F.col("j") == 1, F.col("m"))).alias("m1"),
-        )
+    sigs = wide.select("doc_id", F.explode(band_structs).alias("s")).select(
+        "doc_id", "s.k", "s.m0", "s.m1"
     )
     bucket_key = ["k", "m0", "m1"]
     ok_buckets = (
@@ -416,26 +425,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     hashed = words.select("doc_id", h.alias("h"))
-    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
-    # SQL shiftright/shiftleft accept a column shift amount; the Python
-    # F.shiftright wrapper requires a literal int, hence F.expr here.
-    voted = hashed.crossJoin(F.broadcast(bits)).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("shiftright(h, bit) % 2") == 1, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("v"),
-    )
-    acc = voted.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
-    return acc.groupBy("doc_id").agg(
+    # All 32 bit-vote sums as aggregate columns of ONE groupBy (literal
+    # shift amounts, so the plain F.shiftright wrapper applies) — no
+    # 32x row fan-out and a single mostly-map-side shuffle.
+    vote_cols = [
         F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0).cast("bigint"))
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), b) % 2 == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    acc = hashed.groupBy("doc_id").agg(*vote_cols)
+    simhash = None
+    for b in range(32):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        simhash = term if simhash is None else simhash + term
+    return acc.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 # --- text analysis --------------------------------------------------------
