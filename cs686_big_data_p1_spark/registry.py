@@ -72,6 +72,7 @@ PRIORITY_ORDER = [
     "media_metadata", "media_features",
     # streaming (rows-only checks by design)
     "stream_node_last_seen", "stream_hb_session", "stream_corruption_alerts",
+    "stream_liveness_state",
 ]
 
 
@@ -85,6 +86,7 @@ def load_all() -> None:
     from .operators import multimodal  # noqa: F401
     from .operators import windows  # noqa: F401
     from .streaming import liveness  # noqa: F401
+    from .streaming import stateful  # noqa: F401
 
     ordered = [n for n in PRIORITY_ORDER if n in QUERIES]
     ordered += [n for n in QUERIES if n not in PRIORITY_ORDER]

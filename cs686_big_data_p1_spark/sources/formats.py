@@ -1,0 +1,81 @@
+"""Source/sink format breadth: CSV, JSON(L), and partitioned parquet.
+
+The reference ingests local binary files and socket protobuf
+(SURVEY.md §2.A); the engine's native storage is parquet. Real
+pipelines also ingest delimited text and JSONL drops, so this module
+pins those paths with the same rules as tables.py:
+
+  * every read takes an explicit schema — no inference pass, so a CSV
+    read is one scan at any scale and types can't drift per-file;
+  * timestamps round-trip through an explicit ISO-8601 format;
+  * writes are directory sinks (one part-file per partition), the only
+    layout that scales writers horizontally.
+
+CSV/JSON carry no column statistics or row-group pruning, so they are
+ingest formats here: read once, write parquet, query that — the tests
+assert lossless round-trips both ways.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+
+_CSV_OPTIONS = {
+    "header": "true",
+    "timestampFormat": TS_FORMAT,
+    "nullValue": "\\N",  # distinguish NULL from empty string
+    "escape": '"',
+}
+
+_JSON_OPTIONS = {
+    "timestampFormat": TS_FORMAT,
+}
+
+
+def write_csv(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Directory CSV sink. n_files coalesces small outputs; leave None
+    at scale so each task writes its own part-file."""
+    out = df.coalesce(n_files) if n_files else df
+    out.write.mode("overwrite").options(**_CSV_OPTIONS).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).options(**_CSV_OPTIONS).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Directory JSONL sink (one JSON object per line — the interchange
+    format of web-crawl / training-data drops)."""
+    out = df.coalesce(n_files) if n_files else df
+    out.write.mode("overwrite").options(**_JSON_OPTIONS).json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    return spark.read.schema(schema).options(**_JSON_OPTIONS).json(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Partitioned parquet sink: the engine's canonical layout. Reads
+    filtered on partition_cols become partition-pruned scans."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def jsonl_ingest_to_parquet(
+    spark: SparkSession,
+    jsonl_path: str,
+    parquet_path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """The canonical ingest hop: JSONL drop -> typed parquet. Returns
+    the re-read parquet frame (what downstream queries should use)."""
+    read_jsonl(spark, jsonl_path, schema).write.mode("overwrite").parquet(
+        parquet_path
+    )
+    return spark.read.schema(schema).parquet(parquet_path)

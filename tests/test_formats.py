@@ -1,0 +1,80 @@
+"""Round-trip tests for the CSV / JSONL / partitioned-parquet paths
+(sources/formats.py): every hop must be lossless against the fixture
+tables, including timestamps, NULLs, and quoted text.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs686_big_data_p1_spark.sources import formats
+from cs686_big_data_p1_spark.tables import SCHEMAS, load_table
+from tests.conftest import SF_SMALL
+
+
+def _rowset(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.mark.parametrize("table", ["orders", "documents"])
+def test_csv_roundtrip(spark, tmp_path, table):
+    src = load_table(spark, SF_SMALL, table)
+    path = str(tmp_path / f"{table}_csv")
+    formats.write_csv(src, path, n_files=2)
+    back = formats.read_csv(spark, path, SCHEMAS[table])
+    assert back.schema == src.schema
+    assert _rowset(back) == _rowset(src)
+
+
+@pytest.mark.parametrize("table", ["orders", "documents"])
+def test_jsonl_roundtrip(spark, tmp_path, table):
+    src = load_table(spark, SF_SMALL, table)
+    path = str(tmp_path / f"{table}_jsonl")
+    formats.write_jsonl(src, path, n_files=2)
+    back = formats.read_jsonl(spark, path, SCHEMAS[table])
+    assert back.schema == src.schema
+    assert _rowset(back) == _rowset(src)
+
+
+def test_csv_null_vs_empty_string(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, 'say "hi", ok')], "id int, s string"
+    )
+    path = str(tmp_path / "nulls_csv")
+    formats.write_csv(df, path, n_files=1)
+    back = formats.read_csv(
+        spark, path, df.schema
+    )
+    got = {r.id: r.s for r in back.collect()}
+    assert got == {1: None, 2: "", 3: 'say "hi", ok'}
+
+
+def test_jsonl_ingest_to_parquet(spark, tmp_path):
+    src = load_table(spark, SF_SMALL, "documents")
+    jsonl = str(tmp_path / "drop_jsonl")
+    pq = str(tmp_path / "typed_parquet")
+    formats.write_jsonl(src, jsonl, n_files=2)
+    typed = formats.jsonl_ingest_to_parquet(
+        spark, jsonl, pq, SCHEMAS["documents"]
+    )
+    assert _rowset(typed) == _rowset(src)
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    src = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    formats.write_parquet_partitioned(src, path, ["lang"])
+    back = spark.read.parquet(path)
+    one = back.where(F.col("lang") == "en")
+    # partition filter must reach the scan: PartitionFilters in the plan
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        one.explain(mode="formatted")
+    text = buf.getvalue()
+    assert "PartitionFilters" in text and "lang" in text
+    want = src.where(F.col("lang") == "en")
+    assert one.count() == want.count()

@@ -62,6 +62,31 @@ def test_stream_sessions_match_batch(spark, registry):
     assert all(end - SESSION_GAP >= horizon for (_, _, _, end, _) in late)
 
 
+def test_stateful_liveness_matches_batch(spark, registry):
+    """applyInPandasWithState per-node state after draining the stream
+    must equal the batch per-node aggregation, and every node must be
+    'alive' at its own horizon (the fixture stream ends with beats from
+    all nodes within the 30 s age on the final batch's horizon) or
+    'dead' consistently with the batch age computation."""
+    from cs686_big_data_p1_spark.views import heartbeats_df
+
+    rows = registry.QUERIES["stream_liveness_state"](spark, SF_SMALL).collect()
+    got = {(r.host, r.port): (r.first_ts, r.last_ts, r.n_beats) for r in rows}
+    want = {
+        (r.host, r.port): (r.first_ts, r.last_ts, r.n_beats)
+        for r in heartbeats_df(spark, SF_SMALL)
+        .groupBy("host", "port")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_beats"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert all(r.status in ("alive", "dead") for r in rows)
+
+
 def test_stream_corruption_alerts_match_batch(spark, registry):
     got = {
         (r.host, r.port, r.filename, r.sequence_no)
