@@ -228,6 +228,142 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_priority", oracle=Q4_ORACLE)
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style correlated EXISTS: orders having a discounted lineitem,
+    counted per priority — the relational form is a left-semi join.
+
+    Scale: the EXISTS never materializes matches — semi join stops at
+    the first hit per key; the discount filter pushes to the lineitem
+    scan so the probe side is pre-shrunk.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0.05)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q17_ORACLE = """
+WITH part_avg AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*) AS avg_price
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_extendedprice,
+       p.avg_price
+FROM lineitem l JOIN part_avg p ON l.l_partkey = p.l_partkey
+WHERE l.l_extendedprice > 1.5 * p.avg_price
+"""
+
+
+@query("price_outliers", oracle=Q17_ORACLE)
+def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-style scalar correlated subquery: lineitems priced > 1.5x
+    their part's average — decorrelated to aggregate + self-join.
+
+    Scale: one pass builds the per-part average (map-side partial agg),
+    then a shuffle join on l_partkey; both sides hash-partition on the
+    same key so AQE can coalesce. The exact-decimal average keeps the
+    1.5x threshold comparison bit-stable against the oracle.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    pa = l.groupBy("l_partkey").agg(
+        (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        )
+    )
+    return (
+        l.join(pa, "l_partkey")
+        .where(F.col("l_extendedprice") > 1.5 * F.col("avg_price"))
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "avg_price",
+        )
+    )
+
+
+SETOPS_ORACLE = """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1996),
+     y97 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1997)
+SELECT o_custkey, 'both' AS cohort FROM (
+  SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT o_custkey, 'only_1996' AS cohort FROM (
+  SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+"""
+
+
+@query("customer_year_setops", oracle=SETOPS_ORACLE)
+def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: INTERSECT + EXCEPT + UNION ALL over yearly
+    customer cohorts (retention/churn shape).
+
+    Scale: both cohorts come from one orders scan each with the year
+    filter pushed down; intersect/except hash-partition on the key —
+    the same single-shuffle shape as a semi/anti join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    y96 = (
+        o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    )
+    y97 = (
+        o.where(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    )
+    both = y96.intersect(y97).select(
+        "o_custkey", F.lit("both").alias("cohort")
+    )
+    only96 = y96.exceptAll(y97).select(
+        "o_custkey", F.lit("only_1996").alias("cohort")
+    )
+    return both.unionAll(only96)
+
+
+DATE_CUBE_ORACLE = """
+SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY CUBE (year(o_orderdate), quarter(o_orderdate))
+"""
+
+
+@query("order_date_cube", oracle=DATE_CUBE_ORACLE)
+def order_date_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + full CUBE over (year, quarter): all four
+    grouping-set combinations in one pass.
+
+    Scale: like rollup, cube is one Expand (4x group rows) + a single
+    hash-agg shuffle — no repeated scans of orders.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        "o_totalprice",
+    )
+    return o.cube("y", "q").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("sum_total"),
+    )
+
+
 ROLLUP_ORACLE = """
 SELECT o_orderpriority, o_orderstatus,
        count(*) AS n_orders,

@@ -68,6 +68,8 @@ PRIORITY_ORDER = [
     "ann_lsh", "dedup_simhash", "dedup_embedding",
     # extras past the driver window (judge self-checks these)
     "knn_ivf", "dedup_ngram",
+    "tpch_q4_priority", "price_outliers", "customer_year_setops",
+    "order_date_cube",
     "token_count", "quality_score", "doc_fingerprint", "lang_id", "hb_rate",
     "media_metadata", "media_features",
     # streaming (rows-only checks by design)
