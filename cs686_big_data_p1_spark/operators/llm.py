@@ -279,7 +279,8 @@ grams AS (
               AS BIGINT) AS g
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, len(text) - {NGRAM_N - 1})) AS i
-        FROM documents WHERE doc_id IN (SELECT doc_id FROM reps))
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM reps)
+          AND len(text) >= {NGRAM_N})
 ),
 dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
 rare AS (SELECT g FROM dfreq
@@ -328,7 +329,13 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    d = d.join(reps, "doc_id", "left_semi")
+    # Guard: Spark's sequence(1, n) is DESCENDING for n < 1 (it would
+    # fabricate grams for sub-NGRAM_N texts), DuckDB's generate_series
+    # is empty — filter short texts so both engines agree they have no
+    # grams.
+    d = d.join(reps, "doc_id", "left_semi").where(
+        F.length("text") >= NGRAM_N
+    )
     idx = F.explode(
         F.sequence(F.lit(1), F.length("text") - (NGRAM_N - 1))
     ).alias("i")
