@@ -121,10 +121,8 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     return (
-        l.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))

@@ -2,12 +2,19 @@
 rules require (SURVEY.md §4.3) and dump the formatted plans.
 
 Checks, per audited query:
-  * scan pruning   — every parquet scan's ReadSchema carries only a
-                     subset of columns (no SELECT * scans) when the
-                     query projects;
+  * scan pruning   — each parquet scan is resolved to its table via the
+                     plan's Location, and its ReadSchema column count is
+                     compared against THAT table's own schema (bracket-
+                     aware, so nested structs count as one column). A
+                     fact-table scan reading every column fails.
   * broadcast      — queries joining a small dimension show
                      BroadcastHashJoin / BroadcastExchange, not a
                      SortMergeJoin on the dim side;
+  * broadcast side — no BroadcastExchange whose subtree contains a scan
+                     of a FACT table (orders/lineitem/events/documents/
+                     embeddings). Queries that intentionally broadcast a
+                     bounded derivative of a fact (e.g. a LIMITed query
+                     side) opt out with fact_broadcast_ok.
   * codegen        — at least one WholeStageCodegen span (the scan+
                      filter+project pipeline is compiled, not
                      interpreted);
@@ -30,23 +37,49 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
+# Tables that scale with the data (never broadcast-safe at 100 TB).
+FACT_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
+
 # query -> properties to assert. broadcast: the query joins a
-# broadcast-worthy side; pruned: a parquet scan must read a strict
-# column subset.
+# broadcast-worthy side; pruned: every resolved fact scan must read a
+# strict column subset; fact_broadcast_ok: the query deliberately
+# broadcasts a bounded derivative of a fact table (limit / tiny agg).
 AUDITS: dict[str, dict] = {
     "tpch_q1_pricing": {"pruned": True, "codegen": True},
     "tpch_q3_shipping": {"pruned": True, "broadcast": True, "codegen": True},
     "tpch_q5_localsupp": {"pruned": True, "broadcast": True, "codegen": True},
     "topk_orders_per_customer": {"pruned": True, "codegen": True},
-    "dead_nodes": {"broadcast": True, "codegen": True},
-    "replicas_on_offline_nodes": {"broadcast": True, "codegen": True},
-    "under_replicated": {"codegen": True},
+    # liveness queries broadcast the per-node max(ts) aggregate of the
+    # heartbeat stream — bounded by cluster size (#nodes), not data size
+    "dead_nodes": {
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "offline list = per-node aggregate, O(#nodes)",
+    },
+    "replicas_on_offline_nodes": {
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "offline list = per-node aggregate, O(#nodes)",
+    },
+    "under_replicated": {
+        "codegen": True,
+        "bounded_broadcast": "online list = per-node aggregate, O(#nodes)",
+    },
     "checksum_join": {"codegen": True},
     "dedup_exact": {"pruned": True, "codegen": True},
     "dedup_near": {"codegen": True},
-    "ann_lsh": {"broadcast": True},
-    "knn_ivf": {"broadcast": True},
-    "doc_embedding_join": {"pruned": True, "codegen": True},
+    # ann queries broadcast the LIMITed query side (bounded by design)
+    "ann_lsh": {
+        "broadcast": True,
+        "bounded_broadcast": "query side is LIMITed to N_QUERIES",
+    },
+    "knn_ivf": {
+        "broadcast": True,
+        "bounded_broadcast": "query side is LIMITed to N_QUERIES",
+    },
+    "dedup_embedding": {"codegen": True},
+    # embeddings is 3 columns, all genuinely needed (id, label, vector)
+    "doc_embedding_join": {"pruned": ["documents"], "codegen": True},
     "hb_tumbling": {"codegen": True},
 }
 
@@ -58,8 +91,107 @@ def formatted_plan(df, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
-def read_schemas(plan: str) -> list[str]:
-    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+def split_top_level(schema: str) -> list[str]:
+    """Split a ReadSchema struct body on top-level commas only."""
+    out, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [c for c in out if c.strip()]
+
+
+class Node:
+    def __init__(self, nid: int, name: str, depth: int):
+        self.id = nid
+        self.name = name
+        self.depth = depth
+        self.children: list["Node"] = []
+
+
+def parse_tree(plan: str) -> list[Node]:
+    """Parse the formatted-plan ASCII tree into Node objects.
+
+    Tree lines look like `   +- * BroadcastHashJoin Inner BuildRight (8)`;
+    each nesting level is a 3-character prefix unit (`+- `, `:- `,
+    `:  `, `   `). Returns all nodes (index 0 = root).
+    """
+    nodes: list[Node] = []
+    stack: list[Node] = []
+    for line in plan.splitlines():
+        m = re.match(r"^((?:[:+\- ]{3})*)(?:\* )?([A-Za-z][^(]*)\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        depth = len(m.group(1)) // 3
+        node = Node(int(m.group(3)), m.group(2).strip(), depth)
+        while stack and stack[-1].depth >= depth:
+            stack.pop()
+        if stack:
+            stack[-1].children.append(node)
+        nodes.append(node)
+        stack.append(node)
+    return nodes
+
+
+def scan_tables(plan: str) -> dict[int, str]:
+    """Map scan node id -> table name, from the detail section.
+
+    Detail blocks look like `(1) Scan parquet ` followed some lines
+    later by `Location: InMemoryFileIndex [file:/.../lineitem.parquet]`.
+    """
+    tables: dict[int, str] = {}
+    current: int | None = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) Scan ", line)
+        if m:
+            current = int(m.group(1))
+            continue
+        if re.match(r"^\(\d+\) ", line):
+            current = None
+            continue
+        if current is not None:
+            loc = re.search(r"Location:.*\[[^\]]*?([A-Za-z_0-9]+)\.parquet", line)
+            if loc:
+                tables[current] = loc.group(1)
+    return tables
+
+
+def scan_read_counts(plan: str) -> dict[int, int]:
+    """Map scan node id -> number of top-level columns it reads."""
+    counts: dict[int, int] = {}
+    current: int | None = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) Scan ", line)
+        if m:
+            current = int(m.group(1))
+            continue
+        if re.match(r"^\(\d+\) ", line):
+            current = None
+            continue
+        if current is not None:
+            rs = re.search(r"ReadSchema: struct<(.*)>\s*$", line)
+            if rs:
+                counts[current] = len(split_top_level(rs.group(1)))
+    return counts
+
+
+def descendant_scan_ids(node: Node) -> list[int]:
+    out = []
+    todo = [node]
+    while todo:
+        n = todo.pop()
+        if n.name.startswith("Scan "):
+            out.append(n.id)
+        todo.extend(n.children)
+    return out
 
 
 def main() -> int:
@@ -70,23 +202,57 @@ def main() -> int:
     registry.load_all()
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # Disable statistics-based auto-broadcast: at sf0.01 every table sits
+    # under the 10 MB threshold, so Catalyst statically broadcasts fact
+    # tables it never would at 100 TB. With the threshold off, any
+    # BroadcastExchange left in the plan comes from an explicit
+    # broadcast() hint — exactly the set that persists at scale, which
+    # is what the fact-broadcast check must audit.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    max_cols = max(len(s.fields) for s in SCHEMAS.values())
     failures: list[str] = []
     print("# Physical plan audit\n")
     print(f"sf_dir: `{SF_DIR}`\n")
     for name, want in AUDITS.items():
         df = registry.QUERIES[name](spark, SF_DIR)
         plan = formatted_plan(df)
+        nodes = parse_tree(plan)
+        tables = scan_tables(plan)
+        reads = scan_read_counts(plan)
         problems = []
-        if want.get("pruned"):
-            schemas = read_schemas(plan)
-            if not schemas:
+        pruned = want.get("pruned")
+        if pruned:
+            if not reads:
                 problems.append("no parquet ReadSchema found")
-            elif all(len(s.split(",")) >= max_cols for s in schemas):
-                problems.append("every scan reads all columns (no pruning)")
+            must_prune = FACT_TABLES if pruned is True else set(pruned)
+            for sid, ncols in reads.items():
+                tbl = tables.get(sid)
+                if tbl in must_prune and tbl in SCHEMAS:
+                    total = len(SCHEMAS[tbl].fields)
+                    if ncols >= total:
+                        problems.append(
+                            f"scan ({sid}) reads all {total} columns of {tbl}"
+                        )
         if want.get("broadcast") and "Broadcast" not in plan:
             problems.append("no broadcast join in plan")
+        waiver = want.get("bounded_broadcast")
+        for n in nodes:
+            if "BroadcastExchange" in n.name:
+                bad = sorted(
+                    tables[sid]
+                    for sid in descendant_scan_ids(n)
+                    if tables.get(sid) in FACT_TABLES
+                )
+                if bad and waiver:
+                    print(
+                        f"note: {name} BroadcastExchange ({n.id}) over "
+                        f"{bad} waived — {waiver}\n"
+                    )
+                elif bad:
+                    problems.append(
+                        f"BroadcastExchange ({n.id}) broadcasts fact "
+                        f"table(s) {bad} — OOM at scale"
+                    )
         if want.get("codegen"):
             # under AQE the un-executed plan exposes no codegen
             # subtrees; compile with AQE off (each AQE stage compiles
