@@ -52,6 +52,16 @@ N_BITS = 6
 ANN_K = 5
 ANN_N_QUERIES = 5  # same query split as knn_bruteforce
 DEDUP_COS_THRESHOLD = 0.35
+# Cap on (t, bucket) occupancy for dedup candidate generation. A fixed
+# N_BITS key gives expected occupancy n / 2^N_BITS, so an uncapped
+# bucket self-join is Theta(n^2 / 2^N_BITS) pairs — quadratic at scale.
+# Buckets above the cap are skipped (accounted by
+# dedup_embedding_skipped_buckets); identical-vector pileups are exact
+# duplicates and belong to the cheaper exact/minhash passes anyway.
+# Deploy note: N_BITS must grow ~log2(n / target_occupancy) with corpus
+# size (n=1e9 @ occupancy 50 -> ~24 bits), keeping the cap a skew guard
+# rather than a recall limiter.
+MAX_BUCKET_VECS = 50
 
 
 def _plane(t: int, b: int) -> list[float]:
@@ -317,23 +327,11 @@ WHERE rank <= {ANN_K}
 """
 
 
-@query("knn_ivf", oracle=KNN_IVF_ORACLE)
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) approximate top-k cosine search (E3 scale
-    path #2, the FAISS-style alternative to sign-LSH).
-
-    Index build: every candidate vector is assigned to its nearest of
-    IVF_NLIST coarse centroids (one broadcast join + per-vector argmax
-    — at scale this is the partitioning key the corpus would be
-    *stored* by, making a probe a partition-pruned scan). Query: score
-    the IVF_NPROBE nearest cells' inverted lists only, so per-query
-    work is ~ n * nprobe / nlist instead of n.
-
-    All assignment and scoring math is the quantized fixed-point fold
-    (Arrow-vectorized), bit-identical to the DuckDB oracle; ties break
-    on ascending id everywhere so ranks are deterministic.
-    """
-    e = load_table(spark, sf_dir, "embeddings")
+def _ivf_cells(e: DataFrame):
+    """Coarse-quantizer assignment shared by knn_ivf and its tests:
+    returns (vecs, probes, assigned) where probes = the IVF_NPROBE
+    nearest cells per query vector and assigned = each candidate
+    vector's single nearest cell."""
     vecs = e.select(
         "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
     ).cache()
@@ -362,6 +360,27 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ranked.where(
         (F.col("rk") <= IVF_NPROBE) & (F.col("vec_id") < ANN_N_QUERIES)
     ).select(F.col("vec_id").alias("query_id"), "cid")
+    return vecs, probes, assigned
+
+
+@query("knn_ivf", oracle=KNN_IVF_ORACLE)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search (E3 scale
+    path #2, the FAISS-style alternative to sign-LSH).
+
+    Index build: every candidate vector is assigned to its nearest of
+    IVF_NLIST coarse centroids (one broadcast join + per-vector argmax
+    — at scale this is the partitioning key the corpus would be
+    *stored* by, making a probe a partition-pruned scan). Query: score
+    the IVF_NPROBE nearest cells' inverted lists only, so per-query
+    work is ~ n * nprobe / nlist instead of n.
+
+    All assignment and scoring math is the quantized fixed-point fold
+    (Arrow-vectorized), bit-identical to the DuckDB oracle; ties break
+    on ascending id everywhere so ranks are deterministic.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs, probes, assigned = _ivf_cells(e)
     cand = F.broadcast(probes).join(assigned, "cid").select(
         "query_id", "neighbor_id"
     )
@@ -399,9 +418,16 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EMBEDDING_ORACLE = f"""
 WITH {_BUCKETS_CTE},
+capped AS (
+  SELECT vec_id, t, bucket
+  FROM (SELECT vec_id, t, bucket,
+               count(*) OVER (PARTITION BY t, bucket) AS bsz
+        FROM buckets)
+  WHERE bsz <= {MAX_BUCKET_VECS}
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+  FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
   WHERE a.vec_id < b.vec_id
 ),
 dots AS (
@@ -431,11 +457,27 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing at the dedup operating point while never forming the
     quadratic all-pairs set. Self-join is on (t, bucket) int keys only;
     embeddings are attached per side after pair dedup.
+
+    Scale guard: buckets holding more than MAX_BUCKET_VECS vectors are
+    skipped before the self-join (the window count shares the join's
+    own (t, bucket) shuffle, so the cap is free). Without it a skewed
+    or undersized-N_BITS bucket makes the pair set Theta(n^2/2^N_BITS).
+    Skipped buckets are observable via dedup_embedding_skipped_buckets.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    return dedup_embedding_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def dedup_embedding_pairs(e: DataFrame) -> DataFrame:
+    """Core of dedup_embedding over any (vec_id, embedding) frame (the
+    query wrapper binds it to the fixture table; tests feed synthetic
+    degenerate corpora)."""
+    wb = Window.partitionBy("t", "bucket")
     bk = (
         _bucketed(e.select("vec_id", "embedding"))
         .select("vec_id", "t", "bucket")
+        .withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .where(F.col("bsz") <= MAX_BUCKET_VECS)
+        .drop("bsz")
         .cache()  # self-joined below; without the cache both sides recompute
     )
     a = bk.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
@@ -469,4 +511,24 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= DEDUP_COS_THRESHOLD)
+    )
+
+
+def dedup_embedding_skipped_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Accounting for dedup_embedding's scale guard: the (t, bucket)
+    groups whose occupancy exceeded MAX_BUCKET_VECS and were therefore
+    excluded from candidate generation. Empty on healthy N_BITS sizing;
+    non-empty output is the operational signal to raise N_BITS."""
+    return skipped_buckets(load_table(spark, sf_dir, "embeddings"))
+
+
+def skipped_buckets(e: DataFrame) -> DataFrame:
+    return (
+        _bucketed(e.select("vec_id", "embedding"))
+        .groupBy("t", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .where(F.col("n_vecs") > MAX_BUCKET_VECS)
+        .orderBy("t", "bucket")
     )

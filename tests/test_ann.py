@@ -42,23 +42,38 @@ def test_ivf_recall_vs_bruteforce(spark, registry):
 
 def test_ivf_probes_bound_work(spark):
     """Every reported neighbor must come from a probed cell — i.e. the
-    candidate set really is restricted to nprobe inverted lists."""
+    candidate set really is restricted to nprobe inverted lists.
+    Probed cells and per-vector assignments are recomputed through the
+    operator's own _ivf_cells helper, so the assertion checks the
+    actual cell membership, not just rank shape."""
     from cs686_big_data_p1_spark.operators.ann import (
         ANN_N_QUERIES,
         IVF_NPROBE,
+        _ivf_cells,
     )
     from cs686_big_data_p1_spark import registry as reg
 
     reg.load_all()
-    df = reg.QUERIES["knn_ivf"](spark, SF_SMALL)
-    rows = df.collect()
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    _, probes, assigned = _ivf_cells(e)
+    probed = {}
+    for r in probes.collect():
+        probed.setdefault(r.query_id, set()).add(r.cid)
+    cell_of = {r.neighbor_id: r.cid for r in assigned.collect()}
+    assert all(len(cids) <= IVF_NPROBE for cids in probed.values())
+
+    rows = reg.QUERIES["knn_ivf"](spark, SF_SMALL).collect()
+    assert rows
     assert all(r.query_id < ANN_N_QUERIES for r in rows)
     per_q = {}
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r.rank)
+        assert cell_of[r.neighbor_id] in probed[r.query_id], (
+            f"neighbor {r.neighbor_id} (cell {cell_of[r.neighbor_id]}) "
+            f"not in query {r.query_id}'s probed cells {probed[r.query_id]}"
+        )
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
-    assert IVF_NPROBE <= 16
 
 
 def test_lsh_collides_near_duplicates(spark):
@@ -76,6 +91,35 @@ def test_lsh_collides_near_duplicates(spark):
         tables.setdefault(r.vec_id, set()).add((r.t, r.bucket))
     # a near-identical pair must collide in (essentially) every table
     assert len(tables[0] & tables[1]) >= 1
+
+
+def test_dedup_embedding_caps_degenerate_bucket(spark):
+    """Scale guard: a pathological corpus where every vector is
+    identical piles all n rows into one bucket per table. Uncapped,
+    candidate generation would emit ~n^2/2 pairs; with MAX_BUCKET_VECS
+    the bucket is skipped entirely (0 pairs) and the skip is visible in
+    the accounting output."""
+    from cs686_big_data_p1_spark.operators.ann import (
+        EMB_DIM,
+        MAX_BUCKET_VECS,
+        N_TABLES,
+        dedup_embedding_pairs,
+        skipped_buckets,
+    )
+
+    n = MAX_BUCKET_VECS * 4
+    vec = [0.1 * ((i % 7) - 3) for i in range(EMB_DIM)]
+    rows = [(i, vec) for i in range(n)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert dedup_embedding_pairs(e).count() == 0
+    skipped = skipped_buckets(e).collect()
+    assert len(skipped) == N_TABLES  # one overfull bucket per table
+    assert all(r.n_vecs == n for r in skipped)
+
+    # below the cap the same corpus dedups normally: all-pairs emitted
+    small = spark.createDataFrame(rows[:5], "vec_id long, embedding array<float>")
+    assert dedup_embedding_pairs(small).count() == 10  # C(5,2)
+    assert skipped_buckets(small).count() == 0
 
 
 def test_dedup_embedding_contract(spark, registry):
