@@ -15,6 +15,15 @@ per-key model state) takes in this engine:
   output         = one row per node per batch with the updated state +
                    a liveness verdict against MAX_HEARTBEAT_AGE
 
+The death verdict is an event-time timeout: each update arms a timer at
+last_ts + MAX_HEARTBEAT_AGE, and when the stream's global watermark
+(delay 0 s, i.e. the max event time seen across ALL nodes) passes that
+timer without a newer beat, the key's transition fires with
+state.hasTimedOut and emits the 'dead' row. This is the exact streaming
+recast of HeartbeatMonitor's "now - last > max-heartbeat-age" scan —
+"now" is the stream horizon, not the node's own clock (a node's own
+batch max can never age itself out).
+
 Scale: state is one tuple per node (bounded by cluster size, like the
 reference's HashMap); each micro-batch shuffles only (host, port)-keyed
 beats to their state partition; transition logic is Arrow-batched
@@ -29,6 +38,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     IntegerType,
@@ -38,11 +48,33 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+from pyspark.sql.window import Window
 
 from ..registry import query
+from ..views import oracle
 from .liveness import _run_to_memory, heartbeat_stream
 
 MAX_HEARTBEAT_AGE = datetime.timedelta(milliseconds=30000)  # dfs.properties:3
+MAX_HEARTBEAT_AGE_MS = 30000
+
+# The drained stream's final state is a plain aggregation of the whole
+# heartbeat history + the age verdict vs the global horizon, so the
+# stateful operator gets a full DuckDB oracle, not just a rows-only
+# check. 'dead' iff the watermark (global max ts) strictly passed
+# last_ts + 30 s.
+LIVENESS_STATE_ORACLE = oracle(
+    """
+SELECT host, port,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       count(*) AS n_beats,
+       CASE WHEN max(ts) < (SELECT max(ts) FROM heartbeats)
+                           - INTERVAL 30 SECOND
+            THEN 'dead' ELSE 'alive' END AS status
+FROM heartbeats
+GROUP BY host, port
+"""
+)
 
 STATE_SCHEMA = StructType(
     [
@@ -71,37 +103,8 @@ def _epoch_us(ts: Any) -> int:
     return t.value // 1000
 
 
-def _track_node(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Transition function: fold this batch's heartbeats for one node
-    into (last_ts, n_beats, first_ts) state; emit the updated row."""
-    host, port = key
-    if state.exists:
-        last_us, n, first_us = state.get
-    else:
-        last_us, n, first_us = None, 0, None
-    batch_max_us = None
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        ts_us = pdf["ts"].map(_epoch_us)
-        n += len(pdf)
-        lo, hi = int(ts_us.min()), int(ts_us.max())
-        first_us = lo if first_us is None else min(first_us, lo)
-        last_us = hi if last_us is None else max(last_us, hi)
-        batch_max_us = hi if batch_max_us is None else max(batch_max_us, hi)
-    if last_us is None:
-        return
-    state.update((last_us, n, first_us))
-    # Liveness verdict relative to the batch horizon — the streaming
-    # analog of HeartbeatMonitor's "now - last > max-heartbeat-age".
-    horizon_us = batch_max_us if batch_max_us is not None else last_us
-    age = datetime.timedelta(microseconds=horizon_us - last_us)
-    status = "dead" if age > MAX_HEARTBEAT_AGE else "alive"
-    yield pd.DataFrame(
+def _state_row(host, port, first_us, last_us, n, status) -> pd.DataFrame:
+    return pd.DataFrame(
         {
             "host": [host],
             "port": [int(port)],
@@ -113,18 +116,76 @@ def _track_node(
     )
 
 
-@query("stream_liveness_state")
+def _track_node(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Transition function: fold this batch's heartbeats for one node
+    into (last_ts, n_beats, first_ts) state and re-arm the death timer;
+    on event-time timeout (watermark passed last_ts + age with no new
+    beat) emit the 'dead' verdict and drop the state — the analog of
+    HeartbeatMonitor removing the node from the online set."""
+    host, port = key
+    if state.hasTimedOut:
+        last_us, n, first_us = state.get
+        state.remove()
+        yield _state_row(host, port, first_us, last_us, n, "dead")
+        return
+    if state.exists:
+        last_us, n, first_us = state.get
+    else:
+        last_us, n, first_us = None, 0, None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        ts_us = pdf["ts"].map(_epoch_us)
+        n += len(pdf)
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    if last_us is None:
+        return
+    state.update((last_us, n, first_us))
+    # Arm the timer one age past the newest beat; clamp above the
+    # current watermark (Spark rejects timers at/behind it — the timeout
+    # then fires on the very next batch, which is the same verdict).
+    deadline_ms = last_us // 1000 + MAX_HEARTBEAT_AGE_MS
+    state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+    yield _state_row(host, port, first_us, last_us, n, "alive")
+
+
+@query("stream_liveness_state", oracle=LIVENESS_STATE_ORACLE)
 def stream_liveness_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 as a custom state machine: per-node heartbeat state folded
-    across micro-batches with applyInPandasWithState. Rows-only check
-    (stateful streaming is not SQL-expressible); tests assert the final
-    state equals the batch aggregation."""
-    hb = heartbeat_stream(spark, sf_dir).select("host", "port", "ts")
+    across micro-batches with applyInPandasWithState; 'dead' emitted via
+    event-time timeout against the global watermark. The drained final
+    state is a plain aggregation, so it carries a full DuckDB oracle;
+    tests additionally assert batch parity and that silent nodes die."""
+    hb = (
+        heartbeat_stream(spark, sf_dir)
+        .select("host", "port", "ts")
+        # delay 0 s: the watermark IS the max event time across all
+        # nodes — the stream horizon the death timers compare against
+        .withWatermark("ts", "0 seconds")
+    )
     tracked = hb.groupBy("host", "port").applyInPandasWithState(
         _track_node,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    return _run_to_memory(tracked, "update")
+    out = _run_to_memory(tracked, "update")
+    # The update-mode memory sink appends every micro-batch's rows;
+    # reduce to the final verdict per node. A timeout ('dead') row ties
+    # with its preceding 'alive' row on (last_ts, n_beats), so 'dead'
+    # wins the tie-break ('dead' > 'alive' lexicographically).
+    w = Window.partitionBy("host", "port").orderBy(
+        F.desc("last_ts"), F.desc("n_beats"), F.desc("status")
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )

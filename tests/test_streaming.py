@@ -64,17 +64,19 @@ def test_stream_sessions_match_batch(spark, registry):
 
 def test_stateful_liveness_matches_batch(spark, registry):
     """applyInPandasWithState per-node state after draining the stream
-    must equal the batch per-node aggregation, and every node must be
-    'alive' at its own horizon (the fixture stream ends with beats from
-    all nodes within the 30 s age on the final batch's horizon) or
-    'dead' consistently with the batch age computation."""
+    must equal the batch per-node aggregation, and each node's verdict
+    must equal the batch age computation: dead iff its last beat is
+    more than 30 s behind the global stream horizon (max ts across all
+    nodes) — the HeartbeatMonitor rule."""
+    import datetime
+
     from cs686_big_data_p1_spark.views import heartbeats_df
 
     rows = registry.QUERIES["stream_liveness_state"](spark, SF_SMALL).collect()
+    assert len(rows) == len({(r.host, r.port) for r in rows})  # deduped
     got = {(r.host, r.port): (r.first_ts, r.last_ts, r.n_beats) for r in rows}
-    want = {
-        (r.host, r.port): (r.first_ts, r.last_ts, r.n_beats)
-        for r in heartbeats_df(spark, SF_SMALL)
+    batch = (
+        heartbeats_df(spark, SF_SMALL)
         .groupBy("host", "port")
         .agg(
             F.min("ts").alias("first_ts"),
@@ -82,9 +84,53 @@ def test_stateful_liveness_matches_batch(spark, registry):
             F.count(F.lit(1)).alias("n_beats"),
         )
         .collect()
-    }
+    )
+    want = {(r.host, r.port): (r.first_ts, r.last_ts, r.n_beats) for r in batch}
     assert got == want
-    assert all(r.status in ("alive", "dead") for r in rows)
+    horizon = max(r.last_ts for r in batch)
+    age = datetime.timedelta(milliseconds=30000)
+    want_status = {
+        (r.host, r.port): "dead" if horizon - r.last_ts > age else "alive"
+        for r in batch
+    }
+    assert {(r.host, r.port): r.status for r in rows} == want_status
+
+
+def test_stateful_liveness_kills_silent_node(spark, tmp_path):
+    """A node whose last beat is far behind the stream horizon must be
+    reported 'dead' via the event-time timeout (the regression the
+    per-key-horizon bug masked: a silent node simply stopped appearing
+    instead of dying)."""
+    from cs686_big_data_p1_spark.streaming.stateful import (
+        stream_liveness_state,
+    )
+    from cs686_big_data_p1_spark.views import N_NODES
+
+    # user_id maps to node via user_id % N_NODES (heartbeat_stream):
+    # node A (user 0) beats once early; node B (user 1) beats for 10
+    # minutes after — A is ~600 s behind the final horizon.
+    base_us = 1_700_000_000_000_000
+    rows = [(0, base_us * 1000, 0, "hb", 0.0, "{}")]
+    rows += [
+        (i + 1, (base_us + i * 5_000_000) * 1000, 1, "hb", 0.0, "{}")
+        for i in range(1, 121)
+    ]
+    import pandas as pd
+
+    # single FILE named events.parquet (the stream's pathGlobFilter
+    # matches file names; a Spark-written directory would be invisible)
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    out = {
+        (r.host, r.port): r.status
+        for r in stream_liveness_state(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 2
+    statuses = sorted(out.values())
+    assert statuses == ["alive", "dead"], out
+    assert N_NODES >= 2
 
 
 def test_stream_corruption_alerts_match_batch(spark, registry):
