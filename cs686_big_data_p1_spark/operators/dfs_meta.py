@@ -395,13 +395,18 @@ HAVING count(o.host) < {MIN_REPLICAS}
 """
     ),
 )
-def under_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+def under_replicated(
+    spark: SparkSession, sf_dir: str, online: DataFrame | None = None
+) -> DataFrame:
     """Under-replication filter (controller/FileTable.java:41-52,
     min-replicas=3 dfs.properties:10), counting only online replicas —
-    the controller removes offline nodes' replicas before this check."""
+    the controller removes offline nodes' replicas before this check.
+    `online` overrides the liveness source (the streaming control loop
+    passes its own per-batch snapshot)."""
     c = chunks_df(spark, sf_dir)
     r = replicas_df(spark, sf_dir)
-    online = online_nodes_df(spark, sf_dir)
+    if online is None:
+        online = online_nodes_df(spark, sf_dir)
     live = r.join(F.broadcast(online), ["host", "port"], "left_semi")
     counts = live.groupBy("filename", "sequence_no").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -492,7 +497,9 @@ WHERE rk <= n_missing
 
 
 @query("placement_pick", oracle=PLACEMENT_PICK_ORACLE)
-def placement_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+def placement_pick(
+    spark: SparkSession, sf_dir: str, online: DataFrame | None = None
+) -> DataFrame:
     """Seeded random-N target selection (Utils.java:15-22
     chooseNrandomOrMin, used ChunkReplicationRunnable.java:60).
 
@@ -500,10 +507,11 @@ def placement_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed hash (md5 of a seed|key string — identical ordering in the
     oracle) and keep the first n_missing per chunk. Determinism is the
     100 TB rule: re-running placement must not flap."""
-    under = under_replicated(spark, sf_dir).select(
+    under = under_replicated(spark, sf_dir, online).select(
         "filename", "sequence_no", "n_missing"
     )
-    online = online_nodes_df(spark, sf_dir)
+    if online is None:
+        online = online_nodes_df(spark, sf_dir)
     r = replicas_df(spark, sf_dir)
     cand = (
         under.crossJoin(F.broadcast(online))
@@ -569,12 +577,15 @@ WHERE rk = 1
 """
     ),
 )
-def failover_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+def failover_choice(
+    spark: SparkSession, sf_dir: str, online: DataFrame | None = None
+) -> DataFrame:
     """Download failover (Client.java:431-454): try replicas in
     preference order, take the first healthy one — rank-1 window over
     online replicas per chunk."""
     r = replicas_df(spark, sf_dir)
-    online = online_nodes_df(spark, sf_dir)
+    if online is None:
+        online = online_nodes_df(spark, sf_dir)
     alive = r.join(F.broadcast(online), ["host", "port"], "left_semi")
     w = Window.partitionBy("filename", "sequence_no").orderBy("host", "port")
     return (
@@ -748,14 +759,16 @@ JOIN src s ON s.filename = p.filename AND s.sequence_no = p.sequence_no
 
 
 @query("replication_orders", oracle=REPLICATION_ORDERS_ORACLE)
-def replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def replication_orders(
+    spark: SparkSession, sf_dir: str, online: DataFrame | None = None
+) -> DataFrame:
     """Re-replication control loop, batch analog (controller/
     ChunkReplicationRunnable.java:33-74): under-replicated chunks ×
     seeded placement picks, joined with a deterministic source replica
     (the first healthy holder). OrderSendChunk rows: who sends what to
     whom."""
-    picks = placement_pick(spark, sf_dir)
-    src = failover_choice(spark, sf_dir).select(
+    picks = placement_pick(spark, sf_dir, online)
+    src = failover_choice(spark, sf_dir, online).select(
         "filename",
         "sequence_no",
         F.col("host").alias("from_host"),

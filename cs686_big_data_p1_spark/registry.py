@@ -74,7 +74,7 @@ PRIORITY_ORDER = [
     "media_metadata", "media_features",
     # streaming (rows-only checks by design)
     "stream_node_last_seen", "stream_hb_session", "stream_corruption_alerts",
-    "stream_liveness_state",
+    "stream_liveness_state", "stream_replication_orders",
 ]
 
 
@@ -88,6 +88,7 @@ def load_all() -> None:
     from .operators import multimodal  # noqa: F401
     from .operators import windows  # noqa: F401
     from .streaming import liveness  # noqa: F401
+    from .streaming import replication  # noqa: F401
     from .streaming import stateful  # noqa: F401
 
     ordered = [n for n in PRIORITY_ORDER if n in QUERIES]

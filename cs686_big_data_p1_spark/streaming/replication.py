@@ -1,0 +1,72 @@
+"""T4 end-to-end: the re-replication control loop as a standing
+streaming pipeline.
+
+The reference runs this as a 10-second polling thread
+(controller/ChunkReplicationRunnable.java:33-74): read the current
+liveness map, find under-replicated chunks, pick targets and a source,
+enqueue OrderSendChunk messages (controller/MessageSender.java:24-49
+drains them to the nodes). Here the poll becomes a micro-batch trigger:
+
+  heartbeat stream --(complete-mode max(ts) per node)--> foreachBatch:
+      liveness snapshot -> online set (40-min age, same rule as the
+      batch views) -> under_replicated ⋈ placement_pick ⋈
+      failover_choice -> orders
+
+Each micro-batch recomputes the full order book from the latest
+liveness snapshot — exactly the reference's semantics, where every poll
+re-derives orders from the current FileTable + heartbeat map (stale
+orders are simply superseded; the FIFO queue machinery collapses into
+the sink's latest-batch-wins semantics).
+
+Scale: the per-node liveness state is O(#nodes); the per-batch order
+computation is the same shuffle-safe batch plan as replication_orders
+(broadcast node list, windowed seeded pick); nothing driver-side except
+the trigger itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dfs_meta import replication_orders
+from ..registry import query
+from ..views import MAX_HEARTBEAT_AGE_SQL
+from .liveness import heartbeat_stream
+
+
+@query("stream_replication_orders")
+def stream_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 as a standing streaming query (rows-only: the stateful
+    stream→join→window composition is not single-statement
+    SQL-expressible; the batch analog replication_orders carries the
+    oracle, and the parity pytest pins stream ≡ batch)."""
+    hb = heartbeat_stream(spark, sf_dir).select("host", "port", "ts")
+    last_seen = hb.groupBy("host", "port").agg(F.max("ts").alias("last_ts"))
+
+    result: dict[str, DataFrame] = {}
+
+    def emit_orders(snapshot: DataFrame, batch_id: int) -> None:
+        # complete-mode snapshot = the controller's full heartbeat map.
+        # Online = within the age window of the snapshot horizon (the
+        # same rule views.online_nodes_df applies to the batch table).
+        cutoff = snapshot.agg(
+            (F.max("last_ts") - F.expr(MAX_HEARTBEAT_AGE_SQL)).alias("cutoff")
+        )
+        online = (
+            snapshot.crossJoin(F.broadcast(cutoff))
+            .where(F.col("last_ts") >= F.col("cutoff"))
+            .select("host", "port")
+        )
+        orders = replication_orders(snapshot.sparkSession, sf_dir, online)
+        # materialize now: the snapshot frame dies with the micro-batch
+        result["orders"] = orders.localCheckpoint(eager=True)
+
+    q = (
+        last_seen.writeStream.outputMode("complete")
+        .foreachBatch(emit_orders)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result["orders"]

@@ -133,6 +133,28 @@ def test_stateful_liveness_kills_silent_node(spark, tmp_path):
     assert N_NODES >= 2
 
 
+def test_stream_replication_orders_match_batch(spark, registry):
+    """T4 end-to-end: after draining the heartbeat stream, the standing
+    re-replication loop's final order book must equal the batch analog
+    (same liveness horizon, same seeded picks, same failover source).
+    sf0.01: at sf0.001 every chunk is fully replicated and the order
+    book is empty, which would make parity vacuous."""
+    from tests.conftest import SF_MED
+
+    got = {
+        tuple(r)
+        for r in registry.QUERIES["stream_replication_orders"](
+            spark, SF_MED
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in registry.QUERIES["replication_orders"](spark, SF_MED).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stream_corruption_alerts_match_batch(spark, registry):
     got = {
         (r.host, r.port, r.filename, r.sequence_no)
