@@ -64,6 +64,53 @@ def chunk_bytes(
     )
 
 
+def ingest_binary_files(
+    spark: SparkSession,
+    dir_path: str,
+    chunk_size: int = CHUNK_SIZE,
+    pattern: str = "*",
+) -> DataFrame:
+    """S1 distributed ingest: many local/remote files -> chunk rows via
+    `spark.read.format("binaryFile")` (SURVEY.md §2.A S1's scale path;
+    chunk_bytes covers the reference's single-process client split,
+    structures/Chunk.java:36-76).
+
+    All chunking is JVM-side built-ins — explode over the chunk-count
+    sequence, binary substring for the slice, md5 for the checksum — so
+    ingest scales with the file listing (one task per file; Spark caps
+    binaryFile payloads at 2 GB/file, the same regime the reference's
+    int sequence numbers assume). Empty files are dropped, mirroring
+    the non-empty guard (Chunk.java:144-150)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(dir_path)
+    )
+    n_chunks = F.ceil(F.col("length") / F.lit(float(chunk_size))).cast("int")
+    exploded = (
+        raw.where(F.col("length") > 0)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("filename"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("sequence_no"),
+            "content",
+        )
+    )
+    data = F.expr(
+        f"substring(content, sequence_no * {chunk_size}L + 1, {chunk_size})"
+    )
+    return exploded.select(
+        "filename",
+        "sequence_no",
+        data.alias("data"),
+    ).select(
+        "filename",
+        "sequence_no",
+        F.length("data").cast("bigint").alias("size"),
+        F.md5("data").alias("checksum"),
+        "data",
+    )
+
+
 def write_chunks(df: DataFrame, path: str) -> None:
     """S3 sink: chunk rows -> parquet partitioned by filename
     (storageNode/MessageProcessor.java:193-211; the `.md5` sidecar

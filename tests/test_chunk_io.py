@@ -69,3 +69,42 @@ def test_reassemble_rejects_gaps_and_corruption(spark, tmp_path):
     write_chunks(corrupted, store2)
     with pytest.raises(ValueError, match="checksum"):
         reassemble(spark, store2, "g.dat")
+
+
+def test_binaryfile_ingest_matches_client_split(spark, tmp_path):
+    """S1 distributed path: binaryFile ingest must produce byte-for-byte
+    the same chunk rows as the single-process client split, and the
+    store round-trips through write_chunks/reassemble
+    (structures/Chunk.java:36-76 semantics at the many-files scale)."""
+    from cs686_big_data_p1_spark.sources.chunk_io import ingest_binary_files
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    payloads = {
+        "a.dat": _payload(2500, 11),  # short tail
+        "b.dat": _payload(CHUNK, 12),  # exactly one chunk
+        "c.dat": _payload(3 * CHUNK, 13),  # exact multiple
+    }
+    for name, data in payloads.items():
+        (src / name).write_bytes(data)
+    (src / "empty.dat").write_bytes(b"")  # must be dropped
+
+    ingested = ingest_binary_files(spark, str(src), CHUNK)
+    got = {
+        (r.filename, r.sequence_no): (r.size, r.checksum, bytes(r.data))
+        for r in ingested.collect()
+    }
+    want = {}
+    for name, data in payloads.items():
+        for r in chunk_bytes(spark, data, name, CHUNK).collect():
+            want[(r.filename, r.sequence_no)] = (
+                r.size,
+                r.checksum,
+                bytes(r.data),
+            )
+    assert got == want
+
+    store = str(tmp_path / "store")
+    write_chunks(ingested, store)
+    for name, data in payloads.items():
+        assert reassemble(spark, store, name) == data
