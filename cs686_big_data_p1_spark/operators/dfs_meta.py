@@ -130,6 +130,35 @@ def file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def manifest_rollup(per_chunk: DataFrame, n_salt: int = 0) -> DataFrame:
+    """A4 stage 2: per-FILE manifest — every chunk's (sequence_no,
+    nodes) as one sorted array per file (controller/
+    MessageProcessor.java:167-211 builds exactly this response shape).
+
+    The filename key is the skew risk at 100 TB (SURVEY §4.3): one
+    pathological file holding millions of chunks funnels the whole
+    rollup through a single reducer. With n_salt > 0 the aggregation is
+    two-phase: partial collect on (filename, sequence_no % n_salt) —
+    spreading a hot file over n_salt reducers — then a final
+    flatten+sort per file whose input is n_salt pre-combined rows, not
+    millions. Deterministic salt (from the data, not rand()) keeps the
+    operator re-runnable. Output is identical to the unsalted path
+    (pytest-pinned on a single-file pathology)."""
+    entry = F.struct("sequence_no", "nodes")
+    if n_salt <= 0:
+        return per_chunk.groupBy("filename").agg(
+            F.sort_array(F.collect_list(entry)).alias("chunks")
+        )
+    phase1 = (
+        per_chunk.withColumn("salt", F.pmod(F.col("sequence_no"), F.lit(n_salt)))
+        .groupBy("filename", "salt")
+        .agg(F.collect_list(entry).alias("part"))
+    )
+    return phase1.groupBy("filename").agg(
+        F.sort_array(F.flatten(F.collect_list("part"))).alias("chunks")
+    )
+
+
 @query(
     "list_filenames",
     oracle=oracle("SELECT DISTINCT filename FROM chunks ORDER BY filename"),

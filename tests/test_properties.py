@@ -109,3 +109,29 @@ def test_cascade_no_zero_replica_survivors(spark, registry):
     no_survivor = chunks.join(with_survivor, chunk_key, "left_anti")
     assert _multiset_equal(no_survivor, lost.select(*chunk_key))
     assert lost.join(with_survivor, chunk_key, "left_semi").isEmpty()
+
+
+def test_salted_manifest_rollup_matches_unsalted(spark):
+    """SURVEY §4.3 skew hardening: on a pathological dataset where ONE
+    file holds every chunk, the salted two-phase rollup must produce
+    exactly the unsalted result (same per-file sorted chunk array)."""
+    from cs686_big_data_p1_spark.operators.dfs_meta import manifest_rollup
+
+    n = 5000
+    rows = [("bigfile.dat", i, f"bass{14 + i % 10}:9014") for i in range(n)]
+    rows += [("tiny.dat", 0, "bass15:9015")]
+    per_chunk = spark.createDataFrame(
+        rows, "filename string, sequence_no int, nodes string"
+    ).repartition(32)
+
+    unsalted = {
+        r.filename: [tuple(c) for c in r.chunks]
+        for r in manifest_rollup(per_chunk, n_salt=0).collect()
+    }
+    salted = {
+        r.filename: [tuple(c) for c in r.chunks]
+        for r in manifest_rollup(per_chunk, n_salt=16).collect()
+    }
+    assert salted == unsalted
+    assert len(salted["bigfile.dat"]) == n
+    assert salted["bigfile.dat"] == sorted(salted["bigfile.dat"])
