@@ -54,12 +54,15 @@ MAX_HEARTBEAT_AGE_SQL = "INTERVAL 40 MINUTE"
 # Memo of cached derived views per (session, sf_dir). The DFS views
 # are metadata-scale (bounded ~1e5 rows at any SF), so pinning them in
 # memory is the right call even on a production cluster — this is the
-# controller's in-memory FileTable, relationally.
-_VIEW_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# controller's in-memory FileTable, relationally. Keyed by the Spark
+# applicationId, not id(spark): a stopped session's address can be
+# reused by a new one, which would hand back DataFrames bound to a dead
+# SparkContext.
+_VIEW_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cached(name: str, build, spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _VIEW_CACHE.get(key)
     if df is None:
         df = build().cache()
