@@ -11,12 +11,15 @@ The Spark-native shape for that is exactly what this module implements:
   * frame sampling is a batch-shape-changing generator (one input row
     -> n output rows) — the mapInPandas iterator contract, not explode.
 
-The container has no image/audio codecs, so the actual decode is a
-STUB: `decode_image`/`decode_audio` raise NotImplementedError where
-PIL/torchaudio would plug in, and the pipeline runs on
-`fake_decode` — a deterministic byte-level interpretation — so the
-Spark-side plumbing (schemas, Arrow batching, generator fan-out,
-partitioning) is real and fully tested (tests/test_multimodal.py).
+The codec layer is REAL for the two uncompressed formats a pure-numpy
+parser can handle — 24-bpp BMP (decode_image) and 16-bit PCM WAV
+(decode_audio) — so `media_features` runs a genuine decode for image
+and audio rows (over media_encoded_df's real BMP/WAV payloads).
+Compressed formats (JPEG/PNG/FLAC/MP4) would wire PIL/soundfile/av
+into the same contract; absent those libraries, video rows use
+`fake_decode` (deterministic byte-level interpretation). Schemas,
+Arrow batching, generator fan-out, and partitioning are identical
+across both paths and fully tested (tests/test_multimodal.py).
 
 The media table itself is derived deterministically from the documents
 fixture (md5-block payloads), so `media_metadata` is DuckDB-checkable:
@@ -28,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -119,31 +123,172 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- decode layer -----------------------------------------------------------
+# --- codec layer ------------------------------------------------------------
+# Real, dependency-free codecs for the two uncompressed container
+# formats parseable with numpy alone: 24-bpp BI_RGB Windows BMP and
+# 16-bit PCM mono RIFF/WAVE. Compressed formats (JPEG/PNG/FLAC/MP4)
+# would wire PIL/soundfile/av into the same (payload) -> array
+# contract; those libraries are not in this container.
 
 
-def decode_image(payload: bytes, width: int, height: int) -> "np.ndarray":
-    """Real image decode goes here (PIL.Image.open -> np.asarray).
-    Codec libraries are not available in this container."""
-    raise NotImplementedError(
-        "image codecs not installed; production wires PIL/pillow-simd here "
-        "and keeps the same (payload, width, height) -> HxWxC array contract"
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bpp bottom-up BI_RGB BMP bytes (rows
+    padded to 4-byte boundaries, channels stored BGR)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    bgr = pixels[:, :, ::-1]  # BMP stores BGR
+    pad = b"\x00" * (stride - w * 3)
+    for row in bgr[::-1]:  # bottom-up
+        body += row.tobytes() + pad
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0
+    )
+    return header + info + bytes(body)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """BMP decode: 24-bpp uncompressed bottom-up BI_RGB -> (H, W, 3)
+    uint8 RGB array. Pure numpy — no codec libraries."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM bytes."""
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
     )
 
 
-def decode_audio(payload: bytes, sample_rate: int) -> "np.ndarray":
-    """Real audio decode goes here (soundfile/torchaudio)."""
-    raise NotImplementedError(
-        "audio codecs not installed; production wires soundfile here and "
-        "keeps the same (payload, sample_rate) -> float waveform contract"
-    )
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV decode: 16-bit PCM mono RIFF/WAVE -> (float64 waveform in
+    [-1, 1), sample_rate). Walks the chunk list properly, so extra
+    chunks (LIST/fact) before 'data' are handled."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, _ch, rate, _br, _ba, bps = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or bps != 16:
+                raise ValueError("unsupported WAV variant")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0, rate
 
 
 def fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for the codec layer: interpret the raw
-    bytes as the decoded signal. Keeps every downstream shape
-    (float array in, features out) identical to the real pipeline."""
+    """Deterministic stand-in for codecs this container lacks
+    (video): interpret the raw bytes as the decoded signal. Keeps every
+    downstream shape (float array in, features out) identical."""
     return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+
+
+def _pseudo_bytes(doc_id: int, n: int) -> bytes:
+    """Deterministic content stream: concatenated md5 blocks of
+    (doc_id, block_no) — the same generator media_df uses JVM-side, so
+    tests can cross-check either construction independently."""
+    out = b"".join(
+        hashlib.md5(f"media|{doc_id}|{j}".encode()).digest()
+        for j in range((n + 15) // 16)
+    )
+    return out[:n]
+
+
+def _media_dims(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, sample_rate, n_samples) for the encoded table.
+    Widths include non-multiples of 4 so BMP row padding is exercised."""
+    return (
+        5 + (doc_id % 6) * 3,
+        4 + (doc_id % 5) * 2,
+        8000 + (doc_id % 3) * 4000,
+        64 + (doc_id % 8) * 32,
+    )
+
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "width int, height int, sample_rate int, n_frames int"
+)
+
+
+def media_encoded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> media rows whose image/audio payloads are REAL
+    encoded containers (24-bpp BMP / PCM16 WAV over deterministic
+    pseudo-random content), so downstream decode is genuine parsing,
+    not reinterpretation. Video payloads stay raw md5-block bytes
+    (no dependency-free video container format exists).
+
+    Encoding runs Arrow-batched in mapInPandas — in production payloads
+    arrive already encoded and this builder is replaced by the ingest
+    scan; every downstream operator is agnostic to which."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "media_type", "payload",
+                "width", "height", "sample_rate", "n_frames",
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, rate, n_samp = _media_dims(doc_id)
+                kind = ("image", "audio", "video")[doc_id % 3]
+                width = height = sample_rate = n_frames = None
+                if kind == "image":
+                    px = np.frombuffer(
+                        _pseudo_bytes(doc_id, w * h * 3), np.uint8
+                    ).reshape(h, w, 3)
+                    payload, width, height = encode_bmp(px), w, h
+                elif kind == "audio":
+                    samples = np.frombuffer(
+                        _pseudo_bytes(doc_id, n_samp * 2), "<i2"
+                    )
+                    payload, sample_rate = encode_wav(samples, rate), rate
+                else:
+                    payload = _pseudo_bytes(
+                        doc_id, 16 * (1 + doc_id % PAYLOAD_BLOCKS_MOD)
+                    )
+                    n_frames = 4 + doc_id % 5
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(kind)
+                rows["payload"].append(payload)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["sample_rate"].append(sample_rate)
+                rows["n_frames"].append(n_frames)
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(enc, MEDIA_SCHEMA)
 
 
 FEATURES_SCHEMA = (
@@ -152,26 +297,43 @@ FEATURES_SCHEMA = (
 )
 
 
+def decoded_signal(media_type: str, payload: bytes) -> tuple[np.ndarray, tuple]:
+    """Route a payload through the right codec; returns (signal, the
+    histogram range matching the signal's value domain)."""
+    if media_type == "image":
+        return decode_image(payload).astype(np.float64).ravel(), (0, 256)
+    if media_type == "audio":
+        return decode_audio(payload)[0], (-1, 1)
+    return fake_decode(payload), (0, 256)
+
+
 def _features_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """Arrow-batched feature extraction: one call per batch, vectorized
-    inside; emits a fixed 4-bucket byte-histogram 'embedding' per item."""
+    """Arrow-batched decode + feature extraction: one call per batch;
+    emits a fixed 4-bucket histogram 'embedding' over the DECODED
+    signal (pixels for BMP, waveform for WAV, raw bytes for video).
+    n_bytes stays the encoded payload size (the storage cost)."""
     for pdf in batches:
-        sigs = [fake_decode(bytes(p)) for p in pdf["payload"]]
-        hists = [
-            (np.histogram(s, bins=4, range=(0, 256))[0] / s.size).astype(
-                np.float32
+        n_bytes, means, rmss, hists = [], [], [], []
+        for mt, p in zip(pdf["media_type"], pdf["payload"]):
+            buf = bytes(p)
+            s, rng = decoded_signal(mt, buf)
+            n_bytes.append(len(buf))
+            means.append(float(s.mean()))
+            rmss.append(float(math.sqrt((s**2).mean())))
+            hists.append(
+                (np.histogram(s, bins=4, range=rng)[0] / s.size).astype(
+                    np.float32
+                )
             )
-            for s in sigs
-        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
-                "n_bytes": [s.size for s in sigs],
-                "mean_val": [float(s.mean()) for s in sigs],
-                "rms": [float(math.sqrt((s**2).mean())) for s in sigs],
+                "n_bytes": n_bytes,
+                "mean_val": means,
+                "rms": rmss,
                 "feature": hists,
             }
         )
@@ -179,16 +341,21 @@ def _features_batches(
 
 @query("media_features")
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary payloads via mapInPandas (the
-    Pandas-UDF slow path, used only where built-ins genuinely cannot:
-    byte-level signal math). Rows-only correctness check by design —
-    the per-element pipeline is pinned instead by
-    tests/test_multimodal.py against an independent Python recompute.
+    """Decode + feature extraction over encoded binary payloads via
+    mapInPandas (the Pandas-UDF slow path, used only where built-ins
+    genuinely cannot: container parsing and signal math). Image rows
+    run the real BMP decoder, audio rows the real WAV decoder; video
+    falls back to fake_decode (no dependency-free container format).
+    Rows-only correctness check by design — the per-element pipeline is
+    pinned by tests/test_multimodal.py against an independent Python
+    recompute of both codecs.
 
     Scale: work is per-row and embarrassingly parallel; Arrow moves
     each partition's payload column to Python once per batch; no
     shuffle anywhere in the plan."""
-    return media_df(spark, sf_dir).mapInPandas(_features_batches, FEATURES_SCHEMA)
+    return media_encoded_df(spark, sf_dir).mapInPandas(
+        _features_batches, FEATURES_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame) -> DataFrame:
