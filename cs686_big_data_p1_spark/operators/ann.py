@@ -43,7 +43,7 @@ from pyspark.sql.window import Window
 
 from ..functions.vector import norm as v_norm
 from ..functions.vector import pair_dot_pd
-from ..registry import query
+from ..registry import query, track_cache
 from ..tables import load_table
 
 EMB_DIM = 64
@@ -201,10 +201,9 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann.py asserts recall vs knn_bruteforce.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    bk = (
-        _bucketed(e.select("vec_id", "embedding"))
-        .select("vec_id", "t", "bucket")
-        .cache()  # probed twice (query + candidate side); (id, t, bucket) ints only
+    # probed twice (query + candidate side); (id, t, bucket) ints only
+    bk = track_cache(
+        _bucketed(e.select("vec_id", "embedding")).select("vec_id", "t", "bucket")
     )
     qb = bk.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "t", "bucket"
@@ -332,9 +331,9 @@ def _ivf_cells(e: DataFrame):
     returns (vecs, probes, assigned) where probes = the IVF_NPROBE
     nearest cells per query vector and assigned = each candidate
     vector's single nearest cell."""
-    vecs = e.select(
-        "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
-    ).cache()
+    vecs = track_cache(
+        e.select("vec_id", "embedding", v_norm(F.col("embedding")).alias("norm"))
+    )
     cents = vecs.where(
         (F.col("vec_id") >= ANN_N_QUERIES)
         & (F.col("vec_id") < ANN_N_QUERIES + IVF_NLIST)
@@ -472,13 +471,13 @@ def dedup_embedding_pairs(e: DataFrame) -> DataFrame:
     query wrapper binds it to the fixture table; tests feed synthetic
     degenerate corpora)."""
     wb = Window.partitionBy("t", "bucket")
-    bk = (
+    # self-joined below; without the cache both sides recompute
+    bk = track_cache(
         _bucketed(e.select("vec_id", "embedding"))
         .select("vec_id", "t", "bucket")
         .withColumn("bsz", F.count(F.lit(1)).over(wb))
         .where(F.col("bsz") <= MAX_BUCKET_VECS)
         .drop("bsz")
-        .cache()  # self-joined below; without the cache both sides recompute
     )
     a = bk.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
     b = bk.select(F.col("vec_id").alias("vec_b"), "t", "bucket")

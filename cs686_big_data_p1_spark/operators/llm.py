@@ -31,7 +31,7 @@ from pyspark.sql.window import Window
 from ..functions.vector import norm as v_norm
 from ..functions.vector import norm_sq_q
 from ..functions.vector import pair_dot_pd
-from ..registry import query
+from ..registry import query, track_cache
 from ..tables import load_table
 
 # --- dedup ----------------------------------------------------------------
@@ -183,7 +183,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Output is over class representatives — pair exact
     duplicates via dedup_exact's classes.
     """
-    sh = _rep_shingles_df(spark, sf_dir).cache()
+    sh = track_cache(_rep_shingles_df(spark, sf_dir))
     # All 8 min-hashes as aggregate columns of ONE groupBy — no 8x row
     # fan-out, and the (mostly map-side) shuffle carries one narrow row
     # per doc instead of 8. Hash strings match the oracle's
@@ -346,8 +346,8 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", idx)
         .select("doc_id", g.alias("g"))
         .distinct()
-        .cache()
     )
+    grams = track_cache(grams)
     rare = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))

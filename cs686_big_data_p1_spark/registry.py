@@ -22,6 +22,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Per-query scratch caches (NOT the session-long DFS views in views.py).
+# Operators register them via track_cache; drivers call clear_caches()
+# after materializing each query so cached blocks don't accumulate
+# across a long suite run and lean on LRU eviction.
+TRACKED_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Cache a frame used more than once within one query's plan and
+    remember it for driver-side unpersist after materialization."""
+    df = df.cache()
+    TRACKED_CACHES.append(df)
+    return df
+
+
+def clear_caches() -> None:
+    while TRACKED_CACHES:
+        df = TRACKED_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query, optionally with its DuckDB oracle SQL."""

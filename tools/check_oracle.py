@@ -101,6 +101,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
             continue
+        finally:
+            registry.clear_caches()  # per-query scratch caches only
         osql = registry.ORACLES.get(name)
         if osql is None:
             status = "ROWS-ONLY" if len(sdf) >= 0 else "??"
