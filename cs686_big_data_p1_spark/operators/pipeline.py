@@ -1,0 +1,132 @@
+"""Corpus-curation operators a large-scale training-data pipeline runs
+between ingest and dedup (BASELINE.json north star; complements the
+dedup/similarity family in operators/llm.py and operators/ann.py).
+
+All three are shuffle-light by construction:
+
+  * stratified_sample — pure filter (no shuffle): the keep/drop
+    decision is a deterministic keyed-hash threshold, so the sample is
+    reproducible run-over-run and across engines (the same md5-prefix
+    trick placement_pick uses). Per-stratum rates are a tiny CASE, not
+    a join against a rates table.
+  * pii_scrub — pure projection (no shuffle): regexp redaction of
+    emails / IPv4s / long digit runs, with a redaction count per doc.
+  * repetition_score — pure projection (no shuffle): Gopher/C4-style
+    repeated-word fraction from split + array_distinct, flagging the
+    boilerplate/spam tail for downstream filtering.
+
+At 100 TB each is a single map-stage over the documents scan with full
+predicate/column pushdown — they compose with any downstream groupBy
+without adding exchanges of their own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+# stratum -> md5-prefix threshold (2 hex chars = rate*256). en is the
+# dominant stratum so it downsamples hard; the tail keeps more.
+SAMPLE_THRESHOLDS = {"en": "1a", "de": "80", "fr": "80"}
+SAMPLE_DEFAULT_THRESHOLD = "c0"
+
+STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang
+        WHEN 'en' THEN '{SAMPLE_THRESHOLDS["en"]}'
+        WHEN 'de' THEN '{SAMPLE_THRESHOLDS["de"]}'
+        WHEN 'fr' THEN '{SAMPLE_THRESHOLDS["fr"]}'
+        ELSE '{SAMPLE_DEFAULT_THRESHOLD}'
+      END
+"""
+
+
+@query("stratified_sample", oracle=STRATIFIED_ORACLE)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: keep a doc iff the
+    first two hex chars of md5('sample|'||doc_id) fall under the
+    stratum's threshold (threshold/256 = keep rate). Seeded-hash
+    sampling instead of rand(): reproducible, engine-independent, and
+    stable under retries/speculative tasks — the 100 TB requirement
+    rand() cannot meet."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.format_string("sample|%d", F.col("doc_id"))), 1, 2
+    )
+    thr = F.when(
+        F.col("lang") == "en", SAMPLE_THRESHOLDS["en"]
+    ).when(
+        F.col("lang") == "de", SAMPLE_THRESHOLDS["de"]
+    ).when(
+        F.col("lang") == "fr", SAMPLE_THRESHOLDS["fr"]
+    ).otherwise(SAMPLE_DEFAULT_THRESHOLD)
+    return d.where(bucket < thr).select("doc_id", "lang", "source")
+
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+LONGNUM_RE = "[0-9]{9,}"
+PII_RE = f"({EMAIL_RE}|{IPV4_RE}|{LONGNUM_RE})"
+
+PII_ORACLE = f"""
+SELECT doc_id,
+       regexp_replace(text, '{PII_RE}', '<PII>', 'g') AS text_clean,
+       CAST(len(regexp_extract_all(text, '{PII_RE}')) AS INTEGER)
+           AS n_redactions
+FROM documents
+"""
+
+
+@query("pii_scrub", oracle=PII_ORACLE)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails, IPv4 addresses, and 9+-digit runs
+    (phone/SSN-shaped) replaced with a sentinel token, plus the
+    per-doc redaction count for curation stats. Patterns are kept in
+    the RE2 ∩ Java-regex common dialect so Spark and the DuckDB oracle
+    scrub identically."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", PII_RE, "<PII>").alias("text_clean"),
+        F.regexp_count("text", F.lit(PII_RE)).cast("int").alias("n_redactions"),
+    )
+
+
+REPETITION_ORACLE = """
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_distinct AS INTEGER) AS n_distinct,
+       CAST(1.0 - n_distinct / n_words AS DOUBLE) AS repetition
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+  WHERE len(text) > 0
+)
+"""
+
+
+@query("repetition_score", oracle=REPETITION_ORACLE)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition metric: 1 - distinct/total words.
+    High values flag boilerplate and keyword-stuffed spam for the
+    quality filter. split + array_distinct are JVM built-ins — the
+    whole op lives inside one codegen stage."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("int").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("int").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(words)).cast("double")
+            / F.size(words).cast("double")
+        ).alias("repetition"),
+    )

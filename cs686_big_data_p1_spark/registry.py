@@ -94,6 +94,7 @@ PRIORITY_ORDER = [
     "tpch_q4_priority", "price_outliers", "customer_year_setops",
     "order_date_cube",
     "token_count", "quality_score", "doc_fingerprint", "lang_id", "hb_rate",
+    "stratified_sample", "pii_scrub", "repetition_score",
     "media_metadata", "media_features",
     # streaming (rows-only checks by design)
     "stream_node_last_seen", "stream_hb_session", "stream_corruption_alerts",
@@ -109,6 +110,7 @@ def load_all() -> None:
     from .operators import dfs_scalar  # noqa: F401
     from .operators import llm  # noqa: F401
     from .operators import multimodal  # noqa: F401
+    from .operators import pipeline  # noqa: F401
     from .operators import windows  # noqa: F401
     from .streaming import liveness  # noqa: F401
     from .streaming import replication  # noqa: F401

@@ -1,0 +1,80 @@
+"""Corpus-curation operators (operators/pipeline.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_stratified_sample_deterministic_and_stratified(spark, registry):
+    q = registry.QUERIES["stratified_sample"]
+    a = {r.doc_id for r in q(spark, SF_SMALL).collect()}
+    b = {r.doc_id for r in q(spark, SF_SMALL).collect()}
+    assert a == b and a  # reproducible, non-empty
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rates = {
+        r.lang: r.kept / r.total
+        for r in docs.join(
+            q(spark, SF_SMALL).select("doc_id", F.lit(1).alias("k")),
+            "doc_id",
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total"), F.count("k").alias("kept")
+        )
+        .collect()
+    }
+    # en must be sampled much harder than the tail strata (0x1a/256 ~ 10%)
+    assert rates["en"] < 0.2
+    assert all(v > rates["en"] for k, v in rates.items() if k != "en")
+
+
+def test_pii_scrub_redacts_synthetic_pii(spark):
+    from cs686_big_data_p1_spark.operators.pipeline import PII_RE
+
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk for details"),
+        (2, "server at 10.0.254.3 answered"),
+        (3, "card 4111111111111 expired"),
+        (4, "nothing sensitive here 123"),
+        (5, "a@b.io then 1.2.3.4 then 999999999"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text_clean, r.n_redactions)
+        for r in df.select(
+            "doc_id",
+            F.regexp_replace("text", PII_RE, "<PII>").alias("text_clean"),
+            F.regexp_count("text", F.lit(PII_RE)).cast("int").alias(
+                "n_redactions"
+            ),
+        ).collect()
+    }
+    assert out[1] == ("contact <PII> for details", 1)
+    assert out[2] == ("server at <PII> answered", 1)
+    assert out[3] == ("card <PII> expired", 1)
+    assert out[4] == ("nothing sensitive here 123", 0)
+    assert out[5] == ("<PII> then <PII> then <PII>", 3)
+
+
+def test_repetition_score_bounds(spark, registry):
+    rows = registry.QUERIES["repetition_score"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.repetition < 1.0
+        assert r.n_distinct <= r.n_words
+    # a fully-repeated synthetic doc scores near 1
+    one = spark.createDataFrame(
+        [(1, "spam " * 99 + "spam")], "doc_id long, text string"
+    )
+    words = F.split(F.col("text"), " ")
+    rep = one.select(
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(words)).cast("double")
+            / F.size(words).cast("double")
+        ).alias("r")
+    ).first()
+    assert rep.r == 0.99
