@@ -265,6 +265,86 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUSTER_JACCARD = 0.5  # standard near-dup cut over candidate pairs
+CLUSTER_MAX_ITERS = 20  # >= pair-graph diameter at any realistic SF
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE near AS ({DEDUP_NEAR_ORACLE}),
+pairs AS (SELECT doc_a, doc_b FROM near WHERE jaccard >= {CLUSTER_JACCARD}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+verts AS (SELECT DISTINCT s AS v FROM edges),
+reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT re.v, e.d FROM reach re JOIN edges e ON re.r = e.s
+)
+SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+"""
+
+
+@query("dedup_clusters", oracle=DEDUP_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the
+    dedup_near pair graph (jaccard >= {CLUSTER_JACCARD}), labeling each
+    clustered doc with the min doc_id of its component — the
+    "keep one representative per duplicate cluster" step every corpus
+    dedup pipeline ends with.
+
+    Iterative min-label propagation as DataFrame joins: each round,
+    every vertex takes the min of its own and its neighbors' labels;
+    converged when the (monotonically decreasing) label sum stops
+    falling — O(component diameter) rounds, each one shuffle on int
+    keys. localCheckpoint per round caps lineage growth; the per-round
+    driver action is control flow only (a single aggregated long), not
+    a data-path collect. Oracle: DuckDB recursive-CTE transitive
+    closure over the same pair SQL.
+    """
+    pairs = (
+        dedup_near(spark, sf_dir)
+        .where(F.col("jaccard") >= CLUSTER_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    edges = track_cache(
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+    )
+    labels = edges.select(F.col("doc_a").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(CLUSTER_MAX_ITERS):
+        neigh = (
+            edges.join(labels, edges.doc_a == labels.v)
+            .groupBy(F.col("doc_b").alias("nv"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neigh, labels.v == F.col("nv"), "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 NGRAM_N = 4  # character n-gram width
 NGRAM_DF_MIN = 2  # a gram seen once can't pair anything
 NGRAM_DF_MAX = 10  # rare-gram blocking: posting lists capped at this df

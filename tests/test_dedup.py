@@ -60,3 +60,27 @@ def test_ngram_no_pairs_for_unrelated(spark, registry, corpus_dir):
     rows = registry.QUERIES["dedup_ngram"](spark, corpus_dir).collect()
     docs = {d for r in rows for d in (r.doc_a, r.doc_b)}
     assert 2 not in docs, "unrelated doc shares no 4-gram, must not pair"
+
+
+def test_dedup_clusters_are_valid_components(spark, registry):
+    """Cluster labels must be real component representatives: every
+    label is the min doc_id of its cluster, every clustered doc appears
+    exactly once, and both endpoints of every >=0.5-jaccard pair share
+    a label."""
+    from cs686_big_data_p1_spark.operators.llm import CLUSTER_JACCARD
+
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["dedup_clusters"](spark, SF_SMALL).collect()
+    label = {r.doc_id: r.cluster_id for r in rows}
+    assert len(label) == len(rows)  # one row per doc
+    by_cluster = {}
+    for doc, cl in label.items():
+        by_cluster.setdefault(cl, set()).add(doc)
+    for cl, members in by_cluster.items():
+        assert cl == min(members)  # representative = min member, itself in set
+    pairs = registry.QUERIES["dedup_near"](spark, SF_SMALL).collect()
+    strong = [(r.doc_a, r.doc_b) for r in pairs if r.jaccard >= CLUSTER_JACCARD]
+    assert strong, "fixture has no strong near-dup pairs; test is vacuous"
+    for a, b in strong:
+        assert label[a] == label[b]
