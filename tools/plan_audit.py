@@ -81,6 +81,10 @@ AUDITS: dict[str, dict] = {
     # embeddings is 3 columns, all genuinely needed (id, label, vector)
     "doc_embedding_join": {"pruned": ["documents"], "codegen": True},
     "hb_tumbling": {"codegen": True},
+    # corpus-curation map-stages: no shuffle of their own, pruned scans
+    "stratified_sample": {"pruned": True, "codegen": True},
+    "pii_scrub": {"codegen": True},
+    "repetition_score": {"codegen": True},
 }
 
 
