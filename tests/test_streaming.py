@@ -155,6 +155,35 @@ def test_stream_replication_orders_match_batch(spark, registry):
     assert len(got) > 0
 
 
+def test_streaming_sink_exactly_once_across_restarts(spark, tmp_path):
+    """The reference guarantees delivery with per-node FIFO queues +
+    ACK/resend (MessageFifoQueue/MessageSender); our recast leans on
+    checkpointed source offsets + idempotent sinks instead. Restarting
+    the same query against the same checkpoint must not re-emit rows."""
+    from cs686_big_data_p1_spark.streaming.liveness import heartbeat_stream
+    from cs686_big_data_p1_spark.views import heartbeats_df
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            heartbeat_stream(spark, SF_SMALL)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # restart: committed offsets say everything is processed
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2
+    assert n1 == heartbeats_df(spark, SF_SMALL).count() > 0
+
+
 def test_stream_corruption_alerts_match_batch(spark, registry):
     got = {
         (r.host, r.port, r.filename, r.sequence_no)
