@@ -298,27 +298,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vertex takes the min of its own and its neighbors' labels;
     converged when the (monotonically decreasing) label sum stops
     falling — O(component diameter) rounds, each one shuffle on int
-    keys. localCheckpoint per round caps lineage growth; the per-round
-    driver action is control flow only (a single aggregated long), not
-    a data-path collect. Oracle: DuckDB recursive-CTE transitive
-    closure over the same pair SQL.
+    keys. The edge list is localCheckpoint'ed ONCE before the loop:
+    that both materializes the LSH pipeline a single time and — the
+    part that actually matters — cuts its (large) logical plan out of
+    the loop's lineage, so each round re-plans a depth-1 tree instead
+    of re-optimizing the whole minhash DAG (measured: seconds per
+    round in Catalyst alone without the cut). Per-round checkpoints
+    keep it depth-1 throughout. The per-round driver action is control
+    flow only (one aggregated long), not a data-path collect. Oracle:
+    DuckDB recursive-CTE transitive closure over the same pair SQL.
     """
     pairs = (
         dedup_near(spark, sf_dir)
         .where(F.col("jaccard") >= CLUSTER_JACCARD)
         .select("doc_a", "doc_b")
     )
-    edges = track_cache(
-        pairs.union(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("doc_a").alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
-    )
-    labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(CLUSTER_MAX_ITERS):
         neigh = (
