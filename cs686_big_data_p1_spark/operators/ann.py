@@ -513,6 +513,32 @@ def dedup_embedding_pairs(e: DataFrame) -> DataFrame:
     )
 
 
+def write_ivf_store(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the IVF index as a cell-partitioned parquet store:
+    embeddings written `partitionBy(cid)`, one directory per inverted
+    list. This is the physical layout the knn_ivf docstring promises at
+    100 TB — probing IVF_NPROBE cells becomes a partition-pruned scan
+    that never touches the other nlist - nprobe directories."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _, _, assigned = _ivf_cells(e)
+    (
+        e.join(assigned, e.vec_id == assigned.neighbor_id)
+        .select("vec_id", "embedding", "cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def probe_ivf_store(
+    spark: SparkSession, path: str, cids: list[int]
+) -> DataFrame:
+    """Read only the probed cells' inverted lists. The cid IN (...)
+    filter must show up as a PartitionFilter (asserted by pytest), so
+    at scale the scan IO is nprobe/nlist of the corpus."""
+    return spark.read.parquet(path).where(F.col("cid").isin(cids))
+
+
 def dedup_embedding_skipped_buckets(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

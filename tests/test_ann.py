@@ -150,3 +150,34 @@ def test_dedup_embedding_contract(spark, registry):
         ) / 1e12
         cos = dot / (q_norm(emb[r0.vec_a]) * q_norm(emb[r0.vec_b]))
         assert abs(cos - r0.cosine) < 1e-9
+
+
+def test_ivf_store_partition_pruning(spark, tmp_path):
+    """The IVF store's physical layout must deliver the promised scale
+    property: probing nprobe cells compiles to a partition-pruned scan
+    (cid arrives as a PartitionFilter, and only the probed cells'
+    directories are listed in the files actually read)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from cs686_big_data_p1_spark.operators.ann import (
+        probe_ivf_store,
+        write_ivf_store,
+    )
+
+    store = str(tmp_path / "ivf")
+    write_ivf_store(spark, SF_SMALL, store)
+    probed = probe_ivf_store(spark, store, [7, 9])
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain(mode="formatted")
+    plan = buf.getvalue()
+    # the cid predicate must reach the scan as a PARTITION filter (not
+    # a post-scan data filter): that line is what makes the probe read
+    # nprobe directories instead of the whole store
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and any("cid" in ln for ln in pf_lines), plan
+    # row-level check: only the probed cells come back
+    cells = {r.cid for r in probed.select("cid").distinct().collect()}
+    assert cells <= {7, 9} and cells
