@@ -1,0 +1,136 @@
+"""Physical-plan introspection helpers shared by tools/plan_audit.py
+and the plan-regression pytests: parse `explain(mode="formatted")`
+output into a node tree, resolve scans to their tables, and walk
+broadcast subtrees. Pure string processing — no Spark calls here."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+
+def formatted_plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def split_top_level(schema: str) -> list[str]:
+    """Split a ReadSchema struct body on top-level commas only."""
+    out, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [c for c in out if c.strip()]
+
+
+class Node:
+    def __init__(self, nid: int, name: str, depth: int):
+        self.id = nid
+        self.name = name
+        self.depth = depth
+        self.children: list["Node"] = []
+
+
+def parse_tree(plan: str) -> list[Node]:
+    """Parse the formatted-plan ASCII tree into Node objects.
+
+    Tree lines look like `   +- * BroadcastHashJoin Inner BuildRight (8)`;
+    each nesting level is a 3-character prefix unit (`+- `, `:- `,
+    `:  `, `   `). Returns all nodes (index 0 = root).
+    """
+    nodes: list[Node] = []
+    stack: list[Node] = []
+    for line in plan.splitlines():
+        m = re.match(r"^((?:[:+\- ]{3})*)(?:\* )?([A-Za-z][^(]*)\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        depth = len(m.group(1)) // 3
+        node = Node(int(m.group(3)), m.group(2).strip(), depth)
+        while stack and stack[-1].depth >= depth:
+            stack.pop()
+        if stack:
+            stack[-1].children.append(node)
+        nodes.append(node)
+        stack.append(node)
+    return nodes
+
+
+def scan_tables(plan: str) -> dict[int, str]:
+    """Map scan node id -> table name, from the detail section.
+
+    Detail blocks look like `(1) Scan parquet ` followed some lines
+    later by `Location: InMemoryFileIndex [file:/.../lineitem.parquet]`.
+    """
+    tables: dict[int, str] = {}
+    current: int | None = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) Scan ", line)
+        if m:
+            current = int(m.group(1))
+            continue
+        if re.match(r"^\(\d+\) ", line):
+            current = None
+            continue
+        if current is not None:
+            loc = re.search(r"Location:.*\[[^\]]*?([A-Za-z_0-9]+)\.parquet", line)
+            if loc:
+                tables[current] = loc.group(1)
+    return tables
+
+
+def scan_read_counts(plan: str) -> dict[int, int]:
+    """Map scan node id -> number of top-level columns it reads."""
+    counts: dict[int, int] = {}
+    current: int | None = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) Scan ", line)
+        if m:
+            current = int(m.group(1))
+            continue
+        if re.match(r"^\(\d+\) ", line):
+            current = None
+            continue
+        if current is not None:
+            rs = re.search(r"ReadSchema: struct<(.*)>\s*$", line)
+            if rs:
+                counts[current] = len(split_top_level(rs.group(1)))
+    return counts
+
+
+def descendant_scan_ids(node: Node) -> list[int]:
+    out = []
+    todo = [node]
+    while todo:
+        n = todo.pop()
+        if n.name.startswith("Scan "):
+            out.append(n.id)
+        todo.extend(n.children)
+    return out
+
+
+def broadcast_fact_tables(plan: str, fact_tables: set[str]) -> list[str]:
+    """Tables from `fact_tables` that sit under a BroadcastExchange —
+    the plan shape that OOMs at scale when the broadcast is hint-forced."""
+    nodes = parse_tree(plan)
+    tables = scan_tables(plan)
+    bad: list[str] = []
+    for n in nodes:
+        if "BroadcastExchange" in n.name:
+            bad.extend(
+                tables[sid]
+                for sid in descendant_scan_ids(n)
+                if tables.get(sid) in fact_tables
+            )
+    return sorted(bad)
