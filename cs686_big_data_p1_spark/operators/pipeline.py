@@ -130,3 +130,67 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(words).cast("double")
         ).alias("repetition"),
     )
+
+
+# The end-to-end keep/drop verdict a curation pipeline applies after
+# the per-signal passes. Thresholds mirror quality_score /
+# repetition_score; recomputed inline so the whole filter is ONE
+# map-stage (at 100 TB you fuse the signal passes, not join their
+# materialized outputs, unless a signal is reused elsewhere).
+FILTER_MIN_QUALITY = 0.7
+FILTER_MAX_REPETITION = 0.8
+
+CORPUS_FILTER_ORACLE = f"""
+SELECT doc_id, lang, quality, repetition,
+       (quality >= {FILTER_MIN_QUALITY}
+        AND repetition <= {FILTER_MAX_REPETITION}) AS keep
+FROM (
+  SELECT doc_id, lang,
+         CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000
+              THEN 0.4 ELSE 0.0 END
+       + CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                   / len(string_split(text, ' ')) < 0.3
+              THEN 0.3 ELSE 0.0 END
+       + CASE WHEN len(regexp_extract_all(text,
+                        '\\b(the|a|of|to|and|in|is|it)\\b'))
+                   / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+              THEN 0.3 ELSE 0.0 END AS quality,
+         1.0 - len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' ')) AS repetition
+  FROM documents WHERE len(text) > 0
+)
+"""
+
+
+@query("corpus_filter", oracle=CORPUS_FILTER_ORACLE)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the curation signals into the final keep/drop
+    verdict (the step that actually gates training data): Gopher-style
+    quality score AND repetition bound, evaluated in a single fused
+    map-stage — no joins between signal passes, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))
+    stop = F.regexp_count("text", F.lit(r"\b(the|a|of|to|and|in|is|it)\b"))
+    quality = (
+        F.when(n_words.between(5, 1000), 0.4).otherwise(0.0)
+        + F.when(punct.cast("double") / n_words < 0.3, 0.3).otherwise(0.0)
+        + F.when(
+            (stop.cast("double") / n_words).between(0.01, 0.6), 0.3
+        ).otherwise(0.0)
+    )
+    repetition = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(words)).cast("double") / n_words.cast("double")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        quality.alias("quality"),
+        repetition.alias("repetition"),
+        (
+            (quality >= FILTER_MIN_QUALITY)
+            & (repetition <= FILTER_MAX_REPETITION)
+        ).alias("keep"),
+    )

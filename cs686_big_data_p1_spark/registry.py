@@ -94,7 +94,8 @@ PRIORITY_ORDER = [
     "tpch_q4_priority", "price_outliers", "customer_year_setops",
     "order_date_cube",
     "token_count", "quality_score", "doc_fingerprint", "lang_id", "hb_rate",
-    "stratified_sample", "pii_scrub", "repetition_score", "dedup_clusters",
+    "stratified_sample", "pii_scrub", "repetition_score", "corpus_filter",
+    "dedup_clusters",
     "media_metadata", "media_features",
     # streaming (rows-only checks by design)
     "stream_node_last_seen", "stream_hb_session", "stream_corruption_alerts",
