@@ -91,6 +91,7 @@ AUDITS: dict[str, dict] = {
     "stratified_sample": {"pruned": True, "codegen": True},
     "pii_scrub": {"codegen": True},
     "repetition_score": {"codegen": True},
+    "corpus_filter": {"codegen": True},
 }
 
 
