@@ -126,3 +126,57 @@ def test_decoders_reject_garbage(spark):
         decode_image(b"xx" + b"\x00" * 60)
     with pytest.raises(ValueError):
         decode_audio(b"nope" + b"\x00" * 60)
+
+
+def test_bmp_round_trip_property():
+    """Property: encode->decode is the identity for ANY (H, W) pixel
+    array, including widths whose stride needs 1-3 padding bytes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cs686_big_data_p1_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=19),
+        h=st.integers(min_value=1, max_value=13),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        px = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        assert np.array_equal(decode_image(encode_bmp(px)), px)
+
+    check()
+
+
+def test_wav_round_trip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cs686_big_data_p1_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=999),
+        rate=st.sampled_from([8000, 12000, 16000, 44100]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, rate, seed):
+        samples = np.random.RandomState(seed).randint(
+            -32768, 32768, size=n, dtype=np.int16
+        )
+        wave, got_rate = decode_audio(encode_wav(samples, rate))
+        assert got_rate == rate
+        assert np.array_equal((wave * 32768.0).astype(np.int16), samples)
+
+    check()
