@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..tables import load_table
@@ -193,4 +194,104 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (quality >= FILTER_MIN_QUALITY)
             & (repetition <= FILTER_MAX_REPETITION)
         ).alias("keep"),
+    )
+
+
+VOCAB_K = 100
+
+VOCAB_ORACLE = f"""
+SELECT word, n, rank FROM (
+  SELECT word, n,
+         row_number() OVER (ORDER BY n DESC, word ASC) AS rank
+  FROM (
+    SELECT word, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+  )
+)
+WHERE rank <= {VOCAB_K}
+"""
+
+
+@query("vocab_topk", oracle=VOCAB_ORACLE)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global top-K tokens by frequency (the first
+    step of training a tokenizer over the corpus).
+
+    Scale shape: explode -> partial+final count aggregation (map-side
+    combine absorbs the token fan-out), then a global top-K that Spark
+    executes as TakeOrderedAndProject — per-partition heaps merged on
+    one reducer, never a full sort of the vocabulary. Ties break on the
+    token string so ranks are deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.orderBy(F.desc("n"), F.asc("word"))
+        .limit(VOCAB_K)
+        .select(
+            "word",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc("word")))
+            .alias("rank"),
+        )
+    )
+
+
+CENTROID_SCALE = 1_000_000  # fixed-point quantum for order-independent sums
+
+LABEL_CENTROIDS_ORACLE = f"""
+SELECT label, dim,
+       CAST(CAST(s AS DOUBLE) / {CENTROID_SCALE} / n AS DOUBLE) AS centroid
+FROM (
+  SELECT label, dim,
+         sum(CAST(floor(x * {CENTROID_SCALE}) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM (
+    SELECT label,
+           unnest(generate_series(1, len(embedding))) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+  )
+  GROUP BY label, dim
+)
+"""
+
+
+@query("label_centroids", oracle=LABEL_CENTROIDS_ORACLE)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled embedding centroid per label (class prototypes for
+    nearest-centroid classification / clustering seeds).
+
+    posexplode fans each vector into (dim, x) rows; the per-(label,
+    dim) mean is computed as a fixed-point bigint sum divided at the
+    end, so the distributed fold is order-independent and bit-identical
+    to the serial oracle — the same determinism contract as all vector
+    math in this engine (functions/vector.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * CENTROID_SCALE)
+        .cast("bigint")
+        .alias("q"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            (
+                F.col("s").cast("double") / CENTROID_SCALE / F.col("n")
+            ).alias("centroid"),
+        )
     )
