@@ -28,6 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # drop the previous query's scratch caches (the driver
+            # materializes each query before requesting the next, so
+            # anything still tracked here is dead weight by now)
+            registry.clear_caches()
             configure_existing(spark)
             return fn(spark, sf_dir)
 
