@@ -318,10 +318,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).localCheckpoint(eager=True)
+    # seed with the one-hop minimum (self ∪ direct neighbors) — the
+    # first propagation round for free inside the vertex-set groupBy
     labels = (
-        edges.select(F.col("doc_a").alias("v"))
-        .distinct()
-        .select("v", F.col("v").alias("label"))
+        edges.groupBy(F.col("doc_a").alias("v"))
+        .agg(F.min("doc_b").alias("mb"))
+        .select("v", F.least(F.col("v"), F.col("mb")).alias("label"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]

@@ -114,8 +114,13 @@ def ingest_binary_files(
 def write_chunks(df: DataFrame, path: str) -> None:
     """S3 sink: chunk rows -> parquet partitioned by filename
     (storageNode/MessageProcessor.java:193-211; the `.md5` sidecar
-    becomes the co-resident checksum column)."""
-    df.write.mode("append").partitionBy("filename").parquet(path)
+    becomes the co-resident checksum column). zstd instead of the
+    snappy default: the payload column dominates the bytes at 100 TB
+    and zstd's ratio is worth the small encode cost on a write-once
+    store."""
+    df.write.mode("append").option("compression", "zstd").partitionBy(
+        "filename"
+    ).parquet(path)
 
 
 def read_chunks(spark: SparkSession, path: str) -> DataFrame:
