@@ -72,6 +72,19 @@ AUDITS: dict[str, dict] = {
         "bounded_broadcast": "online list = per-node aggregate, O(#nodes)",
     },
     "checksum_join": {"codegen": True},
+    # the largest-row control-plane queries: must stay exchange-light
+    # and cartesian-free at any SF
+    "publish_upsert": {"codegen": True},
+    "replicas_after_corruption": {"codegen": True},
+    "placement_candidates": {
+        "codegen": True,
+        "bounded_broadcast": "node list = cluster inventory, O(#nodes)",
+    },
+    "file_manifest": {"codegen": True},
+    "surviving_replicas": {
+        "codegen": True,
+        "bounded_broadcast": "offline list = per-node aggregate, O(#nodes)",
+    },
     "dedup_exact": {"pruned": True, "codegen": True},
     "dedup_near": {"codegen": True},
     # ann queries broadcast the LIMITed query side (bounded by design)
