@@ -139,3 +139,28 @@ def stream_corruption_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host", "port", "filename", "sequence_no")
     )
     return _run_to_memory(alerts, "append")
+
+
+@query("stream_dedup_exact")
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a document STREAM: dropDuplicates on the
+    content hash, state = one 32-byte digest per distinct document —
+    the streaming form of dedup_exact (E1) and the document-side
+    analog of T6's idempotent publish (late/duplicate arrivals are
+    absorbed by state, exactly like FileTable.publishChunk's set
+    semantics). Emits each distinct content's FIRST-seen row; the
+    batch-parity pytest checks the survivor set against dedup_exact's
+    keeper rule (the fixture stream arrives in doc_id order, so
+    first-seen == min doc_id)."""
+    from ..tables import SCHEMAS
+
+    docs = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
+        )
+    )
+    survivors = docs.dropDuplicates(["text_hash"])
+    return _run_to_memory(survivors, "append")

@@ -196,3 +196,20 @@ def test_stream_corruption_alerts_match_batch(spark, registry):
         for r in registry.QUERIES["corruption_scan"](spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_exact_matches_batch(spark, registry):
+    """Streaming dropDuplicates state must reproduce the batch exact-
+    dedup survivor set: same distinct hashes, and first-seen == the
+    batch keeper (fixture arrives in doc_id order)."""
+    got = {
+        r.text_hash: r.doc_id
+        for r in registry.QUERIES["stream_dedup_exact"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    want = {
+        r.text_hash: r.keeper_doc_id
+        for r in registry.QUERIES["dedup_exact"](spark, SF_SMALL).collect()
+    }
+    assert got == want and got
