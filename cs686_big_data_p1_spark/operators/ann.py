@@ -557,3 +557,33 @@ def skipped_buckets(e: DataFrame) -> DataFrame:
         .where(F.col("n_vecs") > MAX_BUCKET_VECS)
         .orderBy("t", "bucket")
     )
+
+
+@query("kmeans_cells")
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained coarse quantizer for IVF: k-means|| (MLlib built-in,
+    seeded) over the embedding corpus, emitting each vector's cell.
+    knn_ivf's deterministic seed-vector centroids keep the oracle
+    replayable; THIS is the production index-build step that replaces
+    them when recall matters (FAISS's train() analog). Rows-only by
+    design — iterative ML fitting is not SQL-expressible; the pytest
+    pins determinism and that refined cells beat seed cells on
+    within-cell cosine cohesion.
+
+    Scale: MLlib KMeans is the idiomatic distributed implementation
+    (broadcast centroids, map-side partial sums — the same shape a
+    hand-rolled Lloyd loop would take, minus the hand-rolling)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=IVF_NLIST, seed=686, maxIter=5).fit(feats)
+    return model.transform(feats).select(
+        "vec_id", F.col("prediction").cast("int").alias("cell")
+    )

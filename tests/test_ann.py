@@ -181,3 +181,45 @@ def test_ivf_store_partition_pruning(spark, tmp_path):
     # row-level check: only the probed cells come back
     cells = {r.cid for r in probed.select("cid").distinct().collect()}
     assert cells <= {7, 9} and cells
+
+
+def test_kmeans_cells_deterministic_and_better_than_seed(spark, registry):
+    """The trained quantizer must be reproducible (fixed seed) and
+    strictly better than the seed-vector cells it replaces: recomputing
+    each partition's means in numpy, the k-means assignment's inertia
+    (sum of squared distances to own-cell mean) must beat the
+    seed-vector assignment's."""
+    import numpy as np
+
+    from cs686_big_data_p1_spark.operators.ann import _ivf_cells
+
+    q = registry.QUERIES["kmeans_cells"]
+    a = {r.vec_id: r.cell for r in q(spark, SF_SMALL).collect()}
+    b = {r.vec_id: r.cell for r in q(spark, SF_SMALL).collect()}
+    assert a == b and a  # seeded fit is reproducible
+    assert set(a.values()) <= set(range(16)) and len(set(a.values())) > 1
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    assert set(a) == set(emb)  # every vector got a cell
+
+    _, _, assigned = _ivf_cells(
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    )
+    seed = {r.neighbor_id: r.cid for r in assigned.collect()}
+
+    def inertia(assign):
+        cells = {}
+        for v, c in assign.items():
+            cells.setdefault(c, []).append(emb[v])
+        total = 0.0
+        for vecs in cells.values():
+            X = np.stack(vecs)
+            total += ((X - X.mean(axis=0)) ** 2).sum()
+        return total
+
+    km = inertia(a)
+    sv = inertia({v: c for v, c in seed.items()})
+    assert km < sv, (km, sv)
