@@ -295,3 +295,66 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid"),
         )
     )
+
+
+OOV_ORACLE = f"""
+WITH vocab AS (
+  SELECT word FROM (
+    SELECT word, n,
+           row_number() OVER (ORDER BY n DESC, word ASC) AS rank
+    FROM (
+      SELECT word, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    )
+  )
+  WHERE rank <= {VOCAB_K}
+),
+words AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+)
+SELECT w.doc_id,
+       CAST(count(*) AS INTEGER) AS n_words,
+       CAST(count(*) - count(v.word) AS INTEGER) AS n_oov,
+       CAST(CAST(count(*) - count(v.word) AS DOUBLE) / count(*) AS DOUBLE)
+           AS oov_rate
+FROM words w LEFT JOIN vocab v ON w.word = v.word
+GROUP BY w.doc_id
+"""
+
+
+@query("oov_rate", oracle=OOV_ORACLE)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-K
+    vocabulary — the integer-derived stand-in for an LM perplexity
+    filter (docs full of tokens the tokenizer has never seen are noise
+    or the wrong language). Composes vocab_topk: the K-row vocabulary
+    is broadcast into the exploded word stream, so the only shuffle is
+    the per-doc re-aggregation. All counts are integers, so the rate is
+    bit-identical across engines (no transcendental math)."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = vocab_topk(spark, sf_dir).select("word")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            (F.count(F.lit(1)) - F.count("in_vocab")).cast("int").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_oov",
+            (
+                F.col("n_oov").cast("double") / F.col("n_words").cast("double")
+            ).alias("oov_rate"),
+        )
+    )
