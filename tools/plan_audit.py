@@ -105,6 +105,12 @@ AUDITS: dict[str, dict] = {
     "pii_scrub": {"codegen": True},
     "repetition_score": {"codegen": True},
     "corpus_filter": {"codegen": True},
+    "vocab_topk": {"codegen": True},
+    "oov_rate": {
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "vocab side is LIMITed to VOCAB_K rows",
+    },
 }
 
 
