@@ -79,3 +79,17 @@ def jsonl_ingest_to_parquet(
         parquet_path
     )
     return spark.read.schema(schema).parquet(parquet_path)
+
+
+def write_orc(df: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Directory ORC sink (zlib default). ORC is the second columnar
+    format Spark ships natively; unlike CSV/JSONL it carries stripe
+    statistics, so predicate pushdown works on it like parquet —
+    included so a reference user with ORC-resident data can land
+    directly instead of transcoding first."""
+    out = df.coalesce(n_files) if n_files else df
+    out.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).orc(path)

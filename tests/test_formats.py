@@ -78,3 +78,29 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     assert "PartitionFilters" in text and "lang" in text
     want = src.where(F.col("lang") == "en")
     assert one.count() == want.count()
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC: lossless round-trip incl. timestamps/NULLs, and — unlike
+    the text formats — predicate pushdown must reach the ORC scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from cs686_big_data_p1_spark.sources.formats import read_orc, write_orc
+    from cs686_big_data_p1_spark.tables import SCHEMAS, load_table
+
+    src = load_table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, SCHEMAS["orders"])
+    assert back.schema == src.schema
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+    filtered = back.where(F.col("o_orderkey") == 42).select("o_orderkey")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "o_orderkey" in plan
