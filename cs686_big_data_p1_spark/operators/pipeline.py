@@ -358,3 +358,88 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# deterministic 3-way split: first two hex chars of a keyed md5 carve
+# [00, e6) / [e6, f3) / [f3, ff] ~ 90/5/5
+SPLIT_BOUNDS = ("e6", "f3")
+
+DATASET_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN b < '{SPLIT_BOUNDS[0]}' THEN 'train'
+            WHEN b < '{SPLIT_BOUNDS[1]}' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents)
+"""
+
+
+@query("dataset_split", oracle=DATASET_SPLIT_ORACLE)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/5/5 train/val/test assignment by keyed hash —
+    membership is a pure function of doc_id, so the split is stable
+    across runs, engines, and re-shards (no rand(), no global sort,
+    no shuffle: the verdict is computed where the row lives)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.format_string("split|%d", F.col("doc_id"))), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(b < SPLIT_BOUNDS[0], "train")
+        .when(b < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+PACK_TOKEN_BUDGET = 256  # tokens per packed training sequence
+
+SEQUENCE_PACK_ORACLE = f"""
+SELECT doc_id, lang, n_tokens,
+       CAST(floor((cum - n_tokens) / {PACK_TOKEN_BUDGET}.0) AS INTEGER)
+           AS seq_id
+FROM (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM (
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents WHERE len(text) > 0
+  )
+)
+"""
+
+
+@query("sequence_pack", oracle=SEQUENCE_PACK_ORACLE)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: assign each document to a
+    fixed-token-budget training sequence, order-preserving within its
+    language stream (seq_id = which budget-sized bin the doc's
+    running token total starts in). The cumulative sum is one window
+    per language partition — the packing decision never leaves the
+    shuffle that the per-language ordering already requires.
+
+    At 100 TB the lang partition would be (lang, shard) to bound any
+    one window's partition, with seq_id offset by a per-shard base —
+    same plan shape, two-level key."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n_tokens = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / float(PACK_TOKEN_BUDGET)
+        )
+        .cast("int")
+        .alias("seq_id"),
+    )

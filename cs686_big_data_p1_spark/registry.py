@@ -95,7 +95,8 @@ PRIORITY_ORDER = [
     "order_date_cube",
     "token_count", "quality_score", "doc_fingerprint", "lang_id", "hb_rate",
     "stratified_sample", "pii_scrub", "repetition_score", "corpus_filter",
-    "vocab_topk", "label_centroids", "oov_rate", "kmeans_cells",
+    "vocab_topk", "label_centroids", "oov_rate", "dataset_split",
+    "sequence_pack", "kmeans_cells",
     "dedup_clusters",
     "media_metadata", "media_features",
     # streaming (rows-only checks by design)
