@@ -383,3 +383,39 @@ def priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice")).cast("double").alias("sum_total"),
     )
+
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_PIVOT_COLS_SQL = ",\n       ".join(
+    f"""CAST(count(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS BIGINT)
+           AS "{p}\"""" for p in PRIORITIES
+)
+
+PIVOT_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       {_PIVOT_COLS_SQL}
+FROM orders
+GROUP BY year(o_orderdate)
+"""
+
+
+@query("priority_pivot", oracle=PIVOT_ORACLE)
+def priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts cross-tabulated year x priority — the
+    wide-format reporting shape (one row per year, one column per
+    priority). The pivot values are an explicit list, so the output
+    schema is static (never data-dependent — a data-driven pivot would
+    need an extra distinct-scan job and make the schema racy at scale)
+    and matches the oracle's CASE-aggregation column for column."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            "o_orderpriority",
+        )
+        .groupBy("order_year")
+        .pivot("o_orderpriority", PRIORITIES)
+        .count()
+        .na.fill(0, PRIORITIES)
+    )
