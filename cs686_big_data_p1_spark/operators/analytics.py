@@ -419,3 +419,77 @@ def priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, PRIORITIES)
     )
+
+
+MEDIAN_ORACLE = """
+SELECT o_orderpriority,
+       CAST(avg(v) AS DOUBLE) AS median_price,
+       CAST(max(n) AS BIGINT) AS n_orders
+FROM (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+WHERE rk IN ((n + 1) // 2, (n + 2) // 2)
+GROUP BY o_orderpriority
+"""
+
+
+@query("price_median", oracle=MEDIAN_ORACLE)
+def price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median by rank arithmetic: rank every order in
+    its priority group, keep the one (odd n) or two (even n) middle
+    rows, average them. No percentile built-ins — their interpolation
+    rules differ across engines, while row_number + one avg of <= 2
+    values is bit-identical everywhere. Tie-break on o_orderkey makes
+    the rank (hence the median row identity) deterministic.
+
+    Scale: one window shuffle on the group key; the middle-row filter
+    discards everything else before the final tiny aggregation."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mid = ranked.where(
+        (F.col("rk") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rk") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        F.avg("v").alias("median_price"),
+        F.max("n").cast("bigint").alias("n_orders"),
+    )
+
+
+@query("distinct_customers_approx")
+def distinct_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch per order-year: approx_count_distinct over
+    customers, next to the exact count. The sketch is THE way to count
+    distincts at 100 TB (fixed ~kB state per group vs a full
+    distinct-shuffle); rows-only by design — HLL estimates are
+    implementation-specific, so the pytest asserts relative error
+    against the exact count instead of an oracle hash."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            "o_custkey",
+        )
+        .groupBy("order_year")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+            F.count_distinct("o_custkey").alias("exact_custs"),
+        )
+        .orderBy("order_year")
+    )

@@ -92,7 +92,8 @@ PRIORITY_ORDER = [
     # extras past the driver window (judge self-checks these)
     "knn_ivf", "dedup_ngram",
     "tpch_q4_priority", "price_outliers", "customer_year_setops",
-    "order_date_cube", "priority_pivot",
+    "order_date_cube", "priority_pivot", "price_median",
+    "distinct_customers_approx",
     "token_count", "quality_score", "doc_fingerprint", "lang_id", "hb_rate",
     "stratified_sample", "pii_scrub", "repetition_score", "corpus_filter",
     "vocab_topk", "label_centroids", "oov_rate", "dataset_split",

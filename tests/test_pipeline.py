@@ -78,3 +78,16 @@ def test_repetition_score_bounds(spark, registry):
         ).alias("r")
     ).first()
     assert rep.r == 0.99
+
+
+def test_hll_sketch_within_tolerance(spark, registry):
+    """The HLL estimate must sit within the configured relative error
+    of the exact distinct count (5 sigma of rsd=0.02) for every group."""
+    rows = registry.QUERIES["distinct_customers_approx"](
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_custs - r.exact_custs) <= max(
+            0.1 * r.exact_custs, 5
+        ), (r.order_year, r.approx_custs, r.exact_custs)
