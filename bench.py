@@ -43,6 +43,12 @@ def main() -> None:
     # view_build_seconds so round-over-round deltas on view-heavy
     # queries stay honest.
     run_one(spark, registry.QUERIES["tpch_q1_pricing"], SF_DIR)
+    # Warm the Python worker pool too (same fixed-cost class as the JVM
+    # warm-up): without this, whichever pandas_udf query runs first
+    # absorbs worker-process startup that belongs to no query.
+    spark.range(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
     from cs686_big_data_p1_spark import views
 
     t_views = time.perf_counter()
