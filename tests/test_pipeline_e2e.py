@@ -55,10 +55,12 @@ def test_curation_dag_composes(spark, registry):
         .select("doc_id")
         .collect()
     }
-    # (the sf0.001 fixture is clean text, so the quality gate may keep
-    # everything — dedup and split must still remove docs)
+    # (the sf0.001 fixture is clean unique text, so the quality and
+    # exact-dup gates may keep everything — near-dup clustering and the
+    # split must still remove docs, and so must the composition)
     assert len(kept_ids) <= len(all_ids)
-    assert len(keeper_ids) < len(all_ids)
+    assert len(keeper_ids) <= len(all_ids)
+    assert dropped_nd, "near-dup clustering removed nothing"
     assert len(train_ids) < len(all_ids)
     assert len(final_ids) < len(all_ids)
 
