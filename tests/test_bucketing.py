@@ -53,3 +53,33 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_chunks")
         spark.sql("DROP TABLE IF EXISTS b_replicas")
+
+
+def test_dynamic_partition_pruning_on_chunk_store(spark, tmp_path):
+    """DPP: joining the filename-partitioned chunk store against a
+    FILTERED dimension must prune the fact scan's partitions at
+    runtime (the dim filter's values are not known statically). The
+    plan must carry a dynamicpruning subquery on the partition key."""
+    from cs686_big_data_p1_spark.sources.chunk_io import (
+        chunk_bytes,
+        write_chunks,
+    )
+
+    store = str(tmp_path / "store")
+    for i in range(6):
+        write_chunks(
+            chunk_bytes(spark, bytes([i]) * 2500, f"f{i}.dat", 1000), store
+        )
+    fact = spark.read.parquet(store)
+    dim = spark.createDataFrame(
+        [(f"f{i}.dat", i % 2) for i in range(6)], "filename string, odd int"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
+    joined = fact.join(dim.where(F.col("odd") == 1), "filename").select(
+        "filename", "sequence_no"
+    )
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {(r.filename, r.sequence_no) for r in joined.collect()}
+    assert {f for f, _ in got} == {"f1.dat", "f3.dat", "f5.dat"}
+    assert len(got) == 9  # 3 files x 3 chunks
