@@ -103,7 +103,7 @@ PRIORITY_ORDER = [
     # streaming (rows-only checks by design)
     "stream_node_last_seen", "stream_hb_session", "stream_corruption_alerts",
     "stream_liveness_state", "stream_replication_orders",
-    "stream_dedup_exact",
+    "stream_dedup_exact", "stream_event_dispatch",
 ]
 
 

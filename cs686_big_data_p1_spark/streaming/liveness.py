@@ -164,3 +164,22 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = docs.dropDuplicates(["text_hash"])
     return _run_to_memory(survivors, "append")
+
+
+@query("stream_event_dispatch")
+def stream_event_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 live: the message-dispatch table maintained incrementally —
+    running count per event_type over the event stream (the oneof
+    switch in controller/MessageProcessor.java:35-68 as a complete-mode
+    streaming aggregation; state is one counter per message variant,
+    bounded by the 18-variant wire IR). Batch analog: event_dispatch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..tables import SCHEMAS
+
+    ev = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _run_to_memory(counts, "complete")

@@ -213,3 +213,17 @@ def test_stream_dedup_exact_matches_batch(spark, registry):
         for r in registry.QUERIES["dedup_exact"](spark, SF_SMALL).collect()
     }
     assert got == want and got
+
+
+def test_stream_event_dispatch_matches_batch(spark, registry):
+    got = {
+        (r.event_type, r.n)
+        for r in registry.QUERIES["stream_event_dispatch"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    want = {
+        (r.event_type, r.n)
+        for r in registry.QUERIES["event_dispatch"](spark, SF_SMALL).collect()
+    }
+    assert got == want and got
