@@ -111,6 +111,10 @@ AUDITS: dict[str, dict] = {
         "codegen": True,
         "bounded_broadcast": "vocab side is LIMITed to VOCAB_K rows",
     },
+    "dataset_split": {"pruned": True, "codegen": True},
+    "sequence_pack": {"codegen": True},
+    "price_median": {"pruned": True, "codegen": True},
+    "priority_pivot": {"pruned": True, "codegen": True},
 }
 
 
