@@ -493,3 +493,88 @@ def distinct_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+ASOF_N_KEYS = 100  # orders and events share key space via % ASOF_N_KEYS
+
+ASOF_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(user_id % {ASOF_N_KEYS} AS BIGINT) AS u, ts,
+         max(event_id) AS event_id
+  FROM events GROUP BY u, ts
+),
+o AS (
+  SELECT o_orderkey, CAST(o_custkey % {ASOF_N_KEYS} AS BIGINT) AS u,
+         o_orderdate
+  FROM orders
+)
+SELECT o.o_orderkey, o.u, o.o_orderdate AS order_ts,
+       e.event_id AS asof_event_id, e.ts AS asof_event_ts
+FROM o ASOF LEFT JOIN ev e
+  ON o.u = e.u AND e.ts <= o.o_orderdate
+"""
+
+
+@query("asof_join", oracle=ASOF_ORACLE)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF (point-in-time) join: for every order, the key's latest
+    event at-or-before the order timestamp — the operator behind
+    trade/quote matching and feature-store point-in-time lookups,
+    which Spark has no built-in for.
+
+    Implementation is the canonical distributed as-of pattern: tag
+    both sides, union, and take last(event, ignorenulls) over a
+    per-key window ordered by (time, side) — event rows sort before
+    order rows at equal timestamps, giving <= semantics. ONE shuffle
+    on the key (no per-row range probing, no cross join); at 100 TB
+    the key becomes (key, time-bucket) so windows stay bounded, with
+    bucket-boundary events duplicated one bucket forward. The event
+    side is deduplicated to max(event_id) per (key, ts) in both
+    engines so ties are deterministic. Oracle: DuckDB's NATIVE
+    ASOF LEFT JOIN — two independent as-of implementations agreeing
+    row-for-row.
+    """
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % ASOF_N_KEYS).cast("bigint").alias("u"),
+            F.col("ts").alias("t"),  # load_table already yields timestamps
+            "event_id",
+        )
+        .groupBy("u", "t")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("u", "t", "event_id", F.lit(0).alias("side"))
+        .withColumn("o_orderkey", F.lit(None).cast("bigint"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % ASOF_N_KEYS).cast("bigint").alias("u"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(1).alias("side"),
+        "o_orderkey",
+    )
+    un = ev.unionByName(o)
+    w = (
+        Window.partitionBy("u")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = un.select(
+        "u",
+        "t",
+        "side",
+        "o_orderkey",
+        F.last("event_id", ignorenulls=True).over(w).alias("asof_event_id"),
+        F.last(F.when(F.col("side") == 0, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("asof_event_ts"),
+    )
+    return matched.where(F.col("side") == 1).select(
+        "o_orderkey",
+        "u",
+        F.col("t").alias("order_ts"),
+        "asof_event_id",
+        "asof_event_ts",
+    )
