@@ -495,86 +495,152 @@ def distinct_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ASOF_N_KEYS = 100  # orders and events share key space via % ASOF_N_KEYS
-
-ASOF_ORACLE = f"""
-WITH ev AS (
-  SELECT CAST(user_id % {ASOF_N_KEYS} AS BIGINT) AS u, ts,
-         max(event_id) AS event_id
-  FROM events GROUP BY u, ts
+ASOF_ORACLE = """
+WITH views AS (
+  SELECT user_id, ts, max(event_id) AS event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
 ),
-o AS (
-  SELECT o_orderkey, CAST(o_custkey % {ASOF_N_KEYS} AS BIGINT) AS u,
-         o_orderdate
-  FROM orders
+purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
 )
-SELECT o.o_orderkey, o.u, o.o_orderdate AS order_ts,
-       e.event_id AS asof_event_id, e.ts AS asof_event_ts
-FROM o ASOF LEFT JOIN ev e
-  ON o.u = e.u AND e.ts <= o.o_orderdate
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       v.event_id AS asof_view_id, v.ts AS asof_view_ts
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
 """
 
 
 @query("asof_join", oracle=ASOF_ORACLE)
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AS-OF (point-in-time) join: for every order, the key's latest
-    event at-or-before the order timestamp — the operator behind
-    trade/quote matching and feature-store point-in-time lookups,
-    which Spark has no built-in for.
+    """AS-OF (point-in-time) join: for every purchase event, the same
+    user's latest view event at-or-before it (last-touch attribution)
+    — the operator behind trade/quote matching and feature-store
+    point-in-time lookups, which Spark has no built-in for.
 
     Implementation is the canonical distributed as-of pattern: tag
-    both sides, union, and take last(event, ignorenulls) over a
-    per-key window ordered by (time, side) — event rows sort before
-    order rows at equal timestamps, giving <= semantics. ONE shuffle
-    on the key (no per-row range probing, no cross join); at 100 TB
-    the key becomes (key, time-bucket) so windows stay bounded, with
-    bucket-boundary events duplicated one bucket forward. The event
-    side is deduplicated to max(event_id) per (key, ts) in both
-    engines so ties are deterministic. Oracle: DuckDB's NATIVE
-    ASOF LEFT JOIN — two independent as-of implementations agreeing
-    row-for-row.
+    both sides, union, and take last(view, ignorenulls) over a
+    per-user window ordered by (time, side) — view rows sort before
+    purchase rows at equal timestamps, giving <= semantics. ONE
+    shuffle on the key (no per-row range probing, no cross join); at
+    100 TB the key becomes (user, time-bucket) so windows stay
+    bounded, with bucket-boundary views duplicated one bucket
+    forward. The view side is deduplicated to max(event_id) per
+    (user, ts) in both engines so ties are deterministic. Oracle:
+    DuckDB's NATIVE ASOF LEFT JOIN — two independent as-of
+    implementations agreeing row-for-row.
     """
     from pyspark.sql.window import Window
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            (F.col("user_id") % ASOF_N_KEYS).cast("bigint").alias("u"),
-            F.col("ts").alias("t"),  # load_table already yields timestamps
-            "event_id",
-        )
-        .groupBy("u", "t")
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("event_id"))
-        .select("u", "t", "event_id", F.lit(0).alias("side"))
-        .withColumn("o_orderkey", F.lit(None).cast("bigint"))
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            "event_id",
+            F.lit(0).alias("side"),
+        )
+        .withColumn("purchase_id", F.lit(None).cast("bigint"))
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        (F.col("o_custkey") % ASOF_N_KEYS).cast("bigint").alias("u"),
-        F.col("o_orderdate").alias("t"),
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
         F.lit(None).cast("bigint").alias("event_id"),
         F.lit(1).alias("side"),
-        "o_orderkey",
+        F.col("event_id").alias("purchase_id"),
     )
-    un = ev.unionByName(o)
+    un = views.unionByName(purchases)
     w = (
-        Window.partitionBy("u")
+        Window.partitionBy("user_id")
         .orderBy("t", "side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = un.select(
-        "u",
+        "user_id",
         "t",
         "side",
-        "o_orderkey",
-        F.last("event_id", ignorenulls=True).over(w).alias("asof_event_id"),
+        "purchase_id",
+        F.last("event_id", ignorenulls=True).over(w).alias("asof_view_id"),
         F.last(F.when(F.col("side") == 0, F.col("t")), ignorenulls=True)
         .over(w)
-        .alias("asof_event_ts"),
+        .alias("asof_view_ts"),
     )
     return matched.where(F.col("side") == 1).select(
-        "o_orderkey",
-        "u",
-        F.col("t").alias("order_ts"),
-        "asof_event_id",
-        "asof_event_ts",
+        "purchase_id",
+        "user_id",
+        F.col("t").alias("purchase_ts"),
+        "asof_view_id",
+        "asof_view_ts",
+    )
+
+
+RANGE_WINDOW_S = 3600  # the attribution lookback window
+
+RANGE_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(count(v.event_id) AS BIGINT) AS n_views_1h
+FROM events p
+LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
+@query("range_join_views", oracle=RANGE_JOIN_ORACLE)
+def range_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join: views per user in the hour before each purchase —
+    the interval-predicate join (t in (p - 1h, p]) Spark would
+    otherwise execute as a per-user cross join with a post-filter.
+
+    Bucketed implementation: both sides bucket to the window width
+    (floor(epoch/3600)); each view is duplicated into its own and the
+    next bucket (the only two a purchase within one hour can land in),
+    the join runs on the (user, bucket) EQUI key, and the exact range
+    predicate filters the at-most-2x candidates. Work is O(matches),
+    not O(pairs-per-user); the shuffle key stays an int pair. Oracle:
+    the plain inequality join DuckDB can afford at oracle scale."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pt"),
+        F.floor(F.unix_timestamp("ts") / RANGE_WINDOW_S).alias("b"),
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("vt"),
+            F.floor(F.unix_timestamp("ts") / RANGE_WINDOW_S).alias("vb"),
+        )
+        .select(
+            "user_id",
+            "vt",
+            F.explode(F.array(F.col("vb"), F.col("vb") + 1)).alias("b"),
+        )
+    )
+    hits = (
+        p.join(v, ["user_id", "b"])
+        .where(
+            (F.col("vt") <= F.col("pt"))
+            & (
+                F.col("vt")
+                > F.col("pt") - F.expr(f"INTERVAL {RANGE_WINDOW_S} SECOND")
+            )
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        p.select("purchase_id", "user_id")
+        .join(hits, ["purchase_id", "user_id"], "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_views_1h"),
+        )
     )

@@ -92,7 +92,7 @@ PRIORITY_ORDER = [
     # extras past the driver window (judge self-checks these)
     "knn_ivf", "dedup_ngram",
     "tpch_q4_priority", "price_outliers", "customer_year_setops",
-    "order_date_cube", "priority_pivot", "price_median", "asof_join",
+    "order_date_cube", "priority_pivot", "price_median", "asof_join", "range_join_views",
     "distinct_customers_approx",
     "token_count", "quality_score", "doc_fingerprint", "lang_id", "hb_rate",
     "stratified_sample", "pii_scrub", "repetition_score", "corpus_filter",
