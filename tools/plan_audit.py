@@ -115,6 +115,8 @@ AUDITS: dict[str, dict] = {
     "sequence_pack": {"codegen": True},
     "price_median": {"pruned": True, "codegen": True},
     "priority_pivot": {"pruned": True, "codegen": True},
+    "asof_join": {"pruned": True, "codegen": True},
+    "range_join_views": {"pruned": True, "codegen": True},
 }
 
 
