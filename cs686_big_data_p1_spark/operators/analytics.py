@@ -25,21 +25,51 @@ from ..tables import load_table
 
 
 def dec(c: str) -> Column:
-    return F.col(c).cast("decimal(18,6)")
+    return F.col(c).cast("decimal(12,6)")
+
+
+# Money math is fixed-point: every monetary column is scaled to an exact
+# 1e6 integer (decimal(38,0) Spark-side, HUGEINT oracle-side), summed in
+# integer space, and divided back to double ONCE at the end. A decimal
+# sum cast straight to double goes through scaled-int/1e12 DOUBLE
+# division in DuckDB, which drifts a ulp once the scaled total passes
+# 2^53 — this form makes both engines convert the SAME exact integer.
+def s6(c: str) -> Column:
+    """Column -> exact 1e6-scaled integer (decimal(38,0))."""
+    return (dec(c) * F.lit(1_000_000)).cast("decimal(38,0)")
+
+
+# The exact integer sum is converted to double via an explicit
+# quotient/remainder split (each piece fits int64), because a direct
+# 128-bit-integer -> double conversion is double-rounded in DuckDB and
+# drifts a ulp from Spark's correctly-rounded BigDecimal conversion.
+# Both engines evaluate the identical q + r/scale IEEE expression.
+def unscale(col_name: str, pow10: int) -> Column:
+    sc = 10**pow10
+    return F.expr(
+        f"CAST({col_name} div {sc} AS DOUBLE) "
+        f"+ CAST(CAST(pmod({col_name}, {sc}) AS BIGINT) AS DOUBLE) / {sc}.0"
+    )
+
+
+def disc_factor() -> Column:
+    return F.lit(1_000_000).cast("decimal(38,0)") - s6("l_discount")
+
+
+def rev_sum() -> Column:
+    """sum(price * (1 - discount)) as an exact 1e12-scaled integer sum."""
+    return F.sum(s6("l_extendedprice") * disc_factor())
 
 
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
-           AS sum_charge,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
-       CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+       (CAST((sum(CAST(CAST(l_quantity AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) // 1000000 AS DOUBLE) + CAST((sum(CAST(CAST(l_quantity AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) % 1000000 AS DOUBLE) / 1000000.0) AS sum_qty,
+       (CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) // 1000000 AS DOUBLE) + CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) % 1000000 AS DOUBLE) / 1000000.0) AS sum_base_price,
+       (CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT) * (1000000 - CAST(CAST(l_discount AS DECIMAL(12,6)) * 1000000 AS HUGEINT)))) // 1000000000000 AS DOUBLE) + CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT) * (1000000 - CAST(CAST(l_discount AS DECIMAL(12,6)) * 1000000 AS HUGEINT)))) % 1000000000000 AS DOUBLE) / 1000000000000.0) AS sum_disc_price,
+       (CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT) * (1000000 - CAST(CAST(l_discount AS DECIMAL(12,6)) * 1000000 AS HUGEINT)) * (1000000 + CAST(CAST(l_tax AS DECIMAL(12,6)) * 1000000 AS HUGEINT)))) // 1000000000000000000 AS DOUBLE) + CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT) * (1000000 - CAST(CAST(l_discount AS DECIMAL(12,6)) * 1000000 AS HUGEINT)) * (1000000 + CAST(CAST(l_tax AS DECIMAL(12,6)) * 1000000 AS HUGEINT)))) % 1000000000000000000 AS DOUBLE) / 1000000000000000000.0) AS sum_charge,
+       (CAST((sum(CAST(CAST(l_quantity AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) // 1000000 AS DOUBLE) + CAST((sum(CAST(CAST(l_quantity AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) % 1000000 AS DOUBLE) / 1000000.0) / count(*) AS avg_qty,
+       (CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) // 1000000 AS DOUBLE) + CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) % 1000000 AS DOUBLE) / 1000000.0) / count(*) AS avg_price,
+       (CAST((sum(CAST(CAST(l_discount AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) // 1000000 AS DOUBLE) + CAST((sum(CAST(CAST(l_discount AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) % 1000000 AS DOUBLE) / 1000000.0) / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -61,32 +91,35 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
+            F.sum(s6("l_quantity")).alias("_qty"),
+            F.sum(s6("l_extendedprice")).alias("_price"),
+            rev_sum().alias("_rev"),
             F.sum(
-                dec("l_extendedprice")
-                * (
-                    (F.lit(1.0) - F.col("l_discount"))
-                    * (F.lit(1.0) + F.col("l_tax"))
-                ).cast("decimal(18,6)")
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
-            (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+                s6("l_extendedprice")
+                * disc_factor()
+                * (F.lit(1_000_000).cast("decimal(38,0)") + s6("l_tax"))
+            ).alias("_charge"),
+            F.sum(s6("l_discount")).alias("_disc"),
             cnt.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            unscale("_qty", 6).alias("sum_qty"),
+            unscale("_price", 6).alias("sum_base_price"),
+            unscale("_rev", 12).alias("sum_disc_price"),
+            unscale("_charge", 18).alias("sum_charge"),
+            (unscale("_qty", 6) / F.col("count_order")).alias("avg_qty"),
+            (unscale("_price", 6) / F.col("count_order")).alias("avg_price"),
+            (unscale("_disc", 6) / F.col("count_order")).alias("avg_disc"),
+            "count_order",
         )
     )
 
 
 Q3_ORACLE = """
 SELECT l_orderkey,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+       (CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT) * (1000000 - CAST(CAST(l_discount AS DECIMAL(12,6)) * 1000000 AS HUGEINT)))) // 1000000000000 AS DOUBLE) + CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT) * (1000000 - CAST(CAST(l_discount AS DECIMAL(12,6)) * 1000000 AS HUGEINT)))) % 1000000000000 AS DOUBLE) / 1000000000000.0) AS revenue,
        o_orderdate
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -124,12 +157,12 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
+        .agg(rev_sum().alias("_rev"))
+        .select(
+            "l_orderkey",
+            unscale("_rev", 12).alias("revenue"),
+            "o_orderdate",
         )
-        .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -137,8 +170,7 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_ORACLE = """
 SELECT n_name,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+       (CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT) * (1000000 - CAST(CAST(l_discount AS DECIMAL(12,6)) * 1000000 AS HUGEINT)))) // 1000000000000 AS DOUBLE) + CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT) * (1000000 - CAST(CAST(l_discount AS DECIMAL(12,6)) * 1000000 AS HUGEINT)))) % 1000000000000 AS DOUBLE) / 1000000000000.0) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -180,11 +212,8 @@ def tpch_q5_localsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(rev_sum().alias("_rev"))
+        .select("n_name", unscale("_rev", 12).alias("revenue"))
     )
 
 
@@ -256,8 +285,7 @@ def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q17_ORACLE = """
 WITH part_avg AS (
   SELECT l_partkey,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-             / count(*) AS avg_price
+         (CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) // 1000000 AS DOUBLE) + CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) % 1000000 AS DOUBLE) / 1000000.0) / count(*) AS avg_price
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_extendedprice,
@@ -278,9 +306,15 @@ def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.5x threshold comparison bit-stable against the oracle.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    pa = l.groupBy("l_partkey").agg(
-        (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
-            "avg_price"
+    pa = (
+        l.groupBy("l_partkey")
+        .agg(
+            F.sum(s6("l_extendedprice")).alias("_price"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "l_partkey",
+            (unscale("_price", 6) / F.col("_n")).alias("avg_price"),
         )
     )
     return (
@@ -337,7 +371,7 @@ def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 DATE_CUBE_ORACLE = """
 SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+       (CAST((sum(CAST(CAST(o_totalprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) // 1000000 AS DOUBLE) + CAST((sum(CAST(CAST(o_totalprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) % 1000000 AS DOUBLE) / 1000000.0) AS sum_total
 FROM orders
 GROUP BY CUBE (year(o_orderdate), quarter(o_orderdate))
 """
@@ -356,16 +390,20 @@ def order_date_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").alias("q"),
         "o_totalprice",
     )
-    return o.cube("y", "q").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(dec("o_totalprice")).cast("double").alias("sum_total"),
+    return (
+        o.cube("y", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(s6("o_totalprice")).alias("_tot"),
+        )
+        .select("y", "q", "n_orders", unscale("_tot", 6).alias("sum_total"))
     )
 
 
 ROLLUP_ORACLE = """
 SELECT o_orderpriority, o_orderstatus,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_total
+       (CAST((sum(CAST(CAST(o_totalprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) // 1000000 AS DOUBLE) + CAST((sum(CAST(CAST(o_totalprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) % 1000000 AS DOUBLE) / 1000000.0) AS sum_total
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
@@ -379,9 +417,18 @@ def priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle, 3x the group rows, no extra passes over orders.
     """
     o = load_table(spark, sf_dir, "orders")
-    return o.rollup("o_orderpriority", "o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(dec("o_totalprice")).cast("double").alias("sum_total"),
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(s6("o_totalprice")).alias("_tot"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_orders",
+            unscale("_tot", 6).alias("sum_total"),
+        )
     )
 
 
