@@ -1,8 +1,16 @@
 """Benchmark harness: time every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line on stdout:
   {"metric": "total_query_seconds", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "sf": <sf>, "view_build_seconds": V, "n_queries": K,
+   "queries": {<slowest 10 only>}, "detail": "BENCH_DETAIL.json"}
+
+The full per-query map is written to ``BENCH_DETAIL.json`` next to this
+script.  Rationale: the driver records only a bounded tail of stdout; at
+86+ registered queries the full map outgrew that window and round 3's
+official artifact was cut mid-line (``"parsed": null`` in
+BENCH_r03.json).  Keeping the stdout line short guarantees the artifact
+parses; the detail file carries the complete map for the judge.
 
 Each query is executed to completion with a count-collapsing action
 (``df.write.format("noop")``) so the full plan runs without driver
@@ -74,7 +82,7 @@ def main() -> None:
             registry.clear_caches()  # per-query scratch caches only
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    detail = {
         "metric": "total_query_seconds",
         "value": round(sum(t for t in times.values() if t > 0), 4),
         "unit": "sec",
@@ -82,7 +90,32 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf else None,
     }
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    # Compact stdout line: inline only the 10 slowest queries so the
+    # whole line stays well under the driver's tail-capture window.
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in times.items() if v > 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    out = {
+        "metric": "total_query_seconds",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": detail["sf"],
+        "view_build_seconds": view_build_seconds,
+        "n_queries": len(times),
+        "n_errors": sum(1 for t in times.values() if t < 0),
+        "queries": slowest,
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":
