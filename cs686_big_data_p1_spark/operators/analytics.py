@@ -485,36 +485,82 @@ GROUP BY o_orderpriority
 """
 
 
+# Value-bucket width for the two-phase median. o_totalprice spans
+# ~[900, 600k), so 4096 gives ~150 histogram cells per priority; the
+# growth rule at 100 TB is narrower buckets (or a second histogram pass
+# inside the target bucket) so the filtered phase-2 set stays reducer-
+# sized — the histogram itself is a map-side-combined groupBy whose
+# output is #groups x #buckets rows regardless of table size.
+MEDIAN_BUCKET_W = 4096
+
+
 @query("price_median", oracle=MEDIAN_ORACLE)
 def price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group median by rank arithmetic: rank every order in
-    its priority group, keep the one (odd n) or two (even n) middle
-    rows, average them. No percentile built-ins — their interpolation
-    rules differ across engines, while row_number + one avg of <= 2
-    values is bit-identical everywhere. Tie-break on o_orderkey makes
-    the rank (hence the median row identity) deterministic.
+    """Exact per-group median, two-phase (no full per-group sort).
 
-    Scale: one window shuffle on the group key; the middle-row filter
-    discards everything else before the final tiny aggregation."""
+    Phase 1: histogram orders into (priority, floor(price/W)) cells —
+    a map-side-combinable groupBy — then, on that tiny aggregate,
+    running bucket counts locate which cell holds each group's middle
+    rank(s) m1=(n+1)//2, m2=(n+2)//2.  Phase 2: re-scan filtered to
+    ONLY those target cells via a broadcast semi-structure (<= 2 cells
+    per priority), rank within the cell (row_number ordered by price,
+    o_orderkey for a deterministic tie-break) offset by the cell's
+    start rank, keep global ranks {m1, m2}, and average the <= 2
+    values.
+
+    The r3 plan ranked EVERY order inside 5 priority partitions — a
+    5-reducer funnel at 100 TB (VERDICT item #3). Here no window ever
+    sees more than one histogram cell's rows; the only per-group
+    sequential step runs on the #priorities x #buckets histogram. The
+    oracle keeps the straightforward full-rank formulation — two
+    independent median implementations agreeing bit-for-bit (avg of
+    the same <= 2 doubles)."""
     from pyspark.sql.window import Window
 
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
+    bkt = F.floor(F.col("o_totalprice") / MEDIAN_BUCKET_W).cast("bigint")
+    hist = (
+        o.groupBy(F.col("o_orderpriority"), bkt.alias("bkt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_prev = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "o_orderpriority",
+        "bkt",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).alias("start_rank"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    m1 = F.floor((F.col("n") + 1) / 2)
+    m2 = F.floor((F.col("n") + 2) / 2)
+    end_rank = F.col("start_rank") + F.col("cnt")
+    targets = cum.where(
+        ((F.col("start_rank") < m1) & (m1 <= end_rank))
+        | ((F.col("start_rank") < m2) & (m2 <= end_rank))
+    ).select("o_orderpriority", "bkt", "start_rank", "n")
+    filtered = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        bkt.alias("bkt"),
+    ).join(F.broadcast(targets), ["o_orderpriority", "bkt"])
+    w_cell = Window.partitionBy("o_orderpriority", "bkt").orderBy(
         "o_totalprice", "o_orderkey"
     )
-    wc = Window.partitionBy("o_orderpriority")
-    ranked = o.select(
-        "o_orderpriority",
-        F.col("o_totalprice").cast("double").alias("v"),
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
-    mid = ranked.where(
+    rk = F.row_number().over(w_cell) + F.col("start_rank")
+    mid = filtered.withColumn("rk", rk).where(
         (F.col("rk") == F.floor((F.col("n") + 1) / 2))
         | (F.col("rk") == F.floor((F.col("n") + 2) / 2))
     )
     return mid.groupBy("o_orderpriority").agg(
-        F.avg("v").alias("median_price"),
+        F.avg(F.col("o_totalprice").cast("double")).alias("median_price"),
         F.max("n").cast("bigint").alias("n_orders"),
     )
 

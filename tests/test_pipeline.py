@@ -91,3 +91,34 @@ def test_hll_sketch_within_tolerance(spark, registry):
         assert abs(r.approx_custs - r.exact_custs) <= max(
             0.1 * r.exact_custs, 5
         ), (r.order_year, r.approx_custs, r.exact_custs)
+
+
+def test_sharded_sequence_pack_matches_unsharded(spark):
+    """VERDICT r3 #2: the (lang, shard) two-level running sum must
+    reproduce the language-wide running sum exactly, on a pathological
+    single-language corpus (the shape that funnels the unsharded window
+    through one reducer)."""
+    from cs686_big_data_p1_spark.operators.pipeline import (
+        pack_sequences,
+        pack_sequences_unsharded,
+    )
+
+    n = 4000
+    rows = [(i, "en", 1 + (i * 37) % 90) for i in range(n)]
+    base = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, n_tokens int"
+    ).repartition(32)
+
+    span = 256  # n/span ~ 16 shards — the sharding genuinely engages
+    sharded = {
+        r.doc_id: (r.lang, r.n_tokens, r.seq_id)
+        for r in pack_sequences(base, span).collect()
+    }
+    unsharded = {
+        r.doc_id: (r.lang, r.n_tokens, r.seq_id)
+        for r in pack_sequences_unsharded(base).collect()
+    }
+    assert sharded == unsharded
+    assert len(sharded) == n
+    # sanity: packing really spans many sequences, not a degenerate 1
+    assert len({v[2] for v in sharded.values()}) > 100

@@ -47,3 +47,49 @@ def test_guard_detects_forced_fact_broadcast(spark, no_auto_broadcast):
         l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
     )
     assert broadcast_fact_tables(bad_plan, FACT_TABLES) == ["orders"]
+
+
+def test_price_median_no_full_table_price_sort(spark, registry):
+    """VERDICT r3 #3: the two-phase median must never sort the raw
+    orders scan by price inside the 5 priority partitions. Any Sort
+    touching o_totalprice must (a) include the histogram bucket in its
+    key and (b) sit above the bucket-filter join — i.e. it orders only
+    the <= 2 target cells per priority, not the whole table."""
+    import re
+
+    plan = formatted_plan(registry.QUERIES["price_median"](spark, SF_SMALL))
+    nodes = {n.id: n for n in __import__(
+        "cs686_big_data_p1_spark.plans", fromlist=["parse_tree"]
+    ).parse_tree(plan)}
+
+    args: dict[int, str] = {}
+    current = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) [A-Za-z]", line)
+        if m:
+            current = int(m.group(1))
+            continue
+        if current is not None:
+            a = re.match(r"^Arguments: (.*)$", line)
+            if a:
+                args[current] = a.group(1)
+
+    price_sorts = [
+        n for n in nodes.values()
+        if n.name.startswith("Sort") and "o_totalprice" in args.get(n.id, "")
+    ]
+    assert price_sorts, "expected a cell-local sort in the median plan"
+    for n in price_sorts:
+        assert "bkt" in args[n.id], (
+            f"Sort({n.id}) orders by price without the histogram bucket: "
+            f"{args[n.id]}"
+        )
+        sub: list[str] = []
+        todo = [n]
+        while todo:
+            cur = todo.pop()
+            sub.append(cur.name)
+            todo.extend(cur.children)
+        assert any("Join" in s for s in sub), (
+            f"Sort({n.id}) runs before the target-bucket filter join"
+        )
