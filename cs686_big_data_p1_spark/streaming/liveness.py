@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import SCHEMAS
-from ..views import N_NODES
+from ..views import N_NODES, oracle
 
 
 def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +72,16 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     return stream_df.sparkSession.table(name)
 
 
-@query("stream_node_last_seen")
+NODE_LAST_SEEN_ORACLE = oracle(
+    """
+SELECT host, port, max(ts) AS last_ts
+FROM heartbeats
+GROUP BY host, port
+"""
+)
+
+
+@query("stream_node_last_seen", oracle=NODE_LAST_SEEN_ORACLE)
 def stream_node_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 state: per-node latest heartbeat, maintained incrementally in
     the streaming state store (the relational form of
@@ -85,12 +94,47 @@ def stream_node_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
-@query("stream_hb_session")
+# The append-mode stream emits a session only once the watermark (max
+# event time - 40 min) has passed its end (last beat + 30 min gap), so
+# the oracle is the batch gaps-and-islands session list FILTERED by the
+# same finalization predicate — per-node trailing sessions that were
+# still extendable when the stream drained are (correctly) withheld.
+HB_SESSION_STREAM_ORACLE = oracle(
+    """
+WITH flagged AS (
+  SELECT host, port, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY host, port ORDER BY ts, hb_id)
+                   IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY host, port ORDER BY ts, hb_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM heartbeats
+),
+sessions AS (
+  SELECT host, port, ts,
+         sum(new_session) OVER (PARTITION BY host, port ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT host, port,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_beats
+FROM sessions
+GROUP BY host, port, session_id
+HAVING max(ts) + INTERVAL 30 MINUTE
+       <= (SELECT max(ts) FROM heartbeats) - INTERVAL 40 MINUTE
+"""
+)
+
+
+@query("stream_hb_session", oracle=HB_SESSION_STREAM_ORACLE)
 def stream_hb_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 session ends: watermarked session windows (30 min gap) per
     node. A session closing = the node going silent — the streaming
     analog of HeartbeatMonitor's timeout scan. Watermark bounds state;
-    append mode emits each session exactly once when it finalizes."""
+    append mode emits each session exactly once when it finalizes
+    (session_end <= final watermark; the oracle mirrors the predicate)."""
     hb = heartbeat_stream(spark, sf_dir)
     sess = (
         hb.withWatermark("ts", "40 minutes")
