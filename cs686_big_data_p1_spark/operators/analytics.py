@@ -45,6 +45,12 @@ def s6(c: str) -> Column:
 # drifts a ulp from Spark's correctly-rounded BigDecimal conversion.
 # Both engines evaluate the identical q + r/scale IEEE expression.
 def unscale(col_name: str, pow10: int) -> Column:
+    """PRECONDITION: the scaled total must be NONNEGATIVE. Spark's
+    truncating `div` + positive-remainder `pmod` here pair with the
+    oracle side's floor `//` + sign-following `%` — the two agree only
+    for nonnegative operands, so reusing this helper on a column that
+    can go negative silently breaks the ulp-exact contract. All current
+    money columns (prices, quantities, discounts) are nonnegative."""
     sc = 10**pow10
     return F.expr(
         f"CAST({col_name} div {sc} AS DOUBLE) "

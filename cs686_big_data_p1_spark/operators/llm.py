@@ -327,6 +327,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(CLUSTER_MAX_ITERS):
         neigh = (
             edges.join(labels, edges.doc_a == labels.v)
@@ -345,8 +346,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Never return silently-wrong labels: a component with diameter
+        # > CLUSTER_MAX_ITERS would leave stale (non-minimal) labels,
+        # and an oracle mismatch would otherwise be the first symptom.
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not reach the "
+            f"fixpoint within CLUSTER_MAX_ITERS={CLUSTER_MAX_ITERS} rounds "
+            "(pair-graph component diameter exceeds the bound); raise "
+            "CLUSTER_MAX_ITERS for this corpus"
+        )
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
     )

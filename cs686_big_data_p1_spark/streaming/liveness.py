@@ -25,6 +25,7 @@ streaming), so no oracle entry.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +33,31 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import SCHEMAS
 from ..views import N_NODES, oracle
+
+
+_NANOS_KEY = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@contextmanager
+def nanos_as_long(spark: SparkSession):
+    """Scope the legacy nanos-as-long parquet flag to one streaming
+    query's build+drain, restoring the prior value afterwards — so the
+    global timestamp-interpretation change never leaks into subsequent
+    queries on a shared session (order-dependent behavior, r3 ADVICE).
+    heartbeat_stream still sets the flag unconditionally (required
+    while the stream executes); this wrapper is what un-sets it."""
+    old = spark.conf.get(_NANOS_KEY, None)
+    spark.conf.set(_NANOS_KEY, "true")
+    try:
+        yield
+    finally:
+        if old is None:
+            try:
+                spark.conf.unset(_NANOS_KEY)
+            except Exception:  # noqa: BLE001 — session may be stopping
+                pass
+        else:
+            spark.conf.set(_NANOS_KEY, old)
 
 
 def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,9 +115,10 @@ def stream_node_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Complete-mode aggregation: state is one row per node — bounded by
     cluster size, the canonical streaming-agg shape."""
-    hb = heartbeat_stream(spark, sf_dir)
-    agg = hb.groupBy("host", "port").agg(F.max("ts").alias("last_ts"))
-    return _run_to_memory(agg, "complete")
+    with nanos_as_long(spark):
+        hb = heartbeat_stream(spark, sf_dir)
+        agg = hb.groupBy("host", "port").agg(F.max("ts").alias("last_ts"))
+        return _run_to_memory(agg, "complete")
 
 
 # The append-mode stream emits a session only once the watermark (max
@@ -135,20 +162,23 @@ def stream_hb_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog of HeartbeatMonitor's timeout scan. Watermark bounds state;
     append mode emits each session exactly once when it finalizes
     (session_end <= final watermark; the oracle mirrors the predicate)."""
-    hb = heartbeat_stream(spark, sf_dir)
-    sess = (
-        hb.withWatermark("ts", "40 minutes")
-        .groupBy("host", "port", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_beats"))
-        .select(
-            "host",
-            "port",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_beats",
+    with nanos_as_long(spark):
+        hb = heartbeat_stream(spark, sf_dir)
+        sess = (
+            hb.withWatermark("ts", "40 minutes")
+            .groupBy(
+                "host", "port", F.session_window("ts", "30 minutes").alias("w")
+            )
+            .agg(F.count(F.lit(1)).alias("n_beats"))
+            .select(
+                "host",
+                "port",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_beats",
+            )
         )
-    )
-    return _run_to_memory(sess, "append")
+        return _run_to_memory(sess, "append")
 
 
 @query("stream_corruption_alerts")
@@ -162,27 +192,30 @@ def stream_corruption_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream never shuffles."""
     from ..views import checksums_stored_df, chunks_df, replicas_df
 
-    hb = heartbeat_stream(spark, sf_dir).select("host", "port", "ts")
-    holds = replicas_df(spark, sf_dir)
-    bad = (
-        chunks_df(spark, sf_dir)
-        .select("filename", "sequence_no", F.col("checksum").alias("computed"))
-        .join(
-            checksums_stored_df(spark, sf_dir).select(
-                "filename", "sequence_no", F.col("checksum").alias("stored")
-            ),
-            ["filename", "sequence_no"],
+    with nanos_as_long(spark):
+        hb = heartbeat_stream(spark, sf_dir).select("host", "port", "ts")
+        holds = replicas_df(spark, sf_dir)
+        bad = (
+            chunks_df(spark, sf_dir)
+            .select(
+                "filename", "sequence_no", F.col("checksum").alias("computed")
+            )
+            .join(
+                checksums_stored_df(spark, sf_dir).select(
+                    "filename", "sequence_no", F.col("checksum").alias("stored")
+                ),
+                ["filename", "sequence_no"],
+            )
+            .where(F.col("computed") != F.col("stored"))
+            .join(holds, ["filename", "sequence_no"])
+            .select("host", "port", "filename", "sequence_no")
         )
-        .where(F.col("computed") != F.col("stored"))
-        .join(holds, ["filename", "sequence_no"])
-        .select("host", "port", "filename", "sequence_no")
-    )
-    alerts = (
-        hb.dropDuplicates(["host", "port"])  # first beat per node triggers scan
-        .join(F.broadcast(bad), ["host", "port"])
-        .select("host", "port", "filename", "sequence_no")
-    )
-    return _run_to_memory(alerts, "append")
+        alerts = (
+            hb.dropDuplicates(["host", "port"])  # first beat triggers scan
+            .join(F.broadcast(bad), ["host", "port"])
+            .select("host", "port", "filename", "sequence_no")
+        )
+        return _run_to_memory(alerts, "append")
 
 
 @query("stream_dedup_exact")
@@ -217,13 +250,13 @@ def stream_event_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     switch in controller/MessageProcessor.java:35-68 as a complete-mode
     streaming aggregation; state is one counter per message variant,
     bounded by the 18-variant wire IR). Batch analog: event_dispatch."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from ..tables import SCHEMAS
 
-    ev = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return _run_to_memory(counts, "complete")
+    with nanos_as_long(spark):
+        ev = (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        return _run_to_memory(counts, "complete")

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..operators.dfs_meta import replication_orders
 from ..registry import query
 from ..views import MAX_HEARTBEAT_AGE_SQL
-from .liveness import heartbeat_stream
+from .liveness import heartbeat_stream, nanos_as_long
 
 
 @query("stream_replication_orders")
@@ -41,9 +41,6 @@ def stream_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream→join→window composition is not single-statement
     SQL-expressible; the batch analog replication_orders carries the
     oracle, and the parity pytest pins stream ≡ batch)."""
-    hb = heartbeat_stream(spark, sf_dir).select("host", "port", "ts")
-    last_seen = hb.groupBy("host", "port").agg(F.max("ts").alias("last_ts"))
-
     result: dict[str, DataFrame] = {}
 
     def emit_orders(snapshot: DataFrame, batch_id: int) -> None:
@@ -62,11 +59,24 @@ def stream_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize now: the snapshot frame dies with the micro-batch
         result["orders"] = orders.localCheckpoint(eager=True)
 
-    q = (
-        last_seen.writeStream.outputMode("complete")
-        .foreachBatch(emit_orders)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with nanos_as_long(spark):
+        hb = heartbeat_stream(spark, sf_dir).select("host", "port", "ts")
+        last_seen = hb.groupBy("host", "port").agg(
+            F.max("ts").alias("last_ts")
+        )
+        q = (
+            last_seen.writeStream.outputMode("complete")
+            .foreachBatch(emit_orders)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if "orders" not in result:
+        # No micro-batch fired (empty/missing heartbeat fixture):
+        # fail descriptively instead of a bare KeyError.
+        raise RuntimeError(
+            "stream_replication_orders: heartbeat source produced no "
+            f"micro-batch under {sf_dir!r} (missing or empty events "
+            "fixture) — no liveness snapshot to derive orders from"
+        )
     return result["orders"]

@@ -52,7 +52,7 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..views import oracle
-from .liveness import _run_to_memory, heartbeat_stream
+from .liveness import _run_to_memory, heartbeat_stream, nanos_as_long
 
 MAX_HEARTBEAT_AGE = datetime.timedelta(milliseconds=30000)  # dfs.properties:3
 MAX_HEARTBEAT_AGE_MS = 30000
@@ -129,7 +129,12 @@ def _track_node(
     host, port = key
     if state.hasTimedOut:
         last_us, n, first_us = state.get
-        state.remove()
+        # Keep the accumulated (first_ts, n_beats) history instead of
+        # state.remove(): if the node resurrects in a later micro-batch
+        # the fold continues from the full history — matching the
+        # registered oracle, which aggregates ALL of a node's
+        # heartbeats. The death timer is not re-armed; a later beat
+        # re-arms it on the update path below.
         yield _state_row(host, port, first_us, last_us, n, "dead")
         return
     if state.exists:
@@ -162,21 +167,22 @@ def stream_liveness_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time timeout against the global watermark. The drained final
     state is a plain aggregation, so it carries a full DuckDB oracle;
     tests additionally assert batch parity and that silent nodes die."""
-    hb = (
-        heartbeat_stream(spark, sf_dir)
-        .select("host", "port", "ts")
-        # delay 0 s: the watermark IS the max event time across all
-        # nodes — the stream horizon the death timers compare against
-        .withWatermark("ts", "0 seconds")
-    )
-    tracked = hb.groupBy("host", "port").applyInPandasWithState(
-        _track_node,
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
-    out = _run_to_memory(tracked, "update")
+    with nanos_as_long(spark):
+        hb = (
+            heartbeat_stream(spark, sf_dir)
+            .select("host", "port", "ts")
+            # delay 0 s: the watermark IS the max event time across all
+            # nodes — the stream horizon the death timers compare against
+            .withWatermark("ts", "0 seconds")
+        )
+        tracked = hb.groupBy("host", "port").applyInPandasWithState(
+            _track_node,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        out = _run_to_memory(tracked, "update")
     # The update-mode memory sink appends every micro-batch's rows;
     # reduce to the final verdict per node. A timeout ('dead') row ties
     # with its preceding 'alive' row on (last_ts, n_beats), so 'dead'
