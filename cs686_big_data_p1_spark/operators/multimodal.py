@@ -11,15 +11,15 @@ The Spark-native shape for that is exactly what this module implements:
   * frame sampling is a batch-shape-changing generator (one input row
     -> n output rows) — the mapInPandas iterator contract, not explode.
 
-The codec layer is REAL for the two uncompressed formats a pure-numpy
-parser can handle — 24-bpp BMP (decode_image) and 16-bit PCM WAV
-(decode_audio) — so `media_features` runs a genuine decode for image
-and audio rows (over media_encoded_df's real BMP/WAV payloads).
-Compressed formats (JPEG/PNG/FLAC/MP4) would wire PIL/soundfile/av
-into the same contract; absent those libraries, video rows use
-`fake_decode` (deterministic byte-level interpretation). Schemas,
-Arrow batching, generator fan-out, and partitioning are identical
-across both paths and fully tested (tests/test_multimodal.py).
+The codec layer is REAL for all three modalities, each an uncompressed
+container a pure-numpy parser can handle: 24-bpp BMP (decode_image),
+16-bit PCM WAV (decode_audio), and Cmono YUV4MPEG2/Y4M
+(decode_video) — so `media_features` runs a genuine decode for every
+row of media_encoded_df's real BMP/WAV/Y4M payloads. Compressed
+formats (JPEG/PNG/FLAC/MP4) would wire PIL/soundfile/av into the same
+(payload) -> array contract; those libraries are not in this
+container. Schemas, Arrow batching, generator fan-out, and
+partitioning are fully tested (tests/test_multimodal.py).
 
 The media table itself is derived deterministically from the documents
 fixture (md5-block payloads), so `media_metadata` is DuckDB-checkable:
@@ -206,11 +206,58 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0, rate
 
 
-def fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for codecs this container lacks
-    (video): interpret the raw bytes as the decoded signal. Keeps every
-    downstream shape (float array in, features out) identical."""
-    return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+def encode_y4m(frames: np.ndarray) -> bytes:
+    """(T, H, W) uint8 luma frames -> YUV4MPEG2 (Y4M) bytes, Cmono
+    colorspace (Y plane only) — the uncompressed streaming container
+    mjpegtools/ffmpeg exchange raw video in. Pure byte concatenation:
+    one ASCII stream header, then FRAME-delimited raw planes."""
+    t, h, w = frames.shape
+    assert frames.dtype == np.uint8
+    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode("ascii")
+    return header + b"".join(b"FRAME\n" + f.tobytes() for f in frames)
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    """Y4M decode (Cmono): parse the stream header for W/H/colorspace,
+    then split the FRAME-delimited Y planes -> (T, H, W) uint8. Pure
+    numpy — no codec libraries (closes the r3 'video still fake_decode'
+    gap the same way BMP/WAV did for image/audio)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing Y4M stream-header terminator")
+    w = h = None
+    colorspace = "420"  # Y4M default when the C tag is absent
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok[1:].decode("ascii")
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "mono":
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+    frame_len = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME header")
+        fnl = payload.find(b"\n", pos)  # FRAME may carry params; skip to \n
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        pos = fnl + 1
+        plane = payload[pos : pos + frame_len]
+        if len(plane) < frame_len:
+            raise ValueError("truncated frame plane")
+        frames.append(np.frombuffer(plane, np.uint8).reshape(h, w))
+        pos += frame_len
+    if not frames:
+        return np.empty((0, h, w), np.uint8)
+    return np.stack(frames)
 
 
 def _pseudo_bytes(doc_id: int, n: int) -> bytes:
@@ -242,11 +289,10 @@ MEDIA_SCHEMA = (
 
 
 def media_encoded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> media rows whose image/audio payloads are REAL
-    encoded containers (24-bpp BMP / PCM16 WAV over deterministic
-    pseudo-random content), so downstream decode is genuine parsing,
-    not reinterpretation. Video payloads stay raw md5-block bytes
-    (no dependency-free video container format exists).
+    """documents -> media rows whose payloads are REAL encoded
+    containers — 24-bpp BMP (image), PCM16 WAV (audio), Cmono Y4M
+    (video) — over deterministic pseudo-random content, so downstream
+    decode is genuine parsing for all three modalities.
 
     Encoding runs Arrow-batched in mapInPandas — in production payloads
     arrive already encoded and this builder is replaced by the ingest
@@ -275,10 +321,11 @@ def media_encoded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     payload, sample_rate = encode_wav(samples, rate), rate
                 else:
-                    payload = _pseudo_bytes(
-                        doc_id, 16 * (1 + doc_id % PAYLOAD_BLOCKS_MOD)
-                    )
                     n_frames = 4 + doc_id % 5
+                    frames = np.frombuffer(
+                        _pseudo_bytes(doc_id, n_frames * h * w), np.uint8
+                    ).reshape(n_frames, h, w)
+                    payload, width, height = encode_y4m(frames), w, h
                 rows["doc_id"].append(doc_id)
                 rows["media_type"].append(kind)
                 rows["payload"].append(payload)
@@ -304,7 +351,7 @@ def decoded_signal(media_type: str, payload: bytes) -> tuple[np.ndarray, tuple]:
         return decode_image(payload).astype(np.float64).ravel(), (0, 256)
     if media_type == "audio":
         return decode_audio(payload)[0], (-1, 1)
-    return fake_decode(payload), (0, 256)
+    return decode_video(payload).astype(np.float64).ravel(), (0, 256)
 
 
 def _features_batches(
@@ -312,7 +359,7 @@ def _features_batches(
 ) -> Iterator[pd.DataFrame]:
     """Arrow-batched decode + feature extraction: one call per batch;
     emits a fixed 4-bucket histogram 'embedding' over the DECODED
-    signal (pixels for BMP, waveform for WAV, raw bytes for video).
+    signal (pixels for BMP, waveform for WAV, luma planes for Y4M).
     n_bytes stays the encoded payload size (the storage cost)."""
     for pdf in batches:
         n_bytes, means, rmss, hists = [], [], [], []
@@ -343,12 +390,11 @@ def _features_batches(
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature extraction over encoded binary payloads via
     mapInPandas (the Pandas-UDF slow path, used only where built-ins
-    genuinely cannot: container parsing and signal math). Image rows
-    run the real BMP decoder, audio rows the real WAV decoder; video
-    falls back to fake_decode (no dependency-free container format).
+    genuinely cannot: container parsing and signal math). Every row
+    runs a real decoder — BMP for image, WAV for audio, Y4M for video.
     Rows-only correctness check by design — the per-element pipeline is
     pinned by tests/test_multimodal.py against an independent Python
-    recompute of both codecs.
+    recompute of all three codecs.
 
     Scale: work is per-row and embarrassingly parallel; Arrow moves
     each partition's payload column to Python once per batch; no
@@ -380,6 +426,36 @@ def sample_frames(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(gen, "doc_id long, frame_no int, frame binary")
+
+
+def sample_decoded_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Real frame sampling over ENCODED video rows: decode the Y4M
+    container and emit every k-th luma plane as its own row — the
+    decode-then-subsample shape a production video pipeline uses
+    (sample_frames above is the container-agnostic byte-slice variant
+    over the metadata table). One input row -> ceil(T/k) output rows
+    via the batch-shape-changing mapInPandas generator; no shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_no": [], "height": [], "width": [],
+                "frame": [],
+            }
+            vids = pdf[pdf["media_type"] == "video"]
+            for doc_id, payload in zip(vids["doc_id"], vids["payload"]):
+                frames = decode_video(bytes(payload))
+                for i in range(0, frames.shape[0], every_k):
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["height"].append(frames.shape[1])
+                    out["width"].append(frames.shape[2])
+                    out["frame"].append(frames[i].tobytes())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        gen, "doc_id long, frame_no int, height int, width int, frame binary"
+    )
 
 
 def payload_fingerprint(payload: bytes) -> str:
