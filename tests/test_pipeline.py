@@ -122,3 +122,61 @@ def test_sharded_sequence_pack_matches_unsharded(spark):
     assert len(sharded) == n
     # sanity: packing really spans many sequences, not a degenerate 1
     assert len({v[2] for v in sharded.values()}) > 100
+
+
+LABELED_SENTENCES = [
+    ("en", "the quick brown fox jumped over the lazy dog and ran away"),
+    ("en", "she said that it was one of the best films they had seen"),
+    ("en", "we do not know what all of this means for your plans"),
+    ("en", "there are many reasons to be happy with how it went"),
+    ("de", "der schnelle braune fuchs sprang über den faulen hund und lief davon"),
+    ("de", "sie sagte dass es einer der besten filme ist die sie gesehen hat"),
+    ("de", "wir wissen nicht was das alles für ihre pläne bedeutet"),
+    ("de", "es gibt viele gründe mit dem ergebnis zufrieden zu sein"),
+    ("es", "el rápido zorro marrón saltó sobre el perro perezoso y se fue"),
+    ("es", "ella dijo que era una de las mejores películas que había visto"),
+    ("es", "no sabemos lo que todo esto significa para sus planes"),
+    ("es", "hay muchas razones para estar contentos con el resultado"),
+    ("fr", "le rapide renard brun a sauté par dessus le chien paresseux"),
+    ("fr", "elle a dit que c était un des meilleurs films qu ils ont vus"),
+    ("fr", "nous ne savons pas ce que tout cela signifie pour leurs plans"),
+    ("fr", "il y a de nombreuses raisons d être content du résultat"),
+    ("it", "la rapida volpe marrone è saltata sopra il cane pigro"),
+    ("it", "ha detto che era uno dei migliori film che hanno visto"),
+    ("it", "non sappiamo che cosa tutto questo significa per i suoi piani"),
+    ("it", "ci sono molte ragioni per essere contenti di come è andata"),
+]
+
+TOY_LEXICON_R3 = [
+    ("en", "the"), ("en", "a"), ("en", "fast"), ("en", "slow"),
+    ("de", "hash"), ("de", "vector"), ("de", "filter"),
+    ("es", "data"), ("es", "group"), ("es", "row"),
+    ("fr", "window"), ("fr", "agg"), ("fr", "query"),
+    ("zh", "spark"), ("zh", "join"), ("zh", "merge"),
+]
+
+
+def test_lang_id_real_lexicon_accuracy(spark):
+    """VERDICT r3 #6: on genuine labeled sentences the stopword lexicon
+    must classify (near-)perfectly and strictly beat the r3 toy
+    lexicon, making the operator's OUTPUT trustworthy, not just its
+    plan shape."""
+    from cs686_big_data_p1_spark.operators.llm import classify_language
+
+    docs = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in enumerate(LABELED_SENTENCES)],
+        "doc_id long, lang string, text string",
+    )
+    truth = {i: lang for i, (lang, _) in enumerate(LABELED_SENTENCES)}
+
+    def accuracy(lexicon):
+        pred = {
+            r.doc_id: r.predicted_lang
+            for r in classify_language(docs, lexicon=lexicon).collect()
+        }
+        return sum(pred.get(i) == truth[i] for i in truth) / len(truth)
+
+    real_acc = accuracy(None)
+    toy_acc = accuracy(TOY_LEXICON_R3)
+    assert real_acc >= 0.9, f"real lexicon accuracy {real_acc}"
+    assert real_acc > toy_acc, (real_acc, toy_acc)
