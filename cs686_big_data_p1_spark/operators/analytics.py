@@ -675,6 +675,130 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucket width for the bounded-window as-of variant. Growth rule at
+# 100 TB: pick the width so one (user, bucket) slice fits a reducer;
+# the carry table is one row per ACTIVE (user, bucket) — orders of
+# magnitude smaller than the event stream — so its per-user window is
+# the only sequential step and it runs on aggregates, never raw events.
+ASOF_BUCKET_S = 6 * 3600
+
+
+def asof_join_bucketed_frames(
+    views: DataFrame, purchases: DataFrame, bucket_s: int = ASOF_BUCKET_S
+) -> DataFrame:
+    """Bounded-window as-of join (the 100 TB form of asof_join).
+
+    asof_join's single per-user window is exact but unbounded: one
+    hyperactive user serializes through one reducer. Here every window
+    is bounded by the time bucket:
+
+      1. per-(user, bucket) LAST VIEW — a map-side-combinable groupBy
+         (max of a (t, event_id) struct);
+      2. CARRY = as-of state at each bucket start — last non-null
+         aggregate over the user's PRECEDING buckets, a window over the
+         tiny (user, active-bucket) table, then injected into the
+         bucket as a synthetic boundary row sorting before all events
+         (the docstring'd boundary-row duplication);
+      3. the same union + last(ignorenulls) resolution as asof_join,
+         but partitioned by (user, bucket) — bounded partitions.
+
+    Inputs: views (user_id, t, event_id) deduped to one row per
+    (user, t); purchases (user_id, t, purchase_id). Output schema and
+    semantics are identical to asof_join (pytest-pinned parity; the
+    registered query shares its DuckDB ASOF JOIN oracle)."""
+    from pyspark.sql.window import Window
+
+    bkt = lambda: F.floor(F.unix_timestamp("t") / bucket_s).cast("bigint")  # noqa: E731
+    v = views.select("user_id", "t", "event_id", bkt().alias("bkt"))
+    p = purchases.select("user_id", "t", "purchase_id", bkt().alias("bkt"))
+    last_view = v.groupBy("user_id", "bkt").agg(
+        F.max(F.struct("t", "event_id")).alias("lv")
+    )
+    buckets = (
+        last_view.select("user_id", "bkt")
+        .union(p.select("user_id", "bkt"))
+        .distinct()
+    )
+    w_carry = (
+        Window.partitionBy("user_id")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = buckets.join(last_view, ["user_id", "bkt"], "left").select(
+        "user_id",
+        "bkt",
+        F.last("lv", ignorenulls=True).over(w_carry).alias("carry"),
+    )
+    carry_rows = carry.select(
+        "user_id",
+        "bkt",
+        F.timestamp_seconds(F.col("bkt") * bucket_s).alias("t"),
+        F.lit(-1).alias("side"),  # sorts before any event at bucket start
+        F.col("carry.event_id").alias("view_id"),
+        F.col("carry.t").alias("view_ts"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    view_rows = v.select(
+        "user_id",
+        "bkt",
+        "t",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("view_id"),
+        F.col("t").alias("view_ts"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    purchase_rows = p.select(
+        "user_id",
+        "bkt",
+        "t",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("view_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        "purchase_id",
+    )
+    un = carry_rows.unionByName(view_rows).unionByName(purchase_rows)
+    w = (
+        Window.partitionBy("user_id", "bkt")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = un.select(
+        "user_id",
+        "t",
+        "side",
+        "purchase_id",
+        F.last("view_id", ignorenulls=True).over(w).alias("asof_view_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("asof_view_ts"),
+    )
+    return matched.where(F.col("side") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.col("t").alias("purchase_ts"),
+        "asof_view_id",
+        "asof_view_ts",
+    )
+
+
+@query("asof_join_bucketed", oracle=ASOF_ORACLE)
+def asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_join's bounded-window form on the events fixture — same
+    output, same DuckDB ASOF JOIN oracle, but no unbounded per-user
+    window anywhere in the plan (see asof_join_bucketed_frames)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("user_id", F.col("ts").alias("t"), "event_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return asof_join_bucketed_frames(views, purchases)
+
+
 RANGE_WINDOW_S = 3600  # the attribution lookback window
 
 RANGE_JOIN_ORACLE = """

@@ -135,3 +135,53 @@ def test_salted_manifest_rollup_matches_unsalted(spark):
     assert salted == unsalted
     assert len(salted["bigfile.dat"]) == n
     assert salted["bigfile.dat"] == sorted(salted["bigfile.dat"])
+
+
+def test_asof_bucketed_matches_unbounded(spark, registry):
+    """VERDICT r3 #7: the (user, time-bucket) bounded-window as-of join
+    must reproduce the unbounded per-user window's output exactly —
+    on the events fixture AND on a pathological single-user stream
+    whose matches must carry across many empty buckets."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.operators.analytics import (
+        asof_join_bucketed_frames,
+    )
+
+    def as_set(df):
+        return {
+            (r.purchase_id, r.user_id, r.purchase_ts,
+             r.asof_view_id, r.asof_view_ts)
+            for r in df.collect()
+        }
+
+    # 1. fixture parity: registered bucketed query vs registered asof_join
+    got = as_set(registry.QUERIES["asof_join_bucketed"](spark, SF_SMALL))
+    want = as_set(registry.QUERIES["asof_join"](spark, SF_SMALL))
+    assert got == want and got
+
+    # 2. single user, one view, purchases hours later (tiny 60 s
+    # buckets): the carry must propagate across dozens of empty buckets
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    views = spark.createDataFrame(
+        [(1, t0, 100)], "user_id long, t timestamp, event_id long"
+    )
+    purchases = spark.createDataFrame(
+        [
+            (1, t0 + datetime.timedelta(hours=h), 200 + h)
+            for h in range(1, 6)
+        ]
+        + [(1, t0 - datetime.timedelta(hours=1), 199)],  # before any view
+        "user_id long, t timestamp, purchase_id long",
+    )
+    rows = {
+        r.purchase_id: (r.asof_view_id, r.asof_view_ts)
+        for r in asof_join_bucketed_frames(
+            views, purchases, bucket_s=60
+        ).collect()
+    }
+    assert rows[199] == (None, None)
+    for h in range(1, 6):
+        assert rows[200 + h] == (100, t0)
