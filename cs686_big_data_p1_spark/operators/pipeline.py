@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..registry import query
+from ..registry import query, track_cache
 from ..tables import load_table
 
 # stratum -> md5-prefix threshold (2 hex chars = rate*256). en is the
@@ -505,3 +505,101 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
     )
     return pack_sequences(base, PACK_SHARD_SPAN)
+
+
+# Word-gram width for decontamination. 8 consecutive words is the
+# conventional benchmark-decontamination unit (long enough that an
+# accidental match is vanishingly unlikely in natural text; short
+# enough to catch paraphrase-free copying).
+DECON_N = 8
+
+DECONTAMINATE_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+         substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+  FROM documents
+),
+doc_grams AS (
+  SELECT DISTINCT doc_id, b,
+         array_to_string(w[i : i + {DECON_N} - 1], ' ') AS g
+  FROM (SELECT doc_id, b, string_split(text, ' ') AS w,
+               unnest(generate_series(
+                   1, len(string_split(text, ' ')) - {DECON_N - 1})) AS i
+        FROM tagged)
+),
+test_grams AS (
+  SELECT DISTINCT g FROM doc_grams WHERE b >= '{SPLIT_BOUNDS[1]}'
+),
+train_grams AS (
+  SELECT doc_id, g FROM doc_grams WHERE b < '{SPLIT_BOUNDS[0]}'
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM train_grams GROUP BY doc_id
+),
+hits AS (
+  SELECT tg.doc_id, count(*) AS n_shared
+  FROM train_grams tg JOIN test_grams t ON tg.g = t.g
+  GROUP BY tg.doc_id
+)
+SELECT h.doc_id, s.n_grams, h.n_shared,
+       CAST(h.n_shared AS DOUBLE) / s.n_grams AS contamination
+FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+"""
+
+
+@query("decontaminate", oracle=DECONTAMINATE_ORACLE)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train-split documents sharing any
+    word {DECON_N}-gram with the held-out test split (the standard
+    pre-training hygiene pass — GPT-3 App. C / PaLM-style n-gram
+    overlap), reusing dataset_split's keyed-hash membership so the two
+    queries agree on what "test" means.
+
+    Shape: this is a SEMI-join problem, not a pair-join problem — a
+    train doc is contaminated if its gram set intersects the DISTINCT
+    test-gram set, so no (train_doc x test_doc) fan-out ever exists
+    (contrast dedup_ngram, which must enumerate pairs). At 100 TB:
+    grams shuffle as 60-bit md5-prefix ints (never text); per-doc
+    grams are pre-distincted map-side; the test-gram set is 5% of the
+    corpus and the join is a shuffled left-semi on the gram hash — a
+    boilerplate gram appearing in millions of train docs still joins
+    each of its train rows exactly once (bounded fan-out 1, no df cap
+    needed). Cross-engine contract: docs shorter than {DECON_N} words
+    have no grams in either engine (Spark sequence() would fabricate a
+    descending range — filtered explicitly; DuckDB generate_series is
+    empty)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.format_string("split|%d", F.col("doc_id"))), 1, 2)
+    base = d.select(
+        "doc_id", b.alias("b"), F.split("text", " ").alias("w")
+    ).where(F.size("w") >= DECON_N)
+    i = F.explode(F.sequence(F.lit(1), F.size("w") - (DECON_N - 1))).alias("i")
+    g_txt = F.array_join(F.slice(F.col("w"), F.col("i"), DECON_N), " ")
+    g = F.conv(F.substring(F.md5(g_txt), 1, 15), 16, 10).cast("bigint")
+    doc_grams = (
+        base.select("doc_id", "b", "w", i)
+        .select("doc_id", "b", g.alias("g"))
+        .distinct()
+    )
+    doc_grams = track_cache(doc_grams)
+    test_grams = (
+        doc_grams.where(F.col("b") >= SPLIT_BOUNDS[1]).select("g").distinct()
+    )
+    train_grams = doc_grams.where(F.col("b") < SPLIT_BOUNDS[0]).select(
+        "doc_id", "g"
+    )
+    sizes = train_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        train_grams.join(test_grams, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("n_grams").cast("double")
+         ).alias("contamination"),
+    )

@@ -1,0 +1,180 @@
+"""User-behavior analytics over the events stream: sessionization and
+ordered-funnel conversion — the clickstream siblings of the node-level
+session windows in operators/windows.py.
+
+The reference has no clickstream layer; these extend its periodic/
+liveness semantics (controller/HeartbeatMonitor.java:24-58 is the same
+gaps-and-islands problem over node heartbeats) to the per-user event
+stream the `events` fixture models.
+
+Scale rules shared by both queries:
+  * everything partitions on user_id — high-cardinality, no
+    low-cardinality funnel key anywhere;
+  * a pathological hot user (bot traffic) bounds at its own event
+    count; the growth path is the same two-level (user, time-bucket)
+    window sequence_pack/asof_join_bucketed already implement — shard
+    the per-user window by contiguous time buckets and carry the
+    running state across boundaries;
+  * monetary sums ride the exact fixed-point idiom from
+    operators/analytics.py (s6/unscale) so distributed fold order can
+    never drift from the serial oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import load_table
+from .analytics import s6, unscale
+
+SESSION_GAP_S = 30 * 60  # silence that closes a session
+
+SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+       (CAST(sum(CAST(CAST(value AS DECIMAL(12,6)) * 1000000 AS HUGEINT))
+             // 1000000 AS DOUBLE)
+        + CAST(sum(CAST(CAST(value AS DECIMAL(12,6)) * 1000000 AS HUGEINT))
+               % 1000000 AS DOUBLE) / 1000000.0) AS total_value
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
+@query("event_sessionize", oracle=SESSIONIZE_ORACLE)
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream sessionization: split each user's event stream into
+    sessions at >30-minute silences (gaps-and-islands), rolling up
+    per-session event count, purchase count, and exact monetary total.
+
+    ONE shuffle: lag + running-sum + the final rollup all share the
+    hashpartitioning(user_id) exchange (the groupBy adds the
+    session_id key, which is a refinement of the window partitioning,
+    so AQE coalesces rather than reshuffles). Gap arithmetic is in
+    epoch MICROSECONDS (exact int64 in both engines) — a double
+    seconds subtraction near epoch 1.7e9 only has ~0.1 us resolution
+    left and could disagree with the oracle's interval compare on a
+    boundary tie. Ties on ts break by event_id in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (us - prev_us > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    islands = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+        .alias("session_id"),
+    )
+    return islands.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purchases"
+        ),
+        F.sum(s6("value")).alias("tv_scaled"),
+    ).select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "n_purchases",
+        unscale("tv_scaled", 6).alias("total_value"),
+    )
+
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after,
+       (SELECT count(*) FROM p) AS n_purchased_after
+"""
+
+
+@query("event_funnel", oracle=FUNNEL_ORACLE)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered conversion funnel: users who viewed, then clicked
+    strictly after their first view, then purchased strictly after that
+    first qualifying click.
+
+    The staged minimums (first view -> first click after it -> first
+    purchase after that) are three conditional window aggregates over
+    the SAME hashpartitioning(user_id) exchange — Catalyst stacks the
+    Window operators on one shuffle, so the whole funnel is one
+    exchange plus a map-side-combined global count (a 4-long row). The
+    oracle builds the identical stages with self-joins — two different
+    formulations, same fixpoint."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.select("user_id", "ts", "event_type").withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after"),
+        F.count("t3").alias("n_purchased_after"),
+    )

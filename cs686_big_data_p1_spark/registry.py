@@ -116,6 +116,7 @@ def load_all() -> None:
     from .operators import llm  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .operators import pipeline  # noqa: F401
+    from .operators import sessions  # noqa: F401
     from .operators import windows  # noqa: F401
     from .streaming import liveness  # noqa: F401
     from .streaming import replication  # noqa: F401
