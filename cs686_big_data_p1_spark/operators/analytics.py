@@ -500,6 +500,37 @@ GROUP BY o_orderpriority
 MEDIAN_BUCKET_W = 4096
 
 
+def _price_cum_histogram(o: DataFrame) -> DataFrame:
+    """Phase-1 helper for the exact two-phase rank queries
+    (price_median, price_quantiles): histogram orders into
+    (o_orderpriority, floor(o_totalprice / MEDIAN_BUCKET_W)) cells —
+    one map-side-combinable groupBy over the full scan — and annotate
+    each cell with its running start_rank and the group total n. The
+    windows here run over the #groups x #buckets AGGREGATE (a few
+    hundred rows), never the base table."""
+    from pyspark.sql.window import Window
+
+    bkt = F.floor(F.col("o_totalprice") / MEDIAN_BUCKET_W).cast("bigint")
+    hist = o.groupBy(F.col("o_orderpriority"), bkt.alias("bkt")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_prev = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "o_orderpriority",
+        "bkt",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).alias("start_rank"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+
 @query("price_median", oracle=MEDIAN_ORACLE)
 def price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group median, two-phase (no full per-group sort).
@@ -525,25 +556,7 @@ def price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     bkt = F.floor(F.col("o_totalprice") / MEDIAN_BUCKET_W).cast("bigint")
-    hist = (
-        o.groupBy(F.col("o_orderpriority"), bkt.alias("bkt"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    w_prev = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy("o_orderpriority").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = hist.select(
-        "o_orderpriority",
-        "bkt",
-        "cnt",
-        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).alias("start_rank"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
+    cum = _price_cum_histogram(o)
     m1 = F.floor((F.col("n") + 1) / 2)
     m2 = F.floor((F.col("n") + 2) / 2)
     end_rank = F.col("start_rank") + F.col("cnt")
