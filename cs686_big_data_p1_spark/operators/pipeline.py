@@ -559,40 +559,47 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train doc is contaminated if its gram set intersects the DISTINCT
     test-gram set, so no (train_doc x test_doc) fan-out ever exists
     (contrast dedup_ngram, which must enumerate pairs). At 100 TB:
-    grams shuffle as 60-bit md5-prefix ints (never text); per-doc
-    grams are pre-distincted map-side; the test-gram set is 5% of the
-    corpus and the join is a shuffled left-semi on the gram hash — a
-    boilerplate gram appearing in millions of train docs still joins
-    each of its train rows exactly once (bounded fan-out 1, no df cap
-    needed). Cross-engine contract: docs shorter than {DECON_N} words
-    have no grams in either engine (Spark sequence() would fabricate a
-    descending range — filtered explicitly; DuckDB generate_series is
-    empty)."""
+    grams shuffle as a 120-bit md5 split into two bigints (never
+    text) — at the ~1e11-gram scale this operator targets, a 60-bit
+    key would already be past its birthday bound (~2^30 grams), so the
+    key is two 60-bit halves joined together: collision odds ~1e-15,
+    preserving exact-count parity with the text-joining oracle (r4
+    ADVICE). Per-doc grams are pre-distincted map-side; the test-gram
+    set is 5% of the corpus and the join is a shuffled left-semi on
+    the gram hash — a boilerplate gram appearing in millions of train
+    docs still joins each of its train rows exactly once (bounded
+    fan-out 1, no df cap needed). Cross-engine contract: docs shorter
+    than {DECON_N} words have no grams in either engine (Spark
+    sequence() would fabricate a descending range — filtered
+    explicitly; DuckDB generate_series is empty)."""
     d = load_table(spark, sf_dir, "documents")
     b = F.substring(F.md5(F.format_string("split|%d", F.col("doc_id"))), 1, 2)
     base = d.select(
         "doc_id", b.alias("b"), F.split("text", " ").alias("w")
     ).where(F.size("w") >= DECON_N)
     i = F.explode(F.sequence(F.lit(1), F.size("w") - (DECON_N - 1))).alias("i")
-    g_txt = F.array_join(F.slice(F.col("w"), F.col("i"), DECON_N), " ")
-    g = F.conv(F.substring(F.md5(g_txt), 1, 15), 16, 10).cast("bigint")
+    g_txt = F.md5(F.array_join(F.slice(F.col("w"), F.col("i"), DECON_N), " "))
+    g_lo = F.conv(F.substring(g_txt, 1, 15), 16, 10).cast("bigint")
+    g_hi = F.conv(F.substring(g_txt, 16, 15), 16, 10).cast("bigint")
     doc_grams = (
         base.select("doc_id", "b", "w", i)
-        .select("doc_id", "b", g.alias("g"))
+        .select("doc_id", "b", g_lo.alias("g_lo"), g_hi.alias("g_hi"))
         .distinct()
     )
     doc_grams = track_cache(doc_grams)
     test_grams = (
-        doc_grams.where(F.col("b") >= SPLIT_BOUNDS[1]).select("g").distinct()
+        doc_grams.where(F.col("b") >= SPLIT_BOUNDS[1])
+        .select("g_lo", "g_hi")
+        .distinct()
     )
     train_grams = doc_grams.where(F.col("b") < SPLIT_BOUNDS[0]).select(
-        "doc_id", "g"
+        "doc_id", "g_lo", "g_hi"
     )
     sizes = train_grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams")
     )
     hits = (
-        train_grams.join(test_grams, "g", "left_semi")
+        train_grams.join(test_grams, ["g_lo", "g_hi"], "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -77,12 +77,13 @@ WITH flagged AS (
                    IS NULL
                 OR ts - lag(ts) OVER (PARTITION BY host, port ORDER BY ts, hb_id)
                    > INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS new_session
+              THEN 1 ELSE 0 END AS new_session,
+         hb_id
   FROM heartbeats
 ),
 sessions AS (
   SELECT host, port, ts,
-         sum(new_session) OVER (PARTITION BY host, port ORDER BY ts
+         sum(new_session) OVER (PARTITION BY host, port ORDER BY ts, hb_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )

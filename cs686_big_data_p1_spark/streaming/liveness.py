@@ -126,6 +126,16 @@ def stream_node_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle is the batch gaps-and-islands session list FILTERED by the
 # same finalization predicate — per-node trailing sessions that were
 # still extendable when the stream drained are (correctly) withheld.
+#
+# Boundary ties (pinned empirically by
+# tests/test_streaming.py::test_stream_session_boundary_ties, r4
+# ADVICE): Spark's session_window MERGES two beats exactly 30 minutes
+# apart (per-event windows [t, t+gap) are coalesced when adjacent), so
+# the split predicate must be strict `>`; and append mode EMITS a
+# session whose end equals the final watermark, so the finalization
+# predicate must be `<=`. Both windows order by (ts, hb_id) — with
+# duplicate (host, port, ts) rows an unqualified ROWS frame over ts
+# alone would assign equal-ts rows to sessions nondeterministically.
 HB_SESSION_STREAM_ORACLE = oracle(
     """
 WITH flagged AS (
@@ -134,12 +144,13 @@ WITH flagged AS (
                    IS NULL
                 OR ts - lag(ts) OVER (PARTITION BY host, port ORDER BY ts, hb_id)
                    > INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS new_session
+              THEN 1 ELSE 0 END AS new_session,
+         hb_id
   FROM heartbeats
 ),
 sessions AS (
   SELECT host, port, ts,
-         sum(new_session) OVER (PARTITION BY host, port ORDER BY ts
+         sum(new_session) OVER (PARTITION BY host, port ORDER BY ts, hb_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )

@@ -117,6 +117,17 @@ TABLE_NAMES = list(SCHEMAS)
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema."""
     if name == "events":
+        # Deliberately NOT scoped with streaming's nanos_as_long()
+        # context manager (r4 ADVICE): the returned DataFrame is lazy,
+        # so the flag must still be set whenever a downstream action
+        # finally executes the events scan — restoring it on return
+        # would break any deferred plan. Instead the flag is a declared
+        # engine-wide session default (session.py get_spark /
+        # configure_existing both set it), and this line is an
+        # idempotent reassertion for sessions built elsewhere. It is
+        # inert for every other table: only events.parquet has nano
+        # timestamp columns, and the flag only affects how parquet
+        # TIMESTAMP(NANOS) physical types are surfaced.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
         # integer DIV: ns-epoch values exceed 2^53, double division

@@ -62,6 +62,89 @@ def test_stream_sessions_match_batch(spark, registry):
     assert all(end - SESSION_GAP >= horizon for (_, _, _, end, _) in late)
 
 
+def test_stream_session_boundary_ties(spark, tmp_path):
+    """Pins session_window tie semantics at the two boundaries the
+    oracle encodes (r4 ADVICE): (1) beats exactly 30 minutes apart
+    MERGE into one session (per-event windows [t, t+gap) coalesce when
+    adjacent, so the oracle's split predicate must be strict `>`); and
+    (2) a session whose end lands exactly on the final watermark IS
+    emitted (finalization is `<=`). The stream, the hand-computed
+    expectation, and the DuckDB oracle run on the same fixture must
+    all agree."""
+    import duckdb
+    import pandas as pd
+
+    from cs686_big_data_p1_spark.streaming.liveness import (
+        HB_SESSION_STREAM_ORACLE,
+        stream_hb_session,
+    )
+
+    min_us = 60_000_000
+    base_us = 1_700_000_000_000_000
+    # node bass14 (user 0): exact 30-min gaps -> ONE merged session,
+    # still open at the final watermark -> withheld entirely. (If Spark
+    # split at exactly 30 min, two finalized sessions would appear.)
+    rows = [
+        (1, base_us, 0),
+        (2, base_us + 30 * min_us, 0),
+        (3, base_us + 60 * min_us, 0),
+    ]
+    # node bass15 (user 1): sessions [0, 30m) emitted, [40m, 70m) ends
+    # exactly at the final watermark (110m - 40m) -> emitted, [110m, ..)
+    # open -> withheld.
+    rows += [
+        (4, base_us, 1),
+        (5, base_us + 40 * min_us, 1),
+        (6, base_us + 110 * min_us, 1),
+    ]
+    # ts as datetime64[ns] -> parquet TIMESTAMP(NANOS), matching the
+    # real fixture's physical type (Spark's nanosAsLong scan reads it
+    # as raw int64 nanos; DuckDB reads TIMESTAMP_NS).
+    fixture = pd.DataFrame(
+        [(eid, ts * 1000, uid, "hb", 0.0, "{}") for eid, ts, uid in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    fixture["ts"] = pd.to_datetime(fixture["ts"])
+    fixture.to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    got = {
+        (r.host, r.port, r.session_start, r.session_end, r.n_beats)
+        for r in stream_hb_session(spark, str(tmp_path)).collect()
+    }
+    base = datetime.datetime.fromtimestamp(
+        base_us / 1_000_000, tz=datetime.timezone.utc
+    ).replace(tzinfo=None)
+    m = datetime.timedelta(minutes=1)
+    want = {
+        ("bass15", 9015, base, base + 30 * m, 1),
+        ("bass15", 9015, base + 40 * m, base + 70 * m, 1),
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    # the oracle prelude's unused CTEs still bind against orders
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/orders.parquet')"
+    )
+    odf = con.execute(HB_SESSION_STREAM_ORACLE).df()
+    oracle_rows = {
+        (
+            r.host,
+            int(r.port),
+            r.session_start.to_pydatetime(),
+            r.session_end.to_pydatetime(),
+            int(r.n_beats),
+        )
+        for r in odf.itertuples()
+    }
+    assert oracle_rows == want
+
+
 def test_stateful_liveness_matches_batch(spark, registry):
     """applyInPandasWithState per-node state after draining the stream
     must equal the batch per-node aggregation, and each node's verdict
