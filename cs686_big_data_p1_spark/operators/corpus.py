@@ -1,0 +1,426 @@
+"""Corpus-preparation operators: chunking, substring-level dedup,
+term weighting, diversity scoring, and domain mixing — the stages a
+training-data pipeline runs between curation (operators/pipeline.py)
+and dedup/similarity (operators/llm.py, operators/ann.py).
+
+Cross-engine exactness rule (SURVEY.md §4.3, applied throughout this
+module): every floating-point value the oracle hash-compares is
+produced by a SINGLE IEEE-754 correctly-rounded operation (one
+division or one subtraction) applied to exactly-computed integers.
+No ln/log/exp/pow ever reaches an output column or an ORDER BY —
+libm (DuckDB) and java.lang.Math (Spark) do not guarantee identical
+last-ulp results for transcendentals, so a score like
+``tf * ln(N/df)`` could rank ties differently per engine. tf-idf
+here uses the raw-ratio idf ``N/df`` (documented on the operator);
+diversity uses Gini–Simpson (``1 - Σc²/L²``) instead of Shannon
+entropy for the same reason.
+
+Scale notes (100 TB):
+
+  * doc_chunk / span_dedup / text_normalize are map-side explodes or
+    projections — zero pre-aggregation shuffle; span_dedup shuffles
+    16-byte digests only, never block text.
+  * tfidf_topterms shuffles (doc_id, term) pairs; a stopword's rows
+    spread across docs so fan-out per row stays 1, and AQE skew-join
+    splits the hot term partitions (same argument as decontaminate's
+    boilerplate grams).
+  * domain_mix groups by a LOW-cardinality key (source) — safe for a
+    groupBy (map-side partial aggregation reduces each partition to
+    ~n_sources rows before the exchange), unlike a low-cardinality
+    WINDOW partition which funnels whole groups through single
+    reducers (the sequence_pack lesson, operators/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query, track_cache
+from ..tables import load_table
+
+# RAG chunking: 64-word windows, stride 48 (16-word overlap keeps
+# boundary sentences in two chunks — the retrieval-recall convention).
+CHUNK_W = 64
+CHUNK_STRIDE = 48
+
+# span_dedup block width: 16 contiguous words. Non-overlapping blocks
+# approximate suffix-array substring dedup (RefinedWeb/The Pile style)
+# at 1/B the candidate volume of sliding shingles.
+SPAN_B = 16
+
+# tfidf_topterms: terms kept per document.
+TFIDF_K = 5
+
+# domain_mix: max upsampling factor for underrepresented sources.
+MIX_CAP = 5.0
+
+
+DOC_CHUNK_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(text) > 0
+),
+ks AS (
+  SELECT doc_id, w, n,
+         CAST(unnest(generate_series(
+             0,
+             CASE WHEN n <= {CHUNK_W} THEN 0
+                  ELSE (n - {CHUNK_W} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+             END)) AS INTEGER) AS k
+  FROM base
+)
+SELECT doc_id, k AS chunk_id,
+       CAST(1 + k * {CHUNK_STRIDE} AS INTEGER) AS chunk_start,
+       CAST(least({CHUNK_W}, n - k * {CHUNK_STRIDE}) AS INTEGER) AS n_words,
+       array_to_string(
+           w[1 + k * {CHUNK_STRIDE} : k * {CHUNK_STRIDE} + {CHUNK_W}],
+           ' ') AS chunk_text
+FROM ks
+"""
+
+
+@query("doc_chunk", oracle=DOC_CHUNK_ORACLE)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: split each document into overlapping
+    {CHUNK_W}-word windows advancing {CHUNK_STRIDE} words per chunk,
+    keeping provenance (doc_id, chunk_id, word offset).
+
+    Pure map-side explode — no shuffle at any scale: the chunk count
+    is derived per row with integer math (never a float ceil, so both
+    engines agree at exact-multiple lengths), and slice() clamps the
+    final ragged chunk. At 100 TB this is a single WholeStageCodegen
+    pass over the documents scan with full column pruning."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n_chunks_minus1 = F.when(F.col("n") <= CHUNK_W, F.lit(0)).otherwise(
+        F.expr(f"(n - {CHUNK_W} + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE}")
+    )
+    ks = base.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0), n_chunks_minus1.cast("int"))).alias("k"),
+    )
+    start = F.lit(1) + F.col("k") * CHUNK_STRIDE
+    return ks.select(
+        "doc_id",
+        F.col("k").alias("chunk_id"),
+        start.cast("int").alias("chunk_start"),
+        F.least(F.lit(CHUNK_W), F.col("n") - F.col("k") * CHUNK_STRIDE)
+        .cast("int")
+        .alias("n_words"),
+        F.array_join(F.slice(F.col("w"), start, CHUNK_W), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+SPAN_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE len(string_split(text, ' ')) >= {SPAN_B}
+),
+blocks AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             w[1 + k * {SPAN_B} : (k + 1) * {SPAN_B}], ' ')) AS block_hash
+  FROM (SELECT doc_id, w,
+               CAST(unnest(generate_series(0, n // {SPAN_B} - 1)) AS INTEGER)
+                   AS k
+        FROM base)
+)
+SELECT block_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS keeper_doc_id
+FROM blocks
+GROUP BY block_hash
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+@query("span_dedup", oracle=SPAN_DEDUP_ORACLE)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup: hash every non-overlapping
+    {SPAN_B}-word block and report blocks appearing in two or more
+    distinct documents — the block-hash approximation of suffix-array
+    substring dedup (boilerplate headers/footers/licenses that
+    document-level dedup_exact cannot see because the surrounding
+    text differs).
+
+    Scale: the explode is map-side; only 32-char digests shuffle
+    (never block text), and the groupBy key is the digest itself —
+    uniformly distributed by construction, no skew. Tail words short
+    of a full block are dropped in both engines (docs shorter than
+    {SPAN_B} words contribute nothing; Spark's sequence() would
+    fabricate a descending range for them, so they are filtered
+    explicitly — same contract as decontaminate)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= SPAN_B
+    )
+    blocks = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.size("w") / SPAN_B).cast("int") - 1)
+        ).alias("k"),
+        "w",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("w"), F.lit(1) + F.col("k") * SPAN_B, SPAN_B),
+                " ",
+            )
+        ).alias("block_hash"),
+    )
+    return (
+        blocks.groupBy("block_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE length(text) > 0
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (
+  SELECT count(*) AS n_docs FROM documents WHERE length(text) > 0
+),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * n.n_docs / d.df AS tfidf
+  FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rnk
+FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TFIDF_K}
+"""
+
+
+@query("tfidf_topterms", oracle=TFIDF_ORACLE)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_K} characteristic terms per document by tf-idf with
+    the RAW-RATIO idf ``N/df`` (not ``ln(N/df)``): the score is then
+    ``bigint * bigint / bigint`` — a single correctly-rounded IEEE
+    division, bit-identical across engines, so the per-doc ranking
+    (score DESC, term ASC) can never diverge on a last-ulp tie the
+    way a libm-vs-Math.log ln() could. The log-damped and raw-ratio
+    variants induce different cross-term orderings in general; this
+    operator DEFINES its score as the raw ratio and the oracle mirrors
+    it exactly.
+
+    Scale: tf groups by (doc_id, term) — high-cardinality, uniform;
+    df is a vocabulary-sized second aggregate; the tf⋈df join fans
+    out 1:1 per row with AQE splitting hot stopword partitions; the
+    top-K window partitions by doc_id (high-cardinality — the safe
+    kind of window key). N arrives via a broadcast 1-row crossJoin,
+    never a driver-side collect."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = track_cache(tf)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.col("n_docs") / F.col("df")).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+LEXDIV_ORACLE = """
+WITH counts AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE length(text) > 0)
+  GROUP BY doc_id, term
+)
+SELECT doc_id,
+       sum(c) AS n_words,
+       count(*) AS n_distinct,
+       CAST(count(*) AS DOUBLE) / sum(c) AS ttr,
+       1.0 - CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)) AS simpson
+FROM counts
+GROUP BY doc_id
+"""
+
+
+@query("lexical_diversity", oracle=LEXDIV_ORACLE)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and the
+    Gini–Simpson index ``1 - Σc²/L²`` — the repetition/diversity
+    quality signal, chosen over Shannon entropy because it needs no
+    log: every aggregate (Σc, Σc², type count) is exact bigint math
+    in any summation order, and each output float is one
+    correctly-rounded division — the distributed result is
+    bit-identical to the serial oracle (module exactness rule).
+
+    Scale: one (doc_id, term) groupBy then one doc_id groupBy, both
+    high-cardinality keys with map-side partial aggregation."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_words")).alias("ttr"),
+        (
+            F.lit(1.0)
+            - F.col("sum_sq").cast("double")
+            / (F.col("n_words") * F.col("n_words"))
+        ).alias("simpson"),
+    )
+
+
+DOMAIN_MIX_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents WHERE length(text) > 0
+  GROUP BY source
+),
+tot AS (
+  SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+       least({MIX_CAP},
+             (1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / total_tokens))
+           AS mix_weight
+FROM per_src CROSS JOIN tot
+"""
+
+
+@query("domain_mix", oracle=DOMAIN_MIX_ORACLE)
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per-source token share and the
+    upsampling factor that would equalize source contributions,
+    capped at {MIX_CAP}× (the DoReMi/Pile-style static mix table a
+    sampler consumes downstream). All counts are exact bigints;
+    token_share and mix_weight are single divisions replicated
+    verbatim in the oracle — same expression tree, same rounding.
+
+    Scale: groupBy on the LOW-cardinality source key is safe —
+    map-side partial aggregation collapses each of the corpus's
+    partitions to ~n_sources rows before the exchange (this is the
+    groupBy/window asymmetry the module docstring records); the
+    totals frame is one row, broadcast back over the ~n_sources
+    result."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    per_src = track_cache(per_src)
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.least(F.lit(MIX_CAP), (F.lit(1.0) / F.col("n_sources")) / share)
+        .alias("mix_weight"),
+    )
+
+
+TEXT_NORMALIZE_ORACLE = """
+SELECT doc_id,
+       md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g'))) AS norm_hash,
+       length(text) AS n_chars_raw,
+       length(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g'))) AS n_chars_norm,
+       (trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g')) <> text) AS changed
+FROM documents
+"""
+
+
+@query("text_normalize", oracle=TEXT_NORMALIZE_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase, strip non-alnum,
+    collapse runs of spaces, trim — emitting the normalized
+    fingerprint (md5) plus before/after lengths so downstream exact
+    dedup on norm_hash catches case/punctuation-only duplicates that
+    dedup_exact's raw hash misses.
+
+    The regex vocabulary is deliberately restricted to literal
+    classes ``[^a-z0-9 ]`` and `` +`` — the subset on which Java
+    regex (Spark) and RE2 (DuckDB) agree; no \\s, \\p{...}, or
+    lookarounds. Pure projection: zero shuffle at any scale (the
+    synthetic fixture is already lowercase-alnum, so `changed` is
+    false there — tests/test_corpus.py exercises the messy-input
+    path with mixed case, punctuation, and double spaces)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        (norm != F.col("text")).alias("changed"),
+    )

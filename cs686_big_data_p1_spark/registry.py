@@ -99,6 +99,9 @@ PRIORITY_ORDER = [
     "vocab_topk", "label_centroids", "oov_rate", "dataset_split",
     "sequence_pack", "kmeans_cells",
     "dedup_clusters",
+    "decontaminate", "event_sessionize", "event_funnel",
+    "doc_chunk", "span_dedup", "tfidf_topterms", "lexical_diversity",
+    "domain_mix", "text_normalize",
     "media_metadata", "media_features",
     # streaming (rows-only checks by design)
     "stream_node_last_seen", "stream_hb_session", "stream_corruption_alerts",
@@ -111,6 +114,7 @@ def load_all() -> None:
     """Import every operator module, then fix the registration order."""
     from .operators import analytics  # noqa: F401
     from .operators import ann  # noqa: F401
+    from .operators import corpus  # noqa: F401
     from .operators import dfs_meta  # noqa: F401
     from .operators import dfs_scalar  # noqa: F401
     from .operators import llm  # noqa: F401

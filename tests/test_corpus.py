@@ -1,0 +1,166 @@
+"""Edge-case pins for the corpus-preparation operators
+(operators/corpus.py) on purpose-built fixtures the bland synthetic
+documents table cannot exercise: messy text for normalization, exact
+stride-multiple lengths for chunking, planted cross-doc blocks for
+span dedup, and closed-form diversity values.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_MED
+
+
+def _write_docs(tmp_path, texts):
+    """Write a documents.parquet with the fixture schema."""
+    pd.DataFrame(
+        [
+            (i, t, "en", f"src{i % 3}", len(t))
+            for i, t in enumerate(texts)
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    return str(tmp_path)
+
+
+def test_doc_chunk_covers_every_word_once_per_window(spark, tmp_path):
+    """Chunk boundaries: every word appears in at least one chunk, the
+    reconstruction of each chunk matches the source slice, and the
+    chunk count follows the integer formula at the tricky lengths
+    (< W, == W, == W+1, and an exact stride multiple)."""
+    from cs686_big_data_p1_spark.operators.corpus import (
+        CHUNK_STRIDE,
+        CHUNK_W,
+        doc_chunk,
+    )
+
+    lengths = [5, CHUNK_W, CHUNK_W + 1, CHUNK_W + 2 * CHUNK_STRIDE]
+    texts = [" ".join(f"w{i}" for i in range(n)) for n in lengths]
+    out = doc_chunk(spark, _write_docs(tmp_path, texts)).collect()
+
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, n in enumerate(lengths):
+        words = texts[doc_id].split(" ")
+        rows = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        if n <= CHUNK_W:
+            want_chunks = 1
+        else:
+            want_chunks = 1 + -(-(n - CHUNK_W) // CHUNK_STRIDE)
+        assert len(rows) == want_chunks, (doc_id, n)
+        covered = set()
+        for r in rows:
+            s = r.chunk_start - 1
+            assert r.chunk_text == " ".join(words[s : s + CHUNK_W])
+            assert r.n_words == len(r.chunk_text.split(" "))
+            covered.update(range(s, s + r.n_words))
+        assert covered == set(range(n))
+
+
+def test_span_dedup_finds_planted_block(spark, tmp_path):
+    from cs686_big_data_p1_spark.operators.corpus import SPAN_B, span_dedup
+
+    shared = " ".join(f"s{i}" for i in range(SPAN_B))
+    texts = [
+        shared + " " + " ".join(f"a{i}" for i in range(SPAN_B)),
+        shared + " " + " ".join(f"b{i}" for i in range(SPAN_B)),
+        " ".join(f"c{i}" for i in range(SPAN_B)),  # unique blocks only
+        "too short",  # < SPAN_B words: contributes nothing
+    ]
+    rows = span_dedup(spark, _write_docs(tmp_path, texts)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_docs, r.n_occurrences, r.keeper_doc_id) == (2, 2, 0)
+
+
+def test_tfidf_rare_term_outranks_ubiquitous(spark, tmp_path):
+    """A term unique to one doc must outrank a term every doc shares,
+    and ranks are dense 1..K with deterministic term tie-breaks."""
+    from cs686_big_data_p1_spark.operators.corpus import (
+        TFIDF_K,
+        tfidf_topterms,
+    )
+
+    texts = [
+        "common common common rare",
+        "common filler0",
+        "common filler1",
+    ]
+    rows = tfidf_topterms(spark, _write_docs(tmp_path, texts)).collect()
+    doc0 = sorted(
+        (r for r in rows if r.doc_id == 0), key=lambda r: r.rnk
+    )
+    # doc0: rare has tf=1, df=1 -> score 3; common tf=3, df=3 -> score 3
+    # tie broken by term asc -> 'common' first; both present.
+    assert [r.term for r in doc0][:2] == ["common", "rare"]
+    for doc_id in (0, 1, 2):
+        ranks = sorted(r.rnk for r in rows if r.doc_id == doc_id)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= TFIDF_K
+
+
+def test_lexical_diversity_closed_forms(spark, tmp_path):
+    from cs686_big_data_p1_spark.operators.corpus import lexical_diversity
+
+    texts = [
+        "x x x x",  # L=4, 1 type: ttr=0.25, simpson=0
+        "a b c d",  # L=4, 4 types: ttr=1, simpson=1-4/16=0.75
+    ]
+    got = {
+        r.doc_id: (r.n_words, r.n_distinct, r.ttr, r.simpson)
+        for r in lexical_diversity(spark, _write_docs(tmp_path, texts)).collect()
+    }
+    assert got[0] == (4, 1, 0.25, 0.0)
+    assert got[1] == (4, 4, 1.0, 0.75)
+
+
+def test_domain_mix_weights(spark, tmp_path):
+    """Shares sum to 1; an underrepresented source's weight hits the
+    cap; an exactly-average source gets weight 1."""
+    from cs686_big_data_p1_spark.operators.corpus import MIX_CAP, domain_mix
+    import pandas as pd
+
+    # src0: 98 tokens, src1: 1 token, src2: 1 token (via explicit rows)
+    rows = [(0, " ".join(["t"] * 98), "en", "big", 0),
+            (1, "t", "en", "tiny1", 0),
+            (2, "t", "en", "tiny2", 0)]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    out = {r.source: r for r in domain_mix(spark, str(tmp_path)).collect()}
+    assert abs(sum(r.token_share for r in out.values()) - 1.0) < 1e-12
+    # tiny sources: target 1/3 vs share 0.01 -> uncapped 33.3 -> capped
+    assert out["tiny1"].mix_weight == MIX_CAP
+    assert out["tiny2"].mix_weight == MIX_CAP
+    # big source: downweighted below 1
+    assert out["big"].mix_weight == pytest.approx((1 / 3) / 0.98)
+
+
+def test_text_normalize_messy_input(spark, tmp_path):
+    """The fixture corpus is already canonical; this pins the actual
+    normalization on mixed case, punctuation, and space runs."""
+    from cs686_big_data_p1_spark.operators.corpus import text_normalize
+
+    texts = [
+        "Hello,  World!  42",
+        "hello world 42",
+        "already clean",
+    ]
+    got = {r.doc_id: r for r in text_normalize(spark, _write_docs(tmp_path, texts)).collect()}
+    assert got[0].changed and not got[1].changed and not got[2].changed
+    # normalization makes 0 and 1 identical
+    assert got[0].norm_hash == got[1].norm_hash
+    assert got[0].n_chars_norm == len("hello world 42")
+
+
+def test_corpus_ops_plan_shape(spark, registry):
+    """doc_chunk and text_normalize must stay shuffle-free (map-side
+    only): no Exchange anywhere in their physical plans."""
+    from cs686_big_data_p1_spark.plans import formatted_plan
+
+    for name in ("doc_chunk", "text_normalize"):
+        plan = formatted_plan(registry.QUERIES[name](spark, SF_MED))
+        assert "Exchange" not in plan, name
