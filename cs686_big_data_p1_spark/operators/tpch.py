@@ -1,0 +1,512 @@
+"""Extended TPC-H-style relational coverage (SURVEY.md §2.I E6).
+
+Eight more TPC-H-shaped pipelines over the driver fixture tables,
+adapted to the fixture's schema subset (no partsupp, no
+shipmode/receiptdate/phone columns — predicates that need them are
+re-targeted onto columns that exist, noted per query). Together with
+operators/analytics.py this covers the classic relational surface:
+scalar aggregates (q6), nation-pair join graphs (q7), ratio-of-sums
+market share (q8), group-then-rank reporting (q10), outer-join
+histograms (q13), ratio aggregates over a join (q14), HAVING
+semi-joins (q18), disjunctive join predicates (q19), and
+anti-join + scalar subquery (q22).
+
+Numeric policy is operators/analytics.py's: monetary sums are exact
+1e6-scaled decimal(38,0) integers (HUGEINT oracle-side), converted to
+double once via the shared ``unscale`` quotient/remainder split;
+ratios divide two such doubles with identical operand order in both
+engines, so results are ulp-exact and hash-comparable.
+
+Scale notes (100 TB): region/nation are the only broadcast sides;
+part, supplier, customer, orders, lineitem all shuffle on their join
+keys (each scales with SF — broadcasting part at sf0.01 would be a
+plan that dies at sf1000). Filters and projections push to the
+parquet scans; every aggregate is partial+final.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+from .analytics import disc_factor, rev_sum, s6, unscale
+
+# Exact-revenue SQL fragments shared by the oracles below (the same
+# expansion Q1_ORACLE/Q3_ORACLE use; DuckDB HUGEINT = Spark decimal(38,0)).
+_S6 = "CAST(CAST({c} AS DECIMAL(12,6)) * 1000000 AS HUGEINT)"
+_REV_TERM = f"{_S6.format(c='l_extendedprice')} * (1000000 - {_S6.format(c='l_discount')})"
+
+
+def _unscale_sql(expr: str, pow10: int) -> str:
+    sc = 10**pow10
+    return (
+        f"(CAST(({expr}) // {sc} AS DOUBLE)"
+        f" + CAST(({expr}) % {sc} AS DOUBLE) / {sc}.0)"
+    )
+
+
+_REV_SUM_SQL = _unscale_sql(f"sum({_REV_TERM})", 12)
+
+
+Q6_ORACLE = f"""
+SELECT {_unscale_sql(f"sum({_S6.format(c='l_extendedprice')} * {_S6.format(c='l_discount')})", 12)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast", oracle=Q6_ORACLE)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecast-revenue: pure scan + filter + one scalar aggregate.
+
+    Scale: the canonical predicate-pushdown benchmark — all three
+    filters and the 4-column projection reach the parquet scan
+    (PushedFilters), the sum is map-side partial, and the shuffle
+    carries one 16-byte decimal per input partition. No join, no
+    wide shuffle; this query is scan-bandwidth-bound at any SF.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(s6("l_extendedprice") * s6("l_discount")).alias("_rev"))
+        .select(unscale("_rev", 12).alias("revenue"))
+    )
+
+
+Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       {_REV_SUM_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+@query("tpch_q7_volume", oracle=Q7_ORACLE)
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping between a nation pair, by ship year.
+
+    Scale: nation is broadcast twice under different aliases (25 rows
+    at any SF). supplier and customer shuffle-join their facts; the
+    disjunctive nation-pair predicate is applied after both nation
+    joins, where it prunes to the 2x2 pair before the group-by. The
+    shipdate range pushes to the lineitem scan.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(rev_sum().alias("_rev"))
+        .select(
+            "supp_nation", "cust_nation", "l_year", unscale("_rev", 12).alias("revenue")
+        )
+    )
+
+
+Q8_ORACLE = f"""
+SELECT o_year,
+       ({_unscale_sql(f"sum(CASE WHEN supp_nation = 'NATION_3' THEN {_REV_TERM.replace('l_extendedprice', 'l_extendedprice').replace('l_discount', 'l_discount')} ELSE 0 END)", 12)})
+       / ({_REV_SUM_SQL}) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year, l_extendedprice, l_discount,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY o_year
+"""
+
+
+@query("tpch_q8_marketshare", oracle=Q8_ORACLE)
+def tpch_q8_marketshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 market share: one nation's fraction of regional promo revenue
+    per order year — a ratio of two exact sums over a 7-table join.
+
+    Scale: region + both nation aliases broadcast; part (filtered to
+    p_type='PROMO' at the scan), supplier, customer, orders shuffle
+    on their keys. The numerator is a conditional sum in the SAME
+    aggregation pass as the denominator (no second scan, no
+    self-join); both stay exact decimal until the single final
+    division, so the share is ulp-identical to DuckDB's.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    vol = s6("l_extendedprice") * disc_factor()
+    zero = F.lit(0).cast("decimal(38,0)")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_rkey") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)
+            ).alias("_num"),
+            rev_sum().alias("_den"),
+        )
+        .select(
+            "o_year",
+            (unscale("_num", 12) / unscale("_den", 12)).alias("mkt_share"),
+        )
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {_REV_SUM_SQL} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@query("tpch_q10_returns", oracle=Q10_ORACLE)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting: top-20 customers by lost revenue in
+    a quarter. (The fixture has no c_phone/c_address/c_comment, so the
+    output keeps the remaining report columns.)
+
+    Scale: nation broadcasts; customer><orders and orders><lineitem
+    shuffle on their keys. The quarter filter pushes to the orders
+    scan and the returnflag filter to the lineitem scan, so the join
+    probes are pre-shrunk. TakeOrderedAndProject keeps only 20 rows
+    per partition; revenue stays exact decimal so the DESC order and
+    the oracle's agree exactly (c_custkey breaks revenue ties).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev_sum().alias("_rev"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "n_name",
+            unscale("_rev", 12).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@query("tpch_q13_custdist", oracle=Q13_ORACLE)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: outer join preserved rows
+    feed a two-level aggregation. (The fixture has no o_comment; the
+    canonical NOT LIKE '%special%requests%' filter is re-targeted to
+    o_orderpriority <> '1-URGENT' — same shape: a join-side filter
+    that must NOT drop order-less customers.)
+
+    Scale: the filter lives in the join condition, not a WHERE (a
+    WHERE would turn the outer join inner and lose zero-order
+    customers). First aggregation shuffles on c_custkey — same key as
+    the join, so AQE reuses the partitioning; the second groups by
+    c_count (small domain) after a map-side partial agg has already
+    collapsed each partition to its distinct counts.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q14_ORACLE = f"""
+SELECT (100.0 * ({_unscale_sql(f"sum(CASE WHEN p_type = 'PROMO' THEN {_REV_TERM} ELSE 0 END)", 12)}))
+       / ({_REV_SUM_SQL}) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+@query("tpch_q14_promo", oracle=Q14_ORACLE)
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promo-revenue percentage for one ship month.
+
+    Scale: part scales with SF, so it shuffle-joins on partkey (AQE
+    may downgrade to broadcast at toy SF — the declared plan must not
+    assume it). One aggregation computes numerator and denominator
+    together; the month filter pushes to the lineitem scan, shrinking
+    the join's probe side ~60x. The 100.0 multiply happens before
+    the divide in both engines (left-assoc), keeping ulp parity.
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = s6("l_extendedprice") * disc_factor()
+    zero = F.lit(0).cast("decimal(38,0)")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).alias(
+                "_num"
+            ),
+            rev_sum().alias("_den"),
+        )
+        .select(
+            ((F.lit(100.0) * unscale("_num", 12)) / unscale("_den", 12)).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+_QTY_SUM = f"sum({_S6.format(c='l_quantity')})"
+
+Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       {_unscale_sql(_QTY_SUM, 6)} AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING {_QTY_SUM} > 150000000
+"""
+
+
+@query("tpch_q18_bigorders", oracle=Q18_ORACLE)
+def tpch_q18_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume orders: orders whose total quantity exceeds 150,
+    with their customer. The canonical IN (GROUP BY ... HAVING)
+    subquery is decorrelated: aggregate lineitem by order FIRST, keep
+    the heavy orders, then join the (now tiny) survivors to orders
+    and customer.
+
+    Scale: this order matters — aggregating before joining shrinks
+    the lineitem side from ~4 rows/order to <<1 surviving row/order
+    before any wide table moves. The HAVING compares exact scaled
+    integers (no double threshold ambiguity). Both remaining joins
+    shuffle on their keys.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    heavy = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(s6("l_quantity")).alias("_qty"))
+        .where(F.col("_qty") > F.lit(150_000_000).cast("decimal(38,0)"))
+    )
+    return (
+        heavy.join(o, heavy.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            unscale("_qty", 6).alias("sum_qty"),
+        )
+    )
+
+
+Q19_ORACLE = f"""
+SELECT {_REV_SUM_SQL} AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("tpch_q19_brackets", oracle=Q19_ORACLE)
+def tpch_q19_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue under a disjunction of brand/size/quantity
+    brackets. (The fixture has no p_container/l_shipinstruct; the
+    disjunction keeps the canonical brand + size + quantity arms.)
+
+    Scale: the join key (p_partkey = l_partkey) is an equi-join with
+    the OR-of-ANDs as a residual filter — Catalyst must NOT fall back
+    to a cartesian product. Derivable single-side conjuncts (brand IN,
+    size <= 15, quantity <= 30) are pushed to each scan; the exact
+    residual applies at the join. Part shuffles (it scales with SF).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    arm1 = (F.col("p_brand") == "Brand#12") & size.between(1, 5) & qty.between(1, 11)
+    arm2 = (F.col("p_brand") == "Brand#23") & size.between(1, 10) & qty.between(10, 20)
+    arm3 = (F.col("p_brand") == "Brand#34") & size.between(1, 15) & qty.between(20, 30)
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .where(arm1 | arm2 | arm3)
+        .agg(rev_sum().alias("_rev"))
+        .select(unscale("_rev", 12).alias("revenue"))
+    )
+
+
+_BAL_SUM = f"sum({_S6.format(c='c_acctbal')})"
+
+Q22_ORACLE = f"""
+WITH avg_bal AS (
+  SELECT {_unscale_sql(_BAL_SUM, 6)} / count(*) AS avg_acctbal
+  FROM customer
+  WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+)
+SELECT c_nationkey, count(*) AS numcust,
+       {_unscale_sql(_BAL_SUM, 6)} AS totacctbal
+FROM customer, avg_bal
+WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+  AND c_acctbal > avg_acctbal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+@query("tpch_q22_prospects", oracle=Q22_ORACLE)
+def tpch_q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global sales opportunity: customers in a 7-nation set with
+    above-average balances and no urgent orders. (The fixture has no
+    c_phone, and every fixture customer has at least one order, so the
+    country-code substring predicate is re-targeted to c_nationkey
+    IN (...) and the anti-join to urgent orders — same shape: a set
+    filter + scalar-subquery threshold + NOT EXISTS anti-join.)
+
+    Scale: the scalar average is a 1-row aggregate broadcast into a
+    cross join (no driver round-trip, stays in the plan); the NOT
+    EXISTS is a left-anti shuffle join on custkey against orders
+    projected to its key column only. unscale()'s nonnegativity
+    precondition holds: the average is over strictly positive
+    balances, and every selected balance exceeds that average.
+    """
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7)
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(F.sum(s6("c_acctbal")).alias("_bal"), F.count(F.lit(1)).alias("_n"))
+        .select((unscale("_bal", 6) / F.col("_n")).alias("avg_acctbal"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_acctbal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(s6("c_acctbal")).alias("_bal"),
+        )
+        .select("c_nationkey", "numcust", unscale("_bal", 6).alias("totacctbal"))
+    )

@@ -102,6 +102,9 @@ PRIORITY_ORDER = [
     "decontaminate", "event_sessionize", "event_funnel",
     "doc_chunk", "span_dedup", "tfidf_topterms", "lexical_diversity",
     "domain_mix", "text_normalize",
+    "tpch_q6_forecast", "tpch_q7_volume", "tpch_q8_marketshare",
+    "tpch_q10_returns", "tpch_q13_custdist", "tpch_q14_promo",
+    "tpch_q18_bigorders", "tpch_q19_brackets", "tpch_q22_prospects",
     "media_metadata", "media_features",
     # streaming (rows-only checks by design)
     "stream_node_last_seen", "stream_hb_session", "stream_corruption_alerts",
@@ -121,6 +124,7 @@ def load_all() -> None:
     from .operators import multimodal  # noqa: F401
     from .operators import pipeline  # noqa: F401
     from .operators import sessions  # noqa: F401
+    from .operators import tpch  # noqa: F401
     from .operators import windows  # noqa: F401
     from .streaming import liveness  # noqa: F401
     from .streaming import replication  # noqa: F401

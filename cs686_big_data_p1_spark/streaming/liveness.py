@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import SCHEMAS
+from ..tables import EVENTS_NANOS_SCHEMA, SCHEMAS, events_ts_unit
 from ..views import N_NODES, oracle
 
 
@@ -64,15 +64,24 @@ def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: the heartbeat event stream (storageNode/HeartbeatRunnable.java:33-80)
     as a file-source stream over the events fixture, mapped to
     (host, port, ts, hb_id) exactly like views.heartbeats_df."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The fixture is a single file; the file stream source needs a directory
     # basePath, so stream the sf dir filtered down to the events file.
-    raw = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    # ts-unit branch mirrors tables.load_table (fixture generations
+    # have shipped both TIMESTAMP(MICROS) and TIMESTAMP(NANOS)).
+    if events_ts_unit(sf_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+    else:
+        raw = (
+            spark.readStream.schema(SCHEMAS["events"])
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     idx = F.col("user_id") % N_NODES
     node_id = F.lit(14) + idx + F.when(idx >= 5, 1).otherwise(0)
     return raw.select(

@@ -79,14 +79,17 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.ts is physically timestamp[ns]; Spark 4 cannot read nano
-    # precision as TimestampType, so the scan reads raw INT64 nanos
-    # (spark.sql.legacy.parquet.nanosAsLong) and load_table converts to
-    # microsecond timestamps — the same ns->us truncation DuckDB applies.
+    # events.ts unit varies by fixture generation: TIMESTAMP(MICROS)
+    # reads natively as TimestampType (this schema); TIMESTAMP(NANOS)
+    # cannot be read as TimestampType by Spark 4, so the nanos path
+    # reads raw INT64 (EVENTS_NANOS_SCHEMA +
+    # spark.sql.legacy.parquet.nanosAsLong) and converts with the same
+    # ns->us truncation DuckDB applies. events_ts_unit() sniffs the
+    # footer once per sf_dir so both generations load correctly.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -113,10 +116,48 @@ SCHEMAS: dict[str, T.StructType] = {
 
 TABLE_NAMES = list(SCHEMAS)
 
+# events schema for the TIMESTAMP(NANOS) fixture generation: ts is the
+# raw INT64 nano count (surfaced by spark.sql.legacy.parquet.nanosAsLong).
+EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_EVENTS_TS_UNIT: dict[str, str] = {}
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Timestamp unit of events.parquet's ts column ('us' or 'ns'),
+    sniffed from the parquet footer once per sf_dir. One footer read on
+    the driver — metadata-only, no data scan; at 100 TB this is the
+    standard one-file schema probe any ingest job does. The fixture
+    generator has shipped both units across rounds, so the load path
+    must not hard-code either."""
+    unit = _EVENTS_TS_UNIT.get(sf_dir)
+    if unit is None:
+        import pyarrow.parquet as papq
+
+        ts_type = (
+            papq.ParquetFile(f"{sf_dir}/events.parquet")
+            .schema_arrow.field("ts")
+            .type
+        )
+        # timestamp[us]/timestamp[ns] expose .unit; a bare int64 column
+        # (pre-logical-type writers) is the nano-count convention.
+        unit = getattr(ts_type, "unit", "ns")
+        _EVENTS_TS_UNIT[sf_dir] = unit
+    return unit
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema."""
-    if name == "events":
+    if name == "events" and events_ts_unit(sf_dir) == "ns":
         # Deliberately NOT scoped with streaming's nanos_as_long()
         # context manager (r4 ADVICE): the returned DataFrame is lazy,
         # so the flag must still be set whenever a downstream action
@@ -125,11 +166,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # engine-wide session default (session.py get_spark /
         # configure_existing both set it), and this line is an
         # idempotent reassertion for sessions built elsewhere. It is
-        # inert for every other table: only events.parquet has nano
-        # timestamp columns, and the flag only affects how parquet
-        # TIMESTAMP(NANOS) physical types are surfaced.
+        # inert for every other table: only nano-generation
+        # events.parquet has TIMESTAMP(NANOS) columns, the only
+        # physical type the flag affects.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.schema(EVENTS_NANOS_SCHEMA).parquet(
+            f"{sf_dir}/{name}.parquet"
+        )
         # integer DIV: ns-epoch values exceed 2^53, double division
         # would lose up to ~128 us of precision
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
