@@ -587,3 +587,54 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.transform(feats).select(
         "vec_id", F.col("prediction").cast("int").alias("cell")
     )
+
+
+# Product quantization: split each vector into PQ_M contiguous
+# sub-vectors and vector-quantize each subspace independently with a
+# small seeded codebook. Codes compress a 64-dim float vector to PQ_M
+# bytes — the storage layout FAISS's IndexPQ / IVFPQ uses for
+# billion-vector search.
+PQ_M = 4  # sub-spaces (64 dims -> 4 x 16)
+PQ_K = 16  # centroids per sub-space (one 4-bit code each)
+
+
+@query("pq_encode")
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: per-subspace k-means codebooks
+    (MLlib, seeded) assign each vector PQ_M small codes. Rows-only by
+    design — iterative ML fitting is not SQL-expressible; the pytest
+    pins run-to-run determinism and the code range/arity contract
+    (tests/test_er_timeseries.py).
+
+    Scale: each subspace fit is an independent MLlib k-means|| over a
+    16-dim slice (broadcast centroids, map-side partial sums); encode
+    is one broadcast-codebook pass per subspace. Codes shuffle as
+    PQ_M ints — the raw floats never move after the slice projection.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = 64  # embeddings fixture dimension (tables.py schema contract)
+    sub = dim // PQ_M
+    out = e.select("vec_id", "embedding")
+    for m in range(PQ_M):
+        feats = out.select(
+            "*",
+            array_to_vector(
+                F.slice(F.col("embedding"), m * sub + 1, sub).cast(
+                    "array<double>"
+                )
+            ).alias("_feat"),
+        )
+        model = KMeans(
+            k=PQ_K, seed=686 + m, maxIter=5, featuresCol="_feat"
+        ).fit(feats)
+        out = (
+            model.transform(feats)
+            .withColumn(f"code_{m}", F.col("prediction").cast("int"))
+            .drop("_feat", "prediction")
+        )
+    return out.select(
+        "vec_id", *[f"code_{m}" for m in range(PQ_M)]
+    )

@@ -923,3 +923,61 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= KNN_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# Incremental-dedup batch boundary: fixture docs below this id play the
+# already-ingested reference corpus; docs at/above it are the incoming
+# crawl batch. Mirrored into the oracle.
+INCR_SPLIT_DOC_ID = 400
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+WITH ref AS (
+  SELECT DISTINCT md5(text) AS th FROM documents
+  WHERE doc_id < {INCR_SPLIT_DOC_ID}
+),
+batch AS (
+  SELECT doc_id, md5(text) AS th FROM documents
+  WHERE doc_id >= {INCR_SPLIT_DOC_ID}
+)
+SELECT th AS text_hash, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_batch_copies
+FROM batch
+WHERE th NOT IN (SELECT th FROM ref)
+GROUP BY th
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: an incoming batch deduped against the
+    already-ingested reference corpus AND within itself — the update
+    path of a continuously-crawled training corpus, where re-running
+    dedup_exact over corpus+batch from scratch would rescan the full
+    history for every delivery (the inventory_delta idea applied to
+    content hashes).
+
+    Scale: the reference side ships as distinct 32-byte digests only
+    (never text), so the anti-join shuffles O(|corpus-distinct|)
+    digests once; the batch side is a digest groupBy like
+    dedup_exact's. In production the reference digest set would be a
+    bucketed table on th (sources/bucketing.py) making the anti-join
+    shuffle-free on the reference side across deliveries.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    th = F.md5(F.col("text").cast("binary")).alias("th")
+    ref = (
+        d.where(F.col("doc_id") < INCR_SPLIT_DOC_ID)
+        .select(th)
+        .distinct()
+    )
+    batch = d.where(F.col("doc_id") >= INCR_SPLIT_DOC_ID).select("doc_id", th)
+    return (
+        batch.join(ref, "th", "left_anti")
+        .groupBy("th")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+        .withColumnRenamed("th", "text_hash")
+    )

@@ -1,0 +1,111 @@
+"""Time-series resampling over the events stream table.
+
+Regular-grid resampling + gap filling — the preprocessing step between
+raw event logs and any windowed model input (rates, features,
+anomaly scores). The pipeline: bucket events to the hour, keep the
+last observation per bucket, expand each series to a dense hourly
+grid, forward-fill the holes.
+
+Cross-engine exactness: values are copied, never combined — the
+forward fill propagates an existing double unchanged, so the oracle
+hash-compares exactly with zero float arithmetic.
+
+Scale notes (100 TB):
+
+  * Everything partitions by user_id (150 in the fixture, millions in
+    production — high-cardinality, no hot reducer). The per-bucket
+    "last observation" is a bounded row_number window; the forward
+    fill is one running window per series.
+  * The grid explode is sequence() per user — output rows scale with
+    (span hours x users), generated JVM-side, no shuffle of raw
+    events beyond the per-user repartition the windows already need.
+  * All five stages share the user_id partitioning, so Catalyst
+    reuses one Exchange across the bucket window, the grid join, and
+    the fill window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import load_table
+
+
+GAPFILL_ORACLE = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+hourly AS (
+  SELECT user_id, hour_ts, value, 1 AS observed FROM obs WHERE rn = 1
+),
+bounds AS (
+  SELECT user_id, min(hour_ts) AS h0, max(hour_ts) AS h1
+  FROM hourly GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+  FROM bounds
+)
+SELECT g.user_id, g.hour_ts,
+       last_value(h.value IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.hour_ts
+                 ROWS UNBOUNDED PRECEDING) AS value_ff,
+       coalesce(h.observed, 0) AS is_observed
+FROM grid g
+LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+"""
+
+
+@query("gapfill_ffill", oracle=GAPFILL_ORACLE)
+def gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of each user's event series with forward fill:
+    last observation per (user, hour), dense hourly grid from the
+    user's first to last active hour, holes carry the previous value.
+
+    Scale: see module docstring. The observed flag lets downstream
+    consumers distinguish real points from carried ones.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    w_last = Window.partitionBy("user_id", "hour_ts").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        e.select("user_id", hour.alias("hour_ts"), "ts", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(w_last))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "hour_ts", "value", F.lit(1).alias("observed"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(
+        hourly.select("user_id", "hour_ts", "value", "observed"),
+        ["user_id", "hour_ts"],
+        "left",
+    )
+    return joined.select(
+        "user_id",
+        "hour_ts",
+        F.last("value", ignorenulls=True).over(w_fill).alias("value_ff"),
+        F.coalesce(F.col("observed"), F.lit(0)).alias("is_observed"),
+    )

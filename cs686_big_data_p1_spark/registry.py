@@ -105,6 +105,7 @@ PRIORITY_ORDER = [
     "tpch_q6_forecast", "tpch_q7_volume", "tpch_q8_marketshare",
     "tpch_q10_returns", "tpch_q13_custdist", "tpch_q14_promo",
     "tpch_q18_bigorders", "tpch_q19_brackets", "tpch_q22_prospects",
+    "fuzzy_name_match", "gapfill_ffill", "dedup_incremental", "pq_encode",
     "media_metadata", "media_features",
     # streaming (rows-only checks by design)
     "stream_node_last_seen", "stream_hb_session", "stream_corruption_alerts",
@@ -120,10 +121,12 @@ def load_all() -> None:
     from .operators import corpus  # noqa: F401
     from .operators import dfs_meta  # noqa: F401
     from .operators import dfs_scalar  # noqa: F401
+    from .operators import er  # noqa: F401
     from .operators import llm  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .operators import pipeline  # noqa: F401
     from .operators import sessions  # noqa: F401
+    from .operators import timeseries  # noqa: F401
     from .operators import tpch  # noqa: F401
     from .operators import windows  # noqa: F401
     from .streaming import liveness  # noqa: F401

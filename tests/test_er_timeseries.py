@@ -1,0 +1,122 @@
+"""Pins for the entity-resolution and time-series operators
+(operators/er.py, operators/timeseries.py) plus the PQ encoder and
+incremental dedup added alongside them: blocking recall on planted
+variants, dense-grid/forward-fill invariants on the real fixture,
+code determinism, and batch-vs-reference survivor logic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from tests.conftest import SF_MED, SF_SMALL
+
+
+def _write_parts(tmp_path, names):
+    pd.DataFrame(
+        [
+            (i, n, f"Brand#{i % 5}", "STANDARD", 1 + i % 50, 100.0 + i)
+            for i, n in enumerate(names)
+        ],
+        columns=[
+            "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+            "p_retailprice",
+        ],
+    ).to_parquet(str(tmp_path / "part.parquet"), index=False)
+    return str(tmp_path)
+
+
+def test_fuzzy_match_finds_variants_across_either_token(spark, registry, tmp_path):
+    """Multi-pass blocking: a pair differing in the FIRST token is
+    invisible to the first-token block and must be recovered by the
+    last-token pass (and vice versa); unrelated names never pair."""
+    sf = _write_parts(
+        tmp_path,
+        [
+            "cold widget",
+            "old widget",   # first token differs (dist 1) — needs k2 pass
+            "old widgets",  # last token differs (dist 1) — needs k1 pass
+            "red anvil",    # unrelated to widgets
+            "red anvi",     # dist 1 to red anvil — k1 pass
+        ],
+    )
+    rows = registry.QUERIES["fuzzy_name_match"](spark, sf).collect()
+    pairs = {(r.a_name, r.b_name): r.edit_dist for r in rows}
+    assert pairs[("cold widget", "old widget")] == 1
+    assert pairs[("old widget", "old widgets")] == 1
+    assert pairs[("red anvi", "red anvil")] == 1
+    assert not any("anvi" in a and "widget" in b for (a, b) in pairs)
+    # ordering contract: every pair is emitted once, a < b
+    assert all(a < b for (a, b) in pairs)
+
+
+def test_fuzzy_match_matches_oracle_on_fixture(spark, registry):
+    """Spark and DuckDB agree pairwise on the real part table (the
+    driver checks hashes; this pins the pair SET so a blocking bug
+    that reorders-but-preserves-counts still fails)."""
+    import duckdb
+
+    rows = registry.QUERIES["fuzzy_name_match"](spark, SF_MED).collect()
+    got = {(r.a_name, r.b_name, r.edit_dist) for r in rows}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{SF_MED}/part.parquet')"
+    )
+    want = set(
+        map(tuple, con.execute(registry.ORACLES["fuzzy_name_match"]).fetchall())
+    )
+    assert got == want
+
+
+def test_gapfill_grid_is_dense_and_fill_is_correct(spark, registry):
+    """Per user: hourly grid is contiguous min..max, observed rows keep
+    their own value, carried rows repeat the previous value, and the
+    first grid row is always observed (grid starts at first activity)."""
+    rows = registry.QUERIES["gapfill_ffill"](spark, SF_SMALL).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for _user, series in by_user.items():
+        series.sort(key=lambda r: r.hour_ts)
+        # contiguous hourly grid
+        hours = [r.hour_ts for r in series]
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600
+        assert series[0].is_observed == 1
+        prev = None
+        for r in series:
+            if r.is_observed == 0:
+                assert r.value_ff == prev
+            prev = r.value_ff
+
+
+def test_pq_encode_deterministic_and_in_range(spark, registry):
+    """Seeded codebooks: two runs agree code-for-code; every code is in
+    [0, PQ_K); identical vectors get identical codes."""
+    from cs686_big_data_p1_spark.operators.ann import PQ_K, PQ_M
+
+    q = registry.QUERIES["pq_encode"]
+    a = {r.vec_id: tuple(r[f"code_{m}"] for m in range(PQ_M))
+         for r in q(spark, SF_SMALL).collect()}
+    b = {r.vec_id: tuple(r[f"code_{m}"] for m in range(PQ_M))
+         for r in q(spark, SF_SMALL).collect()}
+    assert a == b
+    assert all(0 <= c < PQ_K for codes in a.values() for c in codes)
+
+
+def test_dedup_incremental_excludes_reference_content(spark, registry):
+    """Survivors are exactly the batch hashes absent from the reference
+    corpus, keeper = min doc_id within the batch."""
+    from cs686_big_data_p1_spark.operators.llm import INCR_SPLIT_DOC_ID
+
+    rows = registry.QUERIES["dedup_incremental"](spark, SF_SMALL).collect()
+    assert all(r.keeper_doc_id >= INCR_SPLIT_DOC_ID for r in rows)
+
+    docs = registry.QUERIES["dedup_exact"](spark, SF_SMALL).collect()
+    # dedup_exact keyed by hash over the WHOLE corpus: any hash whose
+    # keeper is below the split exists in the reference, so it must not
+    # survive incremental dedup.
+    ref_hashes = {r.text_hash for r in docs if r.keeper_doc_id < INCR_SPLIT_DOC_ID}
+    assert all(r.text_hash not in ref_hashes for r in rows)
