@@ -112,11 +112,52 @@ AUDITS: dict[str, dict] = {
         "bounded_broadcast": "vocab side is LIMITed to VOCAB_K rows",
     },
     "dataset_split": {"pruned": True, "codegen": True},
-    "sequence_pack": {"codegen": True},
-    "price_median": {"pruned": True, "codegen": True},
+    "sequence_pack": {
+        "codegen": True,
+        "bounded_broadcast": "per-(lang,shard) offset table ~ corpus/"
+        "PACK_SHARD_SPAN rows (pipeline.py growth rule: ~1e5 at 1e11 docs)",
+    },
+    "price_median": {
+        "pruned": True,
+        "codegen": True,
+        "bounded_broadcast": "per-priority count table, 5 rows",
+    },
     "priority_pivot": {"pruned": True, "codegen": True},
     "asof_join": {"pruned": True, "codegen": True},
     "range_join_views": {"pruned": True, "codegen": True},
+    # r5 additions — extended TPC-H coverage
+    "tpch_q6_forecast": {"pruned": True, "codegen": True},
+    "tpch_q7_volume": {"pruned": True, "broadcast": True, "codegen": True},
+    "tpch_q8_marketshare": {"pruned": True, "broadcast": True, "codegen": True},
+    "tpch_q10_returns": {"pruned": True, "broadcast": True, "codegen": True},
+    "tpch_q13_custdist": {"pruned": True, "codegen": True},
+    "tpch_q14_promo": {"pruned": True, "codegen": True},
+    "tpch_q18_bigorders": {"pruned": True, "codegen": True},
+    "tpch_q19_brackets": {"pruned": True, "codegen": True},
+    "tpch_q22_prospects": {
+        "codegen": True,
+        "bounded_broadcast": "scalar avg-balance aggregate, 1 row",
+    },
+    # r5 additions — corpus curation / ER / time-series / incremental dedup
+    "doc_chunk": {"pruned": ["documents"], "codegen": True},
+    "span_dedup": {"pruned": ["documents"], "codegen": True},
+    "tfidf_topterms": {
+        "pruned": ["documents"],
+        "codegen": True,
+        "bounded_broadcast": "corpus doc-count scalar, 1 row",
+    },
+    "lexical_diversity": {"pruned": ["documents"], "codegen": True},
+    "domain_mix": {
+        "codegen": True,
+        "bounded_broadcast": "corpus-total aggregate, 1 row",
+    },
+    "text_normalize": {"pruned": ["documents"], "codegen": True},
+    "decontaminate": {"pruned": ["documents"], "codegen": True},
+    "event_sessionize": {"pruned": True, "codegen": True},
+    "event_funnel": {"pruned": True, "codegen": True},
+    "fuzzy_name_match": {"pruned": ["part"], "codegen": True},
+    "gapfill_ffill": {"pruned": True, "codegen": True},
+    "dedup_incremental": {"pruned": ["documents"], "codegen": True},
 }
 
 
