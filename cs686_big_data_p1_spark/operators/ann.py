@@ -45,6 +45,7 @@ from ..functions.vector import norm as v_norm
 from ..functions.vector import pair_dot_pd
 from ..registry import query, track_cache
 from ..tables import load_table
+from .llm import KNN_ORACLE, knn_bruteforce
 
 EMB_DIM = 64
 N_TABLES = 8
@@ -412,6 +413,81 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= ANN_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+ANN_RECALL_ORACLE = f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({KNN_ORACLE})),
+lsh AS (SELECT query_id, neighbor_id FROM ({ANN_LSH_ORACLE})),
+ivf AS (SELECT query_id, neighbor_id FROM ({KNN_IVF_ORACLE})),
+approx AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+),
+hits AS (
+  SELECT a.method, count(*) AS n_hits
+  FROM approx a JOIN truth t
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY a.method
+),
+tc AS (SELECT count(*) AS n_true FROM truth)
+SELECT m.method,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(tc.n_true AS BIGINT) AS n_true,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / tc.n_true AS recall
+FROM (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m
+LEFT JOIN hits h ON h.method = m.method
+CROSS JOIN tc
+"""
+
+
+@query("ann_recall", oracle=ANN_RECALL_ORACLE)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of each approximate index vs the brute-force ground
+    truth — the self-measurement that makes N_BITS / IVF_NPROBE tuning
+    empirical instead of blind (FAISS benchmarks report exactly this).
+
+    Micro-averaged: recall = total true-neighbor hits across all
+    queries / total true neighbors, one exact int division so the
+    double is bit-identical across engines (a macro-average would sum
+    doubles in engine-dependent order). Both approximate paths and the
+    ground truth are deterministic, so this query is oracle-replayable
+    end-to-end; tests/test_ann.py pins per-method floors at sf0.001.
+
+    Scale: truth/lsh/ivf are the audited bounded pipelines; the join
+    keys are (query_id, neighbor_id) int pairs, the aggregate is
+    2 rows, and the 1-row truth count is broadcast.
+    """
+    truth = track_cache(
+        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    approx = (
+        ann_lsh(spark, sf_dir)
+        .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id")
+        .unionByName(
+            knn_ivf(spark, sf_dir).select(
+                F.lit("ivf").alias("method"), "query_id", "neighbor_id"
+            )
+        )
+    )
+    hits = (
+        approx.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    methods = spark.createDataFrame([("lsh",), ("ivf",)], "method string")
+    tc = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (
+        methods.join(hits, "method", "left")
+        .crossJoin(F.broadcast(tc))
+        .select(
+            "method",
+            n_hits.alias("n_hits"),
+            F.col("n_true").cast("long").alias("n_true"),
+            (n_hits.cast("double") / F.col("n_true")).alias("recall"),
+        )
     )
 
 

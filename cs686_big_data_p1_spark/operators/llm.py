@@ -286,6 +286,49 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
 """
 
 
+def _cluster_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation + pointer-jumping round.
+
+    The post-neighbor labels are materialized (localCheckpoint) BEFORE
+    the jump mapping is derived from them: both sides of the jump join
+    read that same DataFrame, and without the cut the (shuffling)
+    neighbor-join subtree would appear twice in the round's physical
+    plan and execute twice — a flat 2× on the most expensive query in
+    the suite (tools/plan_audit.py asserts the round plan contains no
+    HashAggregate and exactly one join). Returns the post-jump labels
+    UN-checkpointed; the convergence loop checkpoints them.
+    """
+    neigh = (
+        edges.join(labels, edges.doc_a == labels.v)
+        .groupBy(F.col("doc_b").alias("nv"))
+        .agg(F.min("label").alias("nmin"))
+    )
+    labels = (
+        labels.join(neigh, labels.v == F.col("nv"), "left")
+        .select(
+            "v",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Pointer jumping: label(v) <- min(label(v), label(label(v))).
+    # Labels are vertex ids, so composing the mapping with itself
+    # shortcuts chains — rounds drop from O(component diameter) to
+    # O(log diameter), the difference between 30 shuffles and 5 on
+    # a crawl corpus whose duplicate chains run long.
+    jump = labels.select(
+        F.col("v").alias("pv"), F.col("label").alias("plabel")
+    )
+    return labels.join(jump, labels.label == F.col("pv"), "left").select(
+        "v",
+        F.least(
+            F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+        ).alias("label"),
+    )
+
+
 @query("dedup_clusters", oracle=DEDUP_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the
@@ -329,35 +372,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(CLUSTER_MAX_ITERS):
-        neigh = (
-            edges.join(labels, edges.doc_a == labels.v)
-            .groupBy(F.col("doc_b").alias("nv"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        labels = labels.join(neigh, labels.v == F.col("nv"), "left").select(
-            "v",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-            ).alias("label"),
-        )
-        # Pointer jumping: label(v) <- min(label(v), label(label(v))).
-        # Labels are vertex ids, so composing the mapping with itself
-        # shortcuts chains — rounds drop from O(component diameter) to
-        # O(log diameter), the difference between 30 shuffles and 5 on
-        # a crawl corpus whose duplicate chains run long.
-        jump = labels.select(
-            F.col("v").alias("pv"), F.col("label").alias("plabel")
-        )
-        labels = (
-            labels.join(jump, labels.label == F.col("pv"), "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        labels = _cluster_round(edges, labels).localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
             converged = True

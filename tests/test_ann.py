@@ -40,6 +40,26 @@ def test_ivf_recall_vs_bruteforce(spark, registry):
     assert recall >= 0.2, f"IVF recall {recall} collapsed vs brute force"
 
 
+def test_ann_recall_query(spark, registry):
+    """ann_recall must agree with a directly-computed intersection of
+    each approximate method's pairs vs brute force, and stay above the
+    floor the per-method tests pin — the query is the tuning instrument
+    for N_BITS/IVF_NPROBE, so a silent drift here would misguide both."""
+    rows = {
+        r.method: r
+        for r in registry.QUERIES["ann_recall"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) == {"lsh", "ivf"}
+    bf = _pairs(registry.QUERIES["knn_bruteforce"](spark, SF_SMALL))
+    for method, qname in (("lsh", "ann_lsh"), ("ivf", "knn_ivf")):
+        approx = _pairs(registry.QUERIES[qname](spark, SF_SMALL))
+        r = rows[method]
+        assert r.n_true == len(bf) == 25
+        assert r.n_hits == len(approx & bf)
+        assert r.recall == r.n_hits / r.n_true
+        assert r.recall >= 0.2, f"{method} recall {r.recall} collapsed"
+
+
 def test_ivf_probes_bound_work(spark):
     """Every reported neighbor must come from a probed cell — i.e. the
     candidate set really is restricted to nprobe inverted lists.

@@ -161,6 +161,57 @@ AUDITS: dict[str, dict] = {
 }
 
 
+BOUNDING_NODES = ("Aggregate", "Limit", "TakeOrdered")
+
+
+def subtree_bounds_cardinality(node) -> bool:
+    """True if the subtree contains a node that bounds its output rows
+    (aggregate or limit) — the shape every legitimate bounded-broadcast
+    waiver must have between the exchange and the fact scan."""
+    todo = list(node.children)
+    while todo:
+        n = todo.pop()
+        if any(b in n.name for b in BOUNDING_NODES):
+            return True
+        todo.extend(n.children)
+    return False
+
+
+def audit_cluster_round(spark) -> list[str]:
+    """Assert one dedup_clusters propagation round executes the
+    neighbor join exactly once: the post-neighbor labels are
+    materialized before the pointer-jump join reads them twice, so the
+    round's physical plan past the checkpoint must contain no
+    HashAggregate (the neighbor groupBy) and exactly one join."""
+    from cs686_big_data_p1_spark.operators.llm import _cluster_round
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "doc_a long, doc_b long"
+    ).localCheckpoint(eager=True)
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2)], "v long, label long"
+    ).localCheckpoint(eager=True)
+    plan = formatted_plan(_cluster_round(edges, labels))
+    problems = []
+    if "HashAggregate" in plan:
+        problems.append(
+            "cluster_round: neighbor-join Aggregate leaked past the "
+            "round checkpoint (subtree would execute twice per round)"
+        )
+    n_joins = sum(1 for n in parse_tree(plan) if "Join" in n.name)
+    if n_joins > 1:
+        problems.append(
+            f"cluster_round: {n_joins} joins in post-checkpoint round "
+            "plan (expected 1 — the pointer-jump join only)"
+        )
+    print("## dedup_clusters round plan — "
+          + ("FAIL: " + "; ".join(problems) if problems else "ok") + "\n")
+    print("```")
+    print(plan.strip())
+    print("```\n")
+    return problems
+
+
 def main() -> int:
     from cs686_big_data_p1_spark import registry
     from cs686_big_data_p1_spark.session import get_spark
@@ -203,6 +254,14 @@ def main() -> int:
         if want.get("broadcast") and "Broadcast" not in plan:
             problems.append("no broadcast join in plan")
         waiver = want.get("bounded_broadcast")
+        # The waiver is exchange-scoped, not query-scoped: each waived
+        # BroadcastExchange must visibly bound its own cardinality (an
+        # Aggregate / Limit / TakeOrdered between the exchange and the
+        # fact scan), and at most max_waived exchanges may claim it —
+        # so an unintended second fact broadcast regressing into a
+        # waived query still fails the audit.
+        max_waived = want.get("max_waived", 1)
+        n_waived = 0
         for n in nodes:
             if "BroadcastExchange" in n.name:
                 bad = sorted(
@@ -210,12 +269,27 @@ def main() -> int:
                     for sid in descendant_scan_ids(n)
                     if tables.get(sid) in FACT_TABLES
                 )
-                if bad and waiver:
+                if not bad:
+                    continue
+                if waiver and not subtree_bounds_cardinality(n):
+                    problems.append(
+                        f"BroadcastExchange ({n.id}) over {bad} claims "
+                        "waiver but has no Aggregate/Limit bounding node "
+                        "in its subtree"
+                    )
+                elif waiver and n_waived >= max_waived:
+                    problems.append(
+                        f"BroadcastExchange ({n.id}) over {bad} exceeds "
+                        f"max_waived={max_waived} bounded-broadcast "
+                        "exchanges for this query"
+                    )
+                elif waiver:
+                    n_waived += 1
                     print(
                         f"note: {name} BroadcastExchange ({n.id}) over "
                         f"{bad} waived — {waiver}\n"
                     )
-                elif bad:
+                else:
                     problems.append(
                         f"BroadcastExchange ({n.id}) broadcasts fact "
                         f"table(s) {bad} — OOM at scale"
@@ -243,6 +317,8 @@ def main() -> int:
         print("```\n")
         if problems:
             failures.append(name)
+    if audit_cluster_round(spark):
+        failures.append("dedup_clusters_round")
     if failures:
         print(f"\nFAILED: {failures}", file=sys.stderr)
         return 1
