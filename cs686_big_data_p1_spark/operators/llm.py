@@ -86,7 +86,15 @@ def _rep_shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    d = d.join(reps, "doc_id", "left_semi")
+    return shingles_of(d.join(reps, "doc_id", "left_semi"))
+
+
+def shingles_of(d: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> distinct 60-bit shingle IDs per doc.
+
+    The raw shingling stage, exact-dup prefiltering left to the caller
+    (batch dedup_near collapses md5 classes first; the streaming
+    variant anti-joins against its accumulated hash store instead)."""
     words = F.split(F.col("text"), " ")
     d = d.select("doc_id", words.alias("w")).where(F.size("w") >= 3)
     idx = F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i")
@@ -164,30 +172,14 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 """
 
 
-@query("dedup_near", oracle=DEDUP_NEAR_ORACLE)
-def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidates + exact Jaccard (E2).
+def band_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, h) shingles -> (doc_id, k, m0, m1) LSH band signatures.
 
-    Pipeline: exact-dup prefilter -> 3-word shingles as 60-bit ints ->
-    4 bands x 2 min-hashes -> bucket self-join on (band, m0, m1) with a
-    bucket-size cap -> candidate pairs -> exact Jaccard via a
-    shingle-ID intersection join. Standard Broder / MMDS ch.3
-    construction as DataFrame ops.
-
-    Scale: identical documents collapse to one representative before
-    LSH (the k-identical-copies k^2/2 blowup never happens); every
-    shuffle key is a bigint or a (int, bigint, bigint) signature —
-    never document text; buckets larger than MAX_BUCKET_DOCS are
-    skipped outright (they are degenerate boilerplate clusters, the
-    standard LSH guard); Jaccard touches only surviving candidate
-    pairs. Output is over class representatives — pair exact
-    duplicates via dedup_exact's classes.
-    """
-    sh = track_cache(_rep_shingles_df(spark, sf_dir))
-    # All 8 min-hashes as aggregate columns of ONE groupBy — no 8x row
-    # fan-out, and the (mostly map-side) shuffle carries one narrow row
-    # per doc instead of 8. Hash strings match the oracle's
-    # printf('mh%d|%d', k*2+j, h) exactly.
+    All 8 min-hashes as aggregate columns of ONE groupBy — no 8x row
+    fan-out, and the (mostly map-side) shuffle carries one narrow row
+    per doc instead of 8. Hash strings match the oracle's
+    printf('mh%d|%d', k*2+j, h) exactly. Shared by batch dedup_near and
+    the streaming stream_dedup_near bucket store."""
     min_cols = [
         F.min(
             F.conv(
@@ -218,9 +210,32 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(N_MINHASH_BANDS)
         ]
     )
-    sigs = wide.select("doc_id", F.explode(band_structs).alias("s")).select(
+    return wide.select("doc_id", F.explode(band_structs).alias("s")).select(
         "doc_id", "s.k", "s.m0", "s.m1"
     )
+
+
+@query("dedup_near", oracle=DEDUP_NEAR_ORACLE)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates + exact Jaccard (E2).
+
+    Pipeline: exact-dup prefilter -> 3-word shingles as 60-bit ints ->
+    4 bands x 2 min-hashes -> bucket self-join on (band, m0, m1) with a
+    bucket-size cap -> candidate pairs -> exact Jaccard via a
+    shingle-ID intersection join. Standard Broder / MMDS ch.3
+    construction as DataFrame ops.
+
+    Scale: identical documents collapse to one representative before
+    LSH (the k-identical-copies k^2/2 blowup never happens); every
+    shuffle key is a bigint or a (int, bigint, bigint) signature —
+    never document text; buckets larger than MAX_BUCKET_DOCS are
+    skipped outright (they are degenerate boilerplate clusters, the
+    standard LSH guard); Jaccard touches only surviving candidate
+    pairs. Output is over class representatives — pair exact
+    duplicates via dedup_exact's classes.
+    """
+    sh = track_cache(_rep_shingles_df(spark, sf_dir))
+    sigs = band_signatures(sh)
     bucket_key = ["k", "m0", "m1"]
     ok_buckets = (
         sigs.groupBy(*bucket_key)

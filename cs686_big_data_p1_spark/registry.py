@@ -130,6 +130,7 @@ def load_all() -> None:
     from .operators import tpch  # noqa: F401
     from .operators import windows  # noqa: F401
     from .streaming import liveness  # noqa: F401
+    from .streaming import neardup  # noqa: F401
     from .streaming import replication  # noqa: F401
     from .streaming import stateful  # noqa: F401
 

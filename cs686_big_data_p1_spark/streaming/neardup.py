@@ -1,0 +1,182 @@
+"""Streaming near-duplicate detection: MinHash-LSH over a document
+stream with an accumulating bucket store.
+
+A crawl-ingest pipeline can't afford to re-run batch dedup_near over
+the whole corpus every time a crawl lands; it wants each arriving
+micro-batch matched against everything already ingested. This module
+composes the two existing patterns the batch side already ships:
+
+  * dedup_incremental's digest anti-join (operators/llm.py) — new docs
+    are the ones whose content hash is absent from the accumulated
+    hash store, so exact duplicates of anything already seen never
+    enter LSH;
+  * dedup_near's signature stage (operators/llm.py shingles_of /
+    band_signatures) — surviving docs get 4x2 MinHash band signatures
+    that are matched against the accumulated signature store on
+    (band, m0, m1) bucket keys, then verified with exact Jaccard over
+    the accumulated shingle store.
+
+State (foreachBatch-maintained, localCheckpoint-cut per batch so plan
+lineage stays depth-1 exactly like dedup_clusters' loop):
+  hashes    one 32-byte digest per distinct content seen   — O(#docs)
+  sigs      4 narrow int rows per representative doc        — O(#docs)
+  shingles  60-bit ints per representative doc              — the one
+            store proportional to corpus token count; at 100 TB this
+            lives in a parquet/Delta table keyed by doc_id, exactly
+            like dedup_incremental's reference corpus, and each batch
+            touches only candidate docs' rows.
+All shuffle keys are digests/ints; document text never outlives its
+own micro-batch.
+
+Cap semantics (documented relaxation vs batch): the MAX_BUCKET_DOCS
+guard is evaluated against the ACCUMULATED bucket occupancy at each
+batch — a bucket that overflows stops generating new candidates but
+past emissions are not retracted (streaming state is monotone; batch
+dedup_near, seeing final occupancy, would drop the whole bucket). On
+corpora whose buckets stay within the cap the final pair set is
+EXACTLY batch dedup_near's jaccard >= {STREAM_NEARDUP_MIN_JACCARD}
+set — pinned by tests/test_streaming.py batch-parity over a
+multi-file, multi-batch split of the documents fixture.
+
+Rows-only registration: the accumulating foreachBatch loop is not
+single-statement SQL; batch dedup_near carries the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.llm import MAX_BUCKET_DOCS, band_signatures, shingles_of
+from ..registry import query
+from ..tables import SCHEMAS
+
+STREAM_NEARDUP_MIN_JACCARD = 0.5  # same cut as dedup_clusters' edges
+
+_BUCKET_KEY = ["k", "m0", "m1"]
+
+
+def neardup_stream_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Drain a (doc_id, text) stream through the incremental LSH
+    pipeline; returns the accumulated near-dup pairs
+    (doc_a, doc_b, jaccard, batch_id) after the stream finishes."""
+    store: dict[str, DataFrame] = {
+        "hashes": spark.createDataFrame([], "th string"),
+        "sigs": spark.createDataFrame(
+            [], "doc_id long, k int, m0 long, m1 long"
+        ),
+        "shingles": spark.createDataFrame([], "doc_id long, h long"),
+        "pairs": spark.createDataFrame(
+            [], "doc_a long, doc_b long, jaccard double, batch_id long"
+        ),
+    }
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        hashed = batch.select(
+            "doc_id", "text", F.md5(F.col("text").cast("binary")).alias("th")
+        )
+        # Within-batch representative per content class, then the
+        # incremental anti-join: only first-ever-seen content enters
+        # LSH (= dedup_near's exact-dup prefilter, incrementalized).
+        reps = hashed.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
+        new = reps.join(store["hashes"], "th", "left_anti").localCheckpoint(
+            eager=True
+        )
+        new_docs = hashed.join(
+            new.select("doc_id"), "doc_id", "left_semi"
+        ).select("doc_id", "text")
+        sh_new = shingles_of(new_docs).localCheckpoint(eager=True)
+        sigs_new = band_signatures(sh_new).localCheckpoint(eager=True)
+        store["hashes"] = (
+            store["hashes"]
+            .unionByName(new.select("th"))
+            .localCheckpoint(eager=True)
+        )
+        store["shingles"] = (
+            store["shingles"].unionByName(sh_new).localCheckpoint(eager=True)
+        )
+        all_sigs = (
+            store["sigs"].unionByName(sigs_new).localCheckpoint(eager=True)
+        )
+        store["sigs"] = all_sigs
+        # Bucket cap on ACCUMULATED occupancy (see module docstring).
+        ok = (
+            all_sigs.groupBy(*_BUCKET_KEY)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") <= MAX_BUCKET_DOCS)
+            .select(*_BUCKET_KEY)
+        )
+        capped_all = all_sigs.join(ok, _BUCKET_KEY, "left_semi")
+        capped_new = sigs_new.join(ok, _BUCKET_KEY, "left_semi")
+        # New-vs-all candidates only: a pair of two already-ingested
+        # docs was matched when its second member arrived, so each
+        # pair is generated in exactly one batch (no re-emission).
+        cand = (
+            capped_new.select(F.col("doc_id").alias("na"), *_BUCKET_KEY)
+            .join(
+                capped_all.select(F.col("doc_id").alias("nb"), *_BUCKET_KEY),
+                _BUCKET_KEY,
+            )
+            .where(F.col("na") != F.col("nb"))
+            .select(
+                F.least("na", "nb").alias("doc_a"),
+                F.greatest("na", "nb").alias("doc_b"),
+            )
+            .distinct()
+        )
+        # Exact Jaccard over the accumulated shingle store, candidate
+        # pairs only — identical math to batch dedup_near.
+        sizes = store["shingles"].groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        sa = store["shingles"].select(F.col("doc_id").alias("doc_a"), "h")
+        sb = store["shingles"].select(F.col("doc_id").alias("doc_b"), "h")
+        inter = (
+            cand.join(sa, "doc_a")
+            .join(sb, ["doc_b", "h"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+        zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+        pairs_new = (
+            inter.join(za, "doc_a")
+            .join(zb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= STREAM_NEARDUP_MIN_JACCARD)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        store["pairs"] = (
+            store["pairs"].unionByName(pairs_new).localCheckpoint(eager=True)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(process)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store["pairs"]
+
+
+@query("stream_dedup_near")
+def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection over the documents fixture as a stream (the
+    crawl-ingest form of dedup_near; see module docstring). Rows-only:
+    the batch analog carries the oracle, and the multi-batch parity
+    pytest pins stream-final == batch jaccard >= 0.5 pair set."""
+    docs = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    return neardup_stream_pairs(spark, docs)

@@ -310,3 +310,81 @@ def test_stream_event_dispatch_matches_batch(spark, registry):
         for r in registry.QUERIES["event_dispatch"](spark, SF_SMALL).collect()
     }
     assert got == want and got
+
+
+def test_stream_dedup_near_matches_batch_multibatch(spark, registry, tmp_path):
+    """Multi-batch batch-parity for stream_dedup_near: the fixture docs
+    plus a planted cross-batch near-dup pair and a planted cross-batch
+    exact duplicate are split across 4 files streamed one per
+    micro-batch; the accumulated pair set must equal batch dedup_near's
+    jaccard >= 0.5 set over the same combined corpus (the exact dup
+    must be absorbed by the hash store, not re-enter LSH)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs686_big_data_p1_spark.streaming.neardup import (
+        STREAM_NEARDUP_MIN_JACCARD,
+        neardup_stream_pairs,
+    )
+    from cs686_big_data_p1_spark.tables import SCHEMAS
+
+    base = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    words = [f"zqx{i}" for i in range(30)]
+    t1 = " ".join(words)
+    t2 = " ".join(words[:-1] + ["zqxCHANGED"])  # shingle jaccard ~0.87
+    planted = pd.DataFrame(
+        {
+            "doc_id": [900001, 900002, 900003],
+            "text": [t1, t2, t1],  # 900003 = exact dup of 900001
+            "lang": ["en"] * 3,
+            "source": ["planted"] * 3,
+            "n_chars": [len(t1), len(t2), len(t1)],
+        }
+    )
+    # slice 0 gets 900001, slice 2 the exact dup, slice 3 the near dup
+    n = len(base)
+    step = (n + 3) // 4
+    slices = [base.iloc[i * step : (i + 1) * step] for i in range(4)]
+    slices[0] = pd.concat([slices[0], planted.iloc[[0]]])
+    slices[2] = pd.concat([slices[2], planted.iloc[[2]]])
+    slices[3] = pd.concat([slices[3], planted.iloc[[1]]])
+
+    src = tmp_path / "stream_src"
+    batch_dir = tmp_path / "batch"
+    src.mkdir()
+    batch_dir.mkdir()
+    for i, sl in enumerate(slices):
+        path = src / f"slice_{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(sl, preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(slices), preserve_index=False),
+        batch_dir / "documents.parquet",
+    )
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("doc_id", "text")
+    )
+    result = neardup_stream_pairs(spark, stream)
+    got = {(r.doc_a, r.doc_b) for r in result.collect()}
+    n_batches = {r.batch_id for r in result.collect()}
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_near"](spark, str(batch_dir))
+        .where(F.col("jaccard") >= STREAM_NEARDUP_MIN_JACCARD)
+        .collect()
+    }
+    assert got == want
+    assert (900001, 900002) in got  # cross-batch near dup found
+    assert not any(900003 in p for p in got)  # exact dup absorbed
+    assert len(n_batches) >= 2  # pairs genuinely span micro-batches
