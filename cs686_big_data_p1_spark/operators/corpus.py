@@ -122,6 +122,8 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_HALF = SPAN_B // 2  # phase-1 offset: catches misaligned spans
+
 SPAN_DEDUP_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS w,
@@ -131,11 +133,15 @@ WITH base AS (
 blocks AS (
   SELECT doc_id,
          md5(array_to_string(
-             w[1 + k * {SPAN_B} : (k + 1) * {SPAN_B}], ' ')) AS block_hash
+             w[1 + p * {SPAN_HALF} + k * {SPAN_B}
+               : p * {SPAN_HALF} + (k + 1) * {SPAN_B}], ' ')) AS block_hash
   FROM (SELECT doc_id, w,
-               CAST(unnest(generate_series(0, n // {SPAN_B} - 1)) AS INTEGER)
+               CAST(p AS INTEGER) AS p,
+               CAST(unnest(generate_series(
+                   0, (n - p * {SPAN_HALF}) // {SPAN_B} - 1)) AS INTEGER)
                    AS k
-        FROM base)
+        FROM (SELECT doc_id, w, n, unnest([0, 1]) AS p FROM base)
+        WHERE n - p * {SPAN_HALF} >= {SPAN_B})
 )
 SELECT block_hash,
        count(DISTINCT doc_id) AS n_docs,
@@ -149,35 +155,58 @@ HAVING count(DISTINCT doc_id) >= 2
 
 @query("span_dedup", oracle=SPAN_DEDUP_ORACLE)
 def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level exact dedup: hash every non-overlapping
-    {SPAN_B}-word block and report blocks appearing in two or more
-    distinct documents — the block-hash approximation of suffix-array
-    substring dedup (boilerplate headers/footers/licenses that
-    document-level dedup_exact cannot see because the surrounding
-    text differs).
+    """Substring-level exact dedup: hash {SPAN_B}-word blocks in TWO
+    stride phases (word offsets 0 and {SPAN_HALF}) and report blocks
+    appearing in two or more distinct documents — the block-hash
+    approximation of suffix-array substring dedup (boilerplate
+    headers/footers/licenses that document-level dedup_exact cannot
+    see because the surrounding text differs).
+
+    Phase 1's {SPAN_HALF}-word offset catches spans that sit at
+    different word offsets in different documents (phase-0 block of
+    one doc == phase-1 block of the other whenever the offsets differ
+    by {SPAN_HALF} mod {SPAN_B}); equality is on content hash, so
+    cross-phase matches need no alignment bookkeeping. Residual
+    approximation: offsets differing by anything else mod {SPAN_HALF}
+    still slip through (full coverage is the suffix-array/minimizer
+    territory the docstring trades away for 2x candidate volume).
 
     Scale: the explode is map-side; only 32-char digests shuffle
     (never block text), and the groupBy key is the digest itself —
     uniformly distributed by construction, no skew. Tail words short
-    of a full block are dropped in both engines (docs shorter than
-    {SPAN_B} words contribute nothing; Spark's sequence() would
-    fabricate a descending range for them, so they are filtered
-    explicitly — same contract as decontaminate)."""
+    of a full block are dropped in both engines per phase (docs
+    shorter than {SPAN_B} words contribute nothing; Spark's
+    sequence() would fabricate a descending range for them, so they
+    are filtered explicitly — same contract as decontaminate)."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.split("text", " ").alias("w")).where(
         F.size("w") >= SPAN_B
     )
-    blocks = base.select(
+    phased = base.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), (F.size("w") / SPAN_B).cast("int") - 1)
-        ).alias("k"),
         "w",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("p"),
+    ).where(F.size("w") - F.col("p") * SPAN_HALF >= SPAN_B)
+    blocks = phased.select(
+        "doc_id",
+        "w",
+        "p",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                ((F.size("w") - F.col("p") * SPAN_HALF) / SPAN_B).cast("int")
+                - 1,
+            )
+        ).alias("k"),
     ).select(
         "doc_id",
         F.md5(
             F.array_join(
-                F.slice(F.col("w"), F.lit(1) + F.col("k") * SPAN_B, SPAN_B),
+                F.slice(
+                    F.col("w"),
+                    F.lit(1) + F.col("p") * SPAN_HALF + F.col("k") * SPAN_B,
+                    SPAN_B,
+                ),
                 " ",
             )
         ).alias("block_hash"),

@@ -85,6 +85,13 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = (
         load_table(spark, sf_dir, "part").select("p_name").distinct()
     )
+    return match_names(names)
+
+
+def match_names(names: DataFrame) -> DataFrame:
+    """Core of fuzzy_name_match over any distinct (p_name) frame (the
+    query wrapper binds the part table; tests feed degenerate-key
+    corpora to pin the block cap's deterministic truncation)."""
     toks = F.split(F.col("p_name"), " ")
     keyed = names.select(
         "p_name",

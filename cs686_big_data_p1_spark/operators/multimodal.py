@@ -458,6 +458,92 @@ def sample_decoded_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
+# --- perceptual image dedup -------------------------------------------------
+# dHash (difference hash): downsample the grayscale image to an
+# 8x9 grid and emit one bit per horizontally-adjacent pair
+# (left < right). Brightness shifts, re-encodes, and mild scaling
+# change every payload byte (so exact/doc_fingerprint dedup misses
+# them) but preserve the gradient-sign structure dHash keys on.
+
+PHASH_GRID = 8  # 8x8 bits from an (8, 9) grayscale downsample
+
+
+def _area_resize(a: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Deterministic area-average resize of a 2-D array to (th, tw):
+    each output cell is the mean of its source-pixel block (integer
+    boundaries, so no interpolation-library dependence). Upscaling
+    degenerates to pixel repetition (block size clamps to >= 1)."""
+    h, w = a.shape
+    ys = (np.arange(th + 1) * h) // th
+    xs = (np.arange(tw + 1) * w) // tw
+    out = np.empty((th, tw), np.float64)
+    for i in range(th):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(tw):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = a[y0:y1, x0:x1].mean()
+    return out
+
+
+def dhash64(img: np.ndarray) -> int:
+    """(H, W, 3) uint8 RGB -> 64-bit difference hash. Invariant to any
+    per-pixel monotone brightness shift that preserves left-vs-right
+    ordering (in particular exact +c shifts without clipping)."""
+    gray = img.astype(np.float64).mean(axis=2)
+    small = _area_resize(gray, PHASH_GRID, PHASH_GRID + 1)
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    return int(np.packbits(bits).tobytes().hex(), 16)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Image rows -> (doc_id, dhash hex string) via Arrow-batched
+    mapInPandas: decode_image + dhash64 per row, one Python call per
+    batch. Non-image rows are dropped map-side, so only 16-byte hex
+    digests ever reach a shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["media_type"] == "image"]
+            ids, hashes = [], []
+            for doc_id, payload in zip(imgs["doc_id"], imgs["payload"]):
+                ids.append(doc_id)
+                hashes.append(
+                    format(dhash64(decode_image(bytes(payload))), "016x")
+                )
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return media.mapInPandas(gen, "doc_id long, dhash string")
+
+
+def phash_dedup(media: DataFrame) -> DataFrame:
+    """dHash groupBy dedup over image rows — dedup_exact's digest
+    shape, keyed on the perceptual hash instead of md5(payload), so
+    re-encoded / brightness-shifted copies of the same picture collapse
+    into one class (keeper = min doc_id, deterministic)."""
+    return (
+        image_dhash(media)
+        .groupBy("dhash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query("media_phash_dedup")
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over the encoded media table (E-family
+    extension): decode -> dHash -> digest groupBy. Rows-only by design
+    (the decode+hash is not SQL-expressible); the pytest plants a
+    brightness-shifted BMP duplicate pair that exact fingerprinting
+    misses and dHash catches.
+
+    Scale: decode+hash is map-side and embarrassingly parallel; the
+    one shuffle carries (16-hex-char, long) rows — dedup_exact's
+    digest-only shuffle shape, never pixels."""
+    return phash_dedup(media_encoded_df(spark, sf_dir))
+
+
 def payload_fingerprint(payload: bytes) -> str:
     """Reference md5 fingerprint used by the tests to cross-check
     payload bytes against an independent Python construction."""

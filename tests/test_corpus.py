@@ -7,6 +7,8 @@ span dedup, and closed-form diversity values.
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 import pytest
 
@@ -164,3 +166,33 @@ def test_corpus_ops_plan_shape(spark, registry):
     for name in ("doc_chunk", "text_normalize"):
         plan = formatted_plan(registry.QUERIES[name](spark, SF_MED))
         assert "Exchange" not in plan, name
+
+
+def test_span_dedup_catches_misaligned_block(spark, tmp_path):
+    """The stride-B/2 phase must catch a license block sitting at word
+    offset 0 in one doc and offset B/2 in another (phase-0 hash of the
+    first == phase-1 hash of the second); an offset not congruent to
+    0 mod B/2 stays the documented approximation and is NOT found."""
+    from cs686_big_data_p1_spark.operators.corpus import (
+        SPAN_B,
+        SPAN_HALF,
+        span_dedup,
+    )
+
+    lic = " ".join(f"L{i}" for i in range(SPAN_B))
+    texts = [
+        lic + " " + " ".join(f"a{i}" for i in range(SPAN_B)),  # offset 0
+        " ".join(f"b{i}" for i in range(SPAN_HALF))  # offset B/2
+        + " " + lic + " "
+        + " ".join(f"c{i}" for i in range(SPAN_HALF)),
+        " ".join(f"d{i}" for i in range(5))  # offset 5: stays missed
+        + " " + lic + " "
+        + " ".join(f"e{i}" for i in range(SPAN_B - 5)),
+    ]
+    rows = span_dedup(spark, _write_docs(tmp_path, texts)).collect()
+    lic_hash = hashlib.md5(lic.encode()).hexdigest()
+    by_hash = {r.block_hash: r for r in rows}
+    assert lic_hash in by_hash
+    r = by_hash[lic_hash]
+    assert (r.n_docs, r.keeper_doc_id) == (2, 0)  # docs 0+1, not doc 2
+    assert r.n_occurrences == 2

@@ -120,3 +120,32 @@ def test_dedup_incremental_excludes_reference_content(spark, registry):
     # survive incremental dedup.
     ref_hashes = {r.text_hash for r in docs if r.keeper_doc_id < INCR_SPLIT_DOC_ID}
     assert all(r.text_hash not in ref_hashes for r in rows)
+
+
+def test_fuzzy_match_block_cap_deterministic(spark):
+    """Degenerate blocking key: 120 names share one first token, 20
+    over MAX_BLOCK_NAMES. The cap must truncate the block to the first
+    100 names IN NAME ORDER (deterministic row_number tie-break) and
+    bound candidates at C(100,2) — never C(120,2) — mirroring
+    tests/test_dedup.py's bucket-cap pathology test for LSH."""
+    from cs686_big_data_p1_spark.operators.er import (
+        MAX_BLOCK_NAMES,
+        match_names,
+    )
+
+    n_over = MAX_BLOCK_NAMES + 20
+    all_names = [f"shared suffix{i:03d}" for i in range(n_over)]
+    kept = set(sorted(all_names)[:MAX_BLOCK_NAMES])
+    names = spark.createDataFrame([(n,) for n in all_names], "p_name string")
+    rows = match_names(names).collect()
+    got = {(r.a_name, r.b_name) for r in rows}
+    # every digit-substitution pair has levenshtein <= 3, so the match
+    # set is exactly all pairs within the capped block
+    want = {
+        (a, b) for a in kept for b in kept if a < b
+    }
+    assert got == want
+    assert len(got) == MAX_BLOCK_NAMES * (MAX_BLOCK_NAMES - 1) // 2
+    assert all(a in kept and b in kept for a, b in got)
+    # deterministic across re-evaluation (same truncation both runs)
+    assert {(r.a_name, r.b_name) for r in match_names(names).collect()} == got

@@ -259,3 +259,58 @@ def test_sample_decoded_frames(spark):
             h, w, buf = got[(v.doc_id, no)]
             assert (h, w) == frames.shape[1:]
             assert buf == frames[no].tobytes()
+
+
+def test_phash_dedup_catches_brightness_shift(spark):
+    """A +40 brightness-shifted copy of a BMP changes every payload
+    byte (exact fingerprint dedup misses it) but preserves every
+    horizontal gradient sign, so dHash must collapse the pair into one
+    class while keeping a genuinely different image separate."""
+    from cs686_big_data_p1_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _pseudo_bytes,
+        dhash64,
+        encode_bmp,
+        image_dhash,
+        payload_fingerprint,
+        phash_dedup,
+    )
+
+    h, w = 12, 10
+    base = (
+        np.frombuffer(_pseudo_bytes(1, h * w * 3), np.uint8).astype(np.int32) % 200
+    ).astype(np.uint8).reshape(h, w, 3)
+    shifted = (base.astype(np.int32) + 40).astype(np.uint8)  # no clipping
+    other = (
+        np.frombuffer(_pseudo_bytes(2, h * w * 3), np.uint8).astype(np.int32) % 200
+    ).astype(np.uint8).reshape(h, w, 3)
+    payloads = [encode_bmp(p) for p in (base, shifted, other)]
+    assert len({payload_fingerprint(p) for p in payloads}) == 3  # exact misses
+    assert dhash64(base) == dhash64(shifted) != dhash64(other)
+
+    rows = [
+        (i + 1, "image", bytearray(p), w, h, None, None)
+        for i, p in enumerate(payloads)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = {r.doc_id: r.dhash for r in image_dhash(media).collect()}
+    assert hashes[1] == hashes[2] != hashes[3]
+    classes = {
+        r.dhash: (r.keeper_doc_id, r.n_copies)
+        for r in phash_dedup(media).collect()
+    }
+    assert classes[hashes[1]] == (1, 2)  # shifted copy deduped, keeper=min
+    assert classes[hashes[3]] == (3, 1)
+
+
+def test_media_phash_dedup_query(spark, registry):
+    """Registered query: one class per fixture image (pseudo-random
+    pixels don't collide), keeper == doc_id, image rows only."""
+    out = registry.QUERIES["media_phash_dedup"](spark, SF_SMALL).collect()
+    n_images = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .where("doc_id % 3 = 0")
+        .count()
+    )
+    assert sum(r.n_copies for r in out) == n_images
+    assert all(len(r.dhash) == 16 for r in out)
