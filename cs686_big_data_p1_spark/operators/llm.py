@@ -988,8 +988,8 @@ batch AS (
 )
 SELECT th AS text_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_batch_copies
-FROM batch
-WHERE th NOT IN (SELECT th FROM ref)
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.th = b.th)
 GROUP BY th
 """,
 )

@@ -147,7 +147,7 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_ORACLE = f"""
 SELECT o_year,
-       ({_unscale_sql(f"sum(CASE WHEN supp_nation = 'NATION_3' THEN {_REV_TERM.replace('l_extendedprice', 'l_extendedprice').replace('l_discount', 'l_discount')} ELSE 0 END)", 12)})
+       ({_unscale_sql(f"sum(CASE WHEN supp_nation = 'NATION_3' THEN {_REV_TERM} ELSE 0 END)", 12)})
        / ({_REV_SUM_SQL}) AS mkt_share
 FROM (
   SELECT year(o_orderdate) AS o_year, l_extendedprice, l_discount,

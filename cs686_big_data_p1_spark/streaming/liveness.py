@@ -270,11 +270,18 @@ def stream_event_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     switch in controller/MessageProcessor.java:35-68 as a complete-mode
     streaming aggregation; state is one counter per message variant,
     bounded by the 18-variant wire IR). Batch analog: event_dispatch."""
-    from ..tables import SCHEMAS
-
     with nanos_as_long(spark):
+        # ts-unit branch mirrors heartbeat_stream: on a
+        # TIMESTAMP(NANOS) fixture generation the micros schema would
+        # misdeclare ts (r5 ADVICE) — declare the matching schema even
+        # though only event_type is projected.
+        schema = (
+            EVENTS_NANOS_SCHEMA
+            if events_ts_unit(sf_dir) == "ns"
+            else SCHEMAS["events"]
+        )
         ev = (
-            spark.readStream.schema(SCHEMAS["events"])
+            spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
