@@ -66,10 +66,12 @@ AUDITS: dict[str, dict] = {
         "broadcast": True,
         "codegen": True,
         "bounded_broadcast": "offline list = per-node aggregate, O(#nodes)",
+        "max_waived": 2,  # offline list probed on two plan branches
     },
     "under_replicated": {
         "codegen": True,
         "bounded_broadcast": "online list = per-node aggregate, O(#nodes)",
+        "max_waived": 3,  # online list probed on three plan branches
     },
     "checksum_join": {"codegen": True},
     # the largest-row control-plane queries: must stay exchange-light
@@ -79,22 +81,30 @@ AUDITS: dict[str, dict] = {
     "placement_candidates": {
         "codegen": True,
         "bounded_broadcast": "node list = cluster inventory, O(#nodes)",
+        "max_waived": 6,  # node/online lists reused across plan branches
     },
     "file_manifest": {"codegen": True},
     "surviving_replicas": {
         "codegen": True,
         "bounded_broadcast": "offline list = per-node aggregate, O(#nodes)",
+        "max_waived": 3,
     },
     "dedup_exact": {"pruned": True, "codegen": True},
     "dedup_near": {"codegen": True},
     # ann queries broadcast the LIMITed query side (bounded by design)
     "ann_lsh": {
         "broadcast": True,
-        "bounded_broadcast": "query side is LIMITed to N_QUERIES",
+        "bounded_broadcast": "query side bounded by vec_id < ANN_N_QUERIES "
+        "predicate (a Filter, not a Limit node)",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 2,  # bucketed probe side + query-embedding side
     },
     "knn_ivf": {
         "broadcast": True,
-        "bounded_broadcast": "query side is LIMITed to N_QUERIES",
+        "bounded_broadcast": "query side bounded by vec_id < ANN_N_QUERIES "
+        "predicate (a Filter, not a Limit node)",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 4,  # centroids, probes, probe-join reuse, query side
     },
     "dedup_embedding": {"codegen": True},
     # embeddings is 3 columns, all genuinely needed (id, label, vector)
@@ -164,14 +174,17 @@ AUDITS: dict[str, dict] = {
 BOUNDING_NODES = ("Aggregate", "Limit", "TakeOrdered")
 
 
-def subtree_bounds_cardinality(node) -> bool:
+def subtree_bounds_cardinality(node, bound_nodes=BOUNDING_NODES) -> bool:
     """True if the subtree contains a node that bounds its output rows
-    (aggregate or limit) — the shape every legitimate bounded-broadcast
-    waiver must have between the exchange and the fact scan."""
+    (aggregate or limit by default) — the shape every legitimate
+    bounded-broadcast waiver must have between the exchange and the
+    fact scan. Queries whose bound is a selective predicate (the ANN
+    query sides' vec_id < N) widen bound_nodes to accept Filter,
+    trading precision for the explicit per-query annotation."""
     todo = list(node.children)
     while todo:
         n = todo.pop()
-        if any(b in n.name for b in BOUNDING_NODES):
+        if any(b in n.name for b in bound_nodes):
             return True
         todo.extend(n.children)
     return False
@@ -271,7 +284,8 @@ def main() -> int:
                 )
                 if not bad:
                     continue
-                if waiver and not subtree_bounds_cardinality(n):
+                bound_nodes = want.get("waiver_bound_nodes", BOUNDING_NODES)
+                if waiver and not subtree_bounds_cardinality(n, bound_nodes):
                     problems.append(
                         f"BroadcastExchange ({n.id}) over {bad} claims "
                         "waiver but has no Aggregate/Limit bounding node "
