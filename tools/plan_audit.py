@@ -148,6 +148,15 @@ AUDITS: dict[str, dict] = {
         "codegen": True,
         "bounded_broadcast": "scalar avg-balance aggregate, 1 row",
     },
+    # r6 additions — remaining partsupp-free TPC-H shapes
+    "tpch_q12_shipmode": {"pruned": True, "codegen": True},
+    "tpch_q15_topsupplier": {
+        "pruned": True,
+        "codegen": True,
+        "bounded_broadcast": "scalar max-revenue aggregate, 1 row",
+    },
+    "tpch_q17_smallqty": {"pruned": True, "codegen": True},
+    "tpch_q21_waiting": {"pruned": True, "codegen": True},
     # r5 additions — corpus curation / ER / time-series / incremental dedup
     "doc_chunk": {"pruned": ["documents"], "codegen": True},
     "span_dedup": {"pruned": ["documents"], "codegen": True},
