@@ -288,7 +288,9 @@ MEDIA_SCHEMA = (
 )
 
 
-def media_encoded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_encoded_df(
+    spark: SparkSession, sf_dir: str, media_type: str | None = None
+) -> DataFrame:
     """documents -> media rows whose payloads are REAL encoded
     containers — 24-bpp BMP (image), PCM16 WAV (audio), Cmono Y4M
     (video) — over deterministic pseudo-random content, so downstream
@@ -296,8 +298,16 @@ def media_encoded_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Encoding runs Arrow-batched in mapInPandas — in production payloads
     arrive already encoded and this builder is replaced by the ingest
-    scan; every downstream operator is agnostic to which."""
+    scan; every downstream operator is agnostic to which. media_type
+    prunes to one modality BEFORE encoding (the builder's doc_id % 3
+    keying, pushed to the scan) — single-modality consumers like
+    media_phash_dedup skip 2/3 of the encode work."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
+    if media_type is not None:
+        d = d.where(
+            F.col("doc_id") % 3
+            == ("image", "audio", "video").index(media_type)
+        )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -541,7 +551,7 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: decode+hash is map-side and embarrassingly parallel; the
     one shuffle carries (16-hex-char, long) rows — dedup_exact's
     digest-only shuffle shape, never pixels."""
-    return phash_dedup(media_encoded_df(spark, sf_dir))
+    return phash_dedup(media_encoded_df(spark, sf_dir, media_type="image"))
 
 
 def payload_fingerprint(payload: bytes) -> str:
