@@ -22,3 +22,29 @@ def test_every_query_has_callable_and_runs(spark, registry):
 
 def test_oracles_reference_registered_queries(registry):
     assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+def test_bench_run_timed_takes_min_of_passes(spark):
+    """bench.run_timed is the artifact-of-record mechanism: it must
+    execute the query once per pass and record the MINIMUM (the r5
+    official bench was contamination-distorted 2.4x; min-of-2 is the
+    defense), clearing per-query scratch caches between passes."""
+    import bench
+    from cs686_big_data_p1_spark import registry as reg
+
+    calls = []
+
+    def fake_query(s, sf_dir):
+        calls.append(sf_dir)
+        return s.range(3)
+
+    real = bench.run_one
+    ticks = iter([5.0, 1.0])
+    bench.run_one = lambda s, fn, sf: (fn(s, sf), next(ticks))[1]
+    try:
+        got = bench.run_timed(spark, fake_query, "sfX", passes=2)
+    finally:
+        bench.run_one = real
+    assert got == 1.0  # min, not first or mean
+    assert calls == ["sfX", "sfX"]  # both passes really ran
+    assert reg.TRACKED_CACHES == []  # clear_caches ran between passes
