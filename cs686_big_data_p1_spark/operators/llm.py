@@ -567,7 +567,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode is words x 32 bits, aggregated map-side; no joins.
     The md5-prefix hash (not xxhash64) keeps the oracle bit-identical.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return simhash_frame(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> (doc_id, simhash) — the fingerprint stage
+    shared by dedup_simhash and dedup_simhash_pairs."""
     words = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).distinct()
     )
@@ -594,6 +599,122 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("bigint"))
         simhash = term if simhash is None else simhash + term
     return acc.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+SIMHASH_N_BANDS = 4  # 32 bits -> 4 bands of 8; pigeonhole: hamming <= 3
+SIMHASH_MAX_HAMMING = 3  # pairs differing in <= 3 bits share >= 1 band
+
+
+DEDUP_SIMHASH_PAIRS_ORACLE = f"""
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+words AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM reps))
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT)
+                    // CAST(power(2, b.bit) AS BIGINT)) % 2 = 1
+              THEN 1 ELSE -1 END AS v
+  FROM words CROSS JOIN (
+    SELECT unnest(generate_series(0, 31)) AS bit) b
+),
+acc AS (SELECT doc_id, bit, sum(v) AS s FROM bits GROUP BY doc_id, bit),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0
+                  THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS simhash
+  FROM acc GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, b.k,
+         (simhash // CAST(power(2, b.k * 8) AS BIGINT)) % 256 AS bval
+  FROM sim CROSS JOIN (
+    SELECT unnest(generate_series(0, {SIMHASH_N_BANDS - 1})) AS k) b
+),
+ok AS (
+  SELECT k, bval FROM bands GROUP BY k, bval
+  HAVING count(*) <= {MAX_BUCKET_DOCS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                  b.doc_id AS doc_b, b.simhash AS sim_b
+  FROM bands a
+  JOIN bands b ON a.k = b.k AND a.bval = b.bval AND a.doc_id < b.doc_id
+  JOIN ok ON ok.k = a.k AND ok.bval = a.bval
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@query("dedup_simhash_pairs", oracle=DEDUP_SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS: fingerprints within hamming
+    distance {SIMHASH_MAX_HAMMING}, found by band blocking — the stage
+    that turns dedup_simhash's fingerprints into an actual dedup
+    decision (Manku/Jain/Sarma WWW'07, the production SimHash recipe).
+
+    Banding is exact here, not approximate: 32 bits split into
+    {SIMHASH_N_BANDS} 8-bit bands; a pair differing in <=
+    {SIMHASH_MAX_HAMMING} bits leaves at least one band untouched
+    (pigeonhole), so every qualifying pair collides in some band and
+    recall within the candidate rule is 100% — both engines apply the
+    identical rule, so the oracle is exact, not statistical.
+
+    Scale (same guards as dedup_near): exact-duplicate classes
+    collapse to one representative before banding; band keys are
+    (int, int8); buckets above MAX_BUCKET_DOCS are skipped; the exact
+    xor/bit_count runs on candidate pairs only, JVM-side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    reps = (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("th"))
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sim = track_cache(simhash_frame(d.join(reps, "doc_id", "left_semi")))
+    band_k = F.explode(
+        F.array(*[F.lit(k) for k in range(SIMHASH_N_BANDS)])
+    ).alias("k")
+    bands = sim.select("doc_id", "simhash", band_k).select(
+        "doc_id",
+        "k",
+        F.expr("shiftright(simhash, k * 8) % 256").alias("bval"),
+    )
+    ok = (
+        bands.groupBy("k", "bval")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") <= MAX_BUCKET_DOCS)
+        .select("k", "bval")
+    )
+    capped = bands.join(ok, ["k", "bval"], "left_semi")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "k", "bval")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "k", "bval")
+    cand = (
+        a.join(b, ["k", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).cast("int")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
 
 
 # --- text analysis --------------------------------------------------------

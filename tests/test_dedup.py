@@ -84,3 +84,68 @@ def test_dedup_clusters_are_valid_components(spark, registry):
     assert strong, "fixture has no strong near-dup pairs; test is vacuous"
     for a, b in strong:
         assert label[a] == label[b]
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark, registry):
+    """Band blocking must be EXACT, not statistical: by pigeonhole,
+    any rep pair within hamming <= 3 shares an untouched 8-bit band,
+    so the query's pair set must equal the all-pairs brute-force
+    filtered by the same cap-aware candidate rule both engines
+    apply."""
+    from collections import Counter
+
+    from cs686_big_data_p1_spark.operators.llm import (
+        MAX_BUCKET_DOCS,
+        SIMHASH_MAX_HAMMING,
+        SIMHASH_N_BANDS,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    import hashlib as _h
+
+    reps = set()
+    seen = {}
+    for r in sorted(docs.collect(), key=lambda r: r.doc_id):
+        k = _h.md5(r.text.encode()).hexdigest()
+        if k not in seen:
+            seen[k] = r.doc_id
+            reps.add(r.doc_id)
+    sims = {
+        r.doc_id: r.simhash
+        for r in registry.QUERIES["dedup_simhash"](spark, SF_SMALL).collect()
+        if r.doc_id in reps
+    }
+    # The fixture's fingerprints cluster (real corpora do), so some
+    # band buckets exceed the cap and are skipped — model the exact
+    # cap-aware candidate rule: a pair qualifies iff some shared band
+    # sits in a bucket within MAX_BUCKET_DOCS.
+    occ = Counter(
+        (k, (s >> (8 * k)) & 255)
+        for s in sims.values()
+        for k in range(SIMHASH_N_BANDS)
+    )
+    assert max(occ.values()) > MAX_BUCKET_DOCS  # cap is genuinely active
+
+    def candidate(a, b):
+        return any(
+            (sims[a] >> (8 * k)) & 255 == (sims[b] >> (8 * k)) & 255
+            and occ[(k, (sims[a] >> (8 * k)) & 255)] <= MAX_BUCKET_DOCS
+            for k in range(SIMHASH_N_BANDS)
+        )
+
+    ids = sorted(sims)
+    want = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= SIMHASH_MAX_HAMMING
+        and candidate(a, b)
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in registry.QUERIES["dedup_simhash_pairs"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == want

@@ -148,6 +148,8 @@ AUDITS: dict[str, dict] = {
         "codegen": True,
         "bounded_broadcast": "scalar avg-balance aggregate, 1 row",
     },
+    # r6 additions — SimHash pair stage
+    "dedup_simhash_pairs": {"pruned": ["documents"], "codegen": True},
     # r6 additions — remaining partsupp-free TPC-H shapes
     "tpch_q12_shipmode": {"pruned": True, "codegen": True},
     "tpch_q15_topsupplier": {
