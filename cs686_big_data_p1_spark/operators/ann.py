@@ -714,3 +714,109 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", *[f"code_{m}" for m in range(PQ_M)]
     )
+
+
+def _trained_cells(e: DataFrame):
+    """Trained-quantizer analog of _ivf_cells: fit the seeded MLlib
+    k-means|| coarse quantizer (kmeans_cells' exact configuration),
+    then derive (vecs, probes, assigned) — each candidate's nearest
+    trained cell and each query's IVF_NPROBE nearest cells by squared
+    euclidean (the metric k-means assigns by), ties broken on cid."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    feats = e.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=IVF_NLIST, seed=686, maxIter=5).fit(feats)
+    centers = np.array(model.clusterCenters(), dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe_cells(emb: pd.Series) -> pd.Series:
+        out = []
+        for v in emb:
+            x = np.asarray(v, dtype=np.float64)
+            d = ((centers - x) ** 2).sum(axis=1)
+            order = np.lexsort((np.arange(len(d)), d))[:IVF_NPROBE]
+            out.append(order.astype(np.int32))
+        return pd.Series(out)
+
+    vecs = track_cache(
+        e.select(
+            "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+        )
+    )
+    assigned = (
+        model.transform(feats)
+        .where(F.col("vec_id") >= ANN_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("prediction").cast("int").alias("cid"),
+        )
+    )
+    probes = (
+        feats.where(F.col("vec_id") < ANN_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(_probe_cells(F.col("embedding"))).alias("cid"),
+        )
+    )
+    return vecs, probes, assigned
+
+
+@query("knn_ivf_trained")
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k search over the TRAINED coarse quantizer — the piece
+    that connects kmeans_cells (the FAISS train() analog) to actual
+    search, where knn_ivf uses oracle-replayable seed-vector centroids
+    instead. Rows-only by design (iterative ML fitting is not
+    SQL-expressible); tests/test_ann.py pins run-to-run determinism,
+    recall vs knn_bruteforce, and that every reported neighbor comes
+    from a probed cell.
+
+    Scale: identical to knn_ivf — the trained centers are an
+    O(nlist x dim) broadcast closure, assignment is one model pass,
+    probing scores nprobe inverted lists per query; at deployment the
+    corpus is STORED partitioned by trained cell (write_ivf_store) so
+    a probe is a partition-pruned scan.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs, probes, assigned = _trained_cells(e)
+    cand = F.broadcast(probes).join(assigned, "cid").select(
+        "query_id", "neighbor_id"
+    )
+    qv = vecs.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                pair_dot_pd(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

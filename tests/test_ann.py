@@ -243,3 +243,28 @@ def test_kmeans_cells_deterministic_and_better_than_seed(spark, registry):
     km = inertia(a)
     sv = inertia({v: c for v, c in seed.items()})
     assert km < sv, (km, sv)
+
+
+def test_ivf_trained_recall_determinism_and_cell_bound(spark, registry):
+    """The trained-quantizer IVF path must (a) be deterministic across
+    runs (seeded k-means||), (b) keep recall vs brute force above the
+    same floor as the seeded-centroid variants, and (c) only report
+    neighbors from probed cells — the nprobe/nlist work bound."""
+    from cs686_big_data_p1_spark.operators.ann import _trained_cells
+
+    t1 = _pairs(registry.QUERIES["knn_ivf_trained"](spark, SF_SMALL))
+    t2 = _pairs(registry.QUERIES["knn_ivf_trained"](spark, SF_SMALL))
+    assert t1 == t2
+    assert len(t1) == 25
+    bf = _pairs(registry.QUERIES["knn_bruteforce"](spark, SF_SMALL))
+    recall = len(t1 & bf) / len(bf)
+    assert recall >= 0.2, f"trained-IVF recall {recall} collapsed"
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    _, probes, assigned = _trained_cells(e)
+    probed: dict[int, set[int]] = {}
+    for r in probes.collect():
+        probed.setdefault(r.query_id, set()).add(r.cid)
+    cell_of = {r.neighbor_id: r.cid for r in assigned.collect()}
+    for q, n in t1:
+        assert cell_of[n] in probed[q], (q, n)
