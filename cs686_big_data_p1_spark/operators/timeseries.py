@@ -109,3 +109,88 @@ def gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(w_fill).alias("value_ff"),
         F.coalesce(F.col("observed"), F.lit(0)).alias("is_observed"),
     )
+
+
+ROLL_W = 5  # trailing window width (rows)
+
+ROLLING_ORACLE = f"""
+SELECT user_id, event_id, ts,
+       (CAST((sum(CAST(CAST(value AS DECIMAL(12,6)) * 1000000 AS HUGEINT))
+              OVER w) // 1000000 AS DOUBLE)
+        + CAST((sum(CAST(CAST(value AS DECIMAL(12,6)) * 1000000 AS HUGEINT))
+                OVER w) % 1000000 AS DOUBLE) / 1000000.0) AS roll_sum,
+       (CAST((sum(CAST(CAST(value AS DECIMAL(12,6)) * 1000000 AS HUGEINT))
+              OVER w) // 1000000 AS DOUBLE)
+        + CAST((sum(CAST(CAST(value AS DECIMAL(12,6)) * 1000000 AS HUGEINT))
+                OVER w) % 1000000 AS DOUBLE) / 1000000.0)
+           / (count(*) OVER w) AS roll_avg,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n,
+       value - lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLL_W - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("rolling_stats", oracle=ROLLING_ORACLE)
+def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window features per event — {ROLL_W}-row rolling
+    sum/avg of `value` and the first difference vs the previous event
+    — the feature-engineering pass between a raw event log and any
+    sequence model input.
+
+    Cross-engine exactness: the rolling sum accumulates 1e6-scaled
+    exact integers (decimal/HUGEINT) inside the frame and converts
+    once via the quotient/remainder split (operators/analytics.py
+    policy), so float addition order cannot drift between engines;
+    the avg divides that one double by the frame row count; delta
+    subtracts two raw doubles (exact per IEEE). Frames order by
+    (ts, event_id) — the repo-wide duplicate-ts tie-break.
+
+    Precondition (unscale contract, operators/analytics.py): event
+    values are nonnegative (fixture min 0.01), so every rolling sum
+    is nonnegative and the div/pmod vs // and %% split agrees across
+    engines. A signed-value deployment would offset or split the
+    column first.
+
+    Scale: one shuffle on user_id (high-cardinality — no hot
+    reducer); both windows and the lag share that partitioning, so
+    Catalyst plans a single Exchange + one sort; the frame is
+    ROWS-bounded ({ROLL_W} rows of state per series, never
+    unbounded)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_W - 1), 0)
+    )
+    lw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s6v = (F.col("value").cast("decimal(12,6)") * 1_000_000).cast(
+        "decimal(38,0)"
+    )
+    rsum = F.sum(s6v).over(w)
+    unscaled = F.expr(
+        "CAST(_rs div 1000000 AS DOUBLE) "
+        "+ CAST(CAST(pmod(_rs, 1000000) AS BIGINT) AS DOUBLE) / 1000000.0"
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            rsum.alias("_rs"),
+            F.count(F.lit(1)).over(w).alias("roll_n"),
+            F.lag("value").over(lw).alias("_prev"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            unscaled.alias("roll_sum"),
+            (unscaled / F.col("roll_n")).alias("roll_avg"),
+            F.col("roll_n").cast("bigint").alias("roll_n"),
+            (F.col("value") - F.col("_prev")).alias("delta"),
+        )
+    )

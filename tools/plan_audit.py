@@ -178,6 +178,7 @@ AUDITS: dict[str, dict] = {
     "event_funnel": {"pruned": True, "codegen": True},
     "fuzzy_name_match": {"pruned": ["part"], "codegen": True},
     "gapfill_ffill": {"pruned": True, "codegen": True},
+    "rolling_stats": {"pruned": True, "codegen": True},
     "dedup_incremental": {"pruned": ["documents"], "codegen": True},
 }
 
