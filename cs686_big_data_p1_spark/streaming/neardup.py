@@ -56,20 +56,54 @@ STREAM_NEARDUP_MIN_JACCARD = 0.5  # same cut as dedup_clusters' edges
 _BUCKET_KEY = ["k", "m0", "m1"]
 
 
-def neardup_stream_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+_STORE_SCHEMAS = {
+    "hashes": "th string",
+    "sigs": "doc_id long, k int, m0 long, m1 long",
+    "shingles": "doc_id long, h long",
+    "pairs": "doc_a long, doc_b long, jaccard double, batch_id long",
+}
+
+
+def load_neardup_store(
+    spark: SparkSession, path: str | None
+) -> dict[str, DataFrame]:
+    """Load a persisted near-dup store (or fresh empties): one parquet
+    directory per state table. At 100 TB the shingle store would be
+    written bucketed on doc_id (sources/bucketing.py) so the per-batch
+    candidate joins co-locate; plain parquet keeps the test-scale
+    round-trip dependency-free while the layout stays the same."""
+    store = {}
+    for name, schema in _STORE_SCHEMAS.items():
+        sub = f"{path}/{name}" if path else None
+        try:
+            store[name] = spark.read.schema(schema).parquet(sub)
+            store[name].first()  # force existence check now, not mid-batch
+        except Exception:  # noqa: BLE001 — fresh store
+            store[name] = spark.createDataFrame([], schema)
+    return store
+
+
+def write_neardup_store(store: dict[str, DataFrame], path: str) -> None:
+    """Persist the accumulated state tables. Safe to call after a
+    drain: every store frame has been localCheckpoint-materialized by
+    the last micro-batch, so the overwrite never reads its own
+    output."""
+    for name in _STORE_SCHEMAS:
+        store[name].write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def neardup_stream_pairs(
+    spark: SparkSession, docs: DataFrame, store_path: str | None = None
+) -> DataFrame:
     """Drain a (doc_id, text) stream through the incremental LSH
     pipeline; returns the accumulated near-dup pairs
-    (doc_a, doc_b, jaccard, batch_id) after the stream finishes."""
-    store: dict[str, DataFrame] = {
-        "hashes": spark.createDataFrame([], "th string"),
-        "sigs": spark.createDataFrame(
-            [], "doc_id long, k int, m0 long, m1 long"
-        ),
-        "shingles": spark.createDataFrame([], "doc_id long, h long"),
-        "pairs": spark.createDataFrame(
-            [], "doc_a long, doc_b long, jaccard double, batch_id long"
-        ),
-    }
+    (doc_a, doc_b, jaccard, batch_id) after the stream finishes.
+
+    With store_path, state is LOADED from a prior delivery's store and
+    WRITTEN back after the drain — so a nightly crawl ingest resumes
+    against everything previously ingested instead of rescanning it
+    (the restart pytest pins two-delivery == one-shot == batch)."""
+    store: dict[str, DataFrame] = load_neardup_store(spark, store_path)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         hashed = batch.select(
@@ -157,13 +191,24 @@ def neardup_stream_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
             store["pairs"].unionByName(pairs_new).localCheckpoint(eager=True)
         )
 
+    n_batches = {"n": 0}
+    orig_process = process
+
+    def process_counting(batch: DataFrame, batch_id: int) -> None:
+        orig_process(batch, batch_id)
+        n_batches["n"] += 1
+
     q = (
-        docs.writeStream.foreachBatch(process)
+        docs.writeStream.foreachBatch(process_counting)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    if store_path and n_batches["n"] > 0:
+        # no-batch drains skip the write: the store frames would still
+        # be lazy readers of the very parquet the overwrite truncates
+        write_neardup_store(store, store_path)
     return store["pairs"]
 
 

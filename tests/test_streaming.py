@@ -388,3 +388,80 @@ def test_stream_dedup_near_matches_batch_multibatch(spark, registry, tmp_path):
     assert (900001, 900002) in got  # cross-batch near dup found
     assert not any(900003 in p for p in got)  # exact dup absorbed
     assert len(n_batches) >= 2  # pairs genuinely span micro-batches
+
+
+def test_stream_dedup_near_resumes_from_persisted_store(
+    spark, registry, tmp_path
+):
+    """Two deliveries with a persisted store must equal one batch run
+    over the union: the fixture halves stream as separate drains
+    sharing a store directory, with a planted near-dup pair split
+    across the deliveries — catching it requires the second drain to
+    really match against the FIRST delivery's persisted signatures."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cs686_big_data_p1_spark.streaming.neardup import (
+        STREAM_NEARDUP_MIN_JACCARD,
+        neardup_stream_pairs,
+    )
+    from cs686_big_data_p1_spark.tables import SCHEMAS
+
+    base = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    words = [f"rsx{i}" for i in range(30)]
+    t1 = " ".join(words)
+    t2 = " ".join(words[:-1] + ["rsxCHANGED"])
+    mid = len(base) // 2
+    halves = [base.iloc[:mid], base.iloc[mid:]]
+    plant = pd.DataFrame(
+        {
+            "doc_id": [910001, 910002],
+            "text": [t1, t2],
+            "lang": ["en"] * 2,
+            "source": ["planted"] * 2,
+            "n_chars": [len(t1), len(t2)],
+        }
+    )
+    halves[0] = pd.concat([halves[0], plant.iloc[[0]]])
+    halves[1] = pd.concat([halves[1], plant.iloc[[1]]])
+
+    store = str(tmp_path / "store")
+    batch_dir = tmp_path / "batch"
+    batch_dir.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(halves), preserve_index=False),
+        batch_dir / "documents.parquet",
+    )
+    got = None
+    for i, half in enumerate(halves):
+        d = tmp_path / f"delivery{i}"
+        d.mkdir()
+        pq.write_table(
+            pa.Table.from_pandas(half, preserve_index=False),
+            d / "docs.parquet",
+        )
+        stream = (
+            spark.readStream.schema(SCHEMAS["documents"])
+            .parquet(str(d))
+            .select("doc_id", "text")
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in neardup_stream_pairs(spark, stream, store_path=store).collect()
+        }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_near"](spark, str(batch_dir))
+        .where(F.col("jaccard") >= STREAM_NEARDUP_MIN_JACCARD)
+        .collect()
+    }
+    assert got == want
+    assert (910001, 910002) in got  # found ACROSS deliveries via the store
+    assert os.path.isdir(f"{store}/shingles")
