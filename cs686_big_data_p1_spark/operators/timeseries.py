@@ -194,3 +194,65 @@ def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") - F.col("_prev")).alias("delta"),
         )
     )
+
+
+QUANTILES_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       avg(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                THEN value END) AS p90,
+       CAST(max(n) AS BIGINT) AS n
+FROM ranked GROUP BY event_type
+"""
+
+
+@query("event_value_quantiles", oracle=QUANTILES_ORACLE)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (median + p90 of value per
+    event_type) via rank arithmetic — price_median's engine-
+    independent technique generalized to grouped quantiles, where
+    percentile built-ins differ across engines (interpolation
+    schemes) and approx sketches differ run to run.
+
+    Determinism: the selected VALUE at a rank position is invariant
+    to tie order among equal values; the even-n median averages two
+    doubles with the identical sum/count expression in both engines;
+    ceil(0.9 * n) is the same IEEE expression on both sides.
+
+    Scale: one shuffle on event_type for the ranking window (5 groups
+    in the fixture — production would range-partition within group or
+    two-phase via partial histograms; the window itself is the
+    textbook exact-quantile shape), then a map-side CASE aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.avg(
+            F.when(
+                (F.col("rn") == F.expr("(n + 1) div 2"))
+                | (F.col("rn") == F.expr("(n + 2) div 2")),
+                F.col("value"),
+            )
+        ).alias("p50"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("p90"),
+        F.max("n").cast("bigint").alias("n"),
+    )

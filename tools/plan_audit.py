@@ -179,6 +179,7 @@ AUDITS: dict[str, dict] = {
     "fuzzy_name_match": {"pruned": ["part"], "codegen": True},
     "gapfill_ffill": {"pruned": True, "codegen": True},
     "rolling_stats": {"pruned": True, "codegen": True},
+    "event_value_quantiles": {"pruned": True, "codegen": True},
     "dedup_incremental": {"pruned": ["documents"], "codegen": True},
 }
 
