@@ -478,30 +478,45 @@ def sample_decoded_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
 PHASH_GRID = 8  # 8x8 bits from an (8, 9) grayscale downsample
 
 
-def _area_resize(a: np.ndarray, th: int, tw: int) -> np.ndarray:
-    """Deterministic area-average resize of a 2-D array to (th, tw):
-    each output cell is the mean of its source-pixel block (integer
-    boundaries, so no interpolation-library dependence). Upscaling
-    degenerates to pixel repetition (block size clamps to >= 1)."""
+def _block_stats(a: np.ndarray, th: int, tw: int):
+    """Deterministic area downsample of a 2-D integer array to a
+    (th, tw) grid of EXACT (block_sum, block_count) int64 pairs
+    (integer boundaries, so no interpolation-library dependence;
+    upscaling degenerates to pixel repetition via the >=1 clamp).
+    Kept in integers so dHash bit decisions never touch floats."""
     h, w = a.shape
     ys = (np.arange(th + 1) * h) // th
     xs = (np.arange(tw + 1) * w) // tw
-    out = np.empty((th, tw), np.float64)
+    sums = np.empty((th, tw), np.int64)
+    counts = np.empty((th, tw), np.int64)
     for i in range(th):
         y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
         for j in range(tw):
             x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            out[i, j] = a[y0:y1, x0:x1].mean()
-    return out
+            block = a[y0:y1, x0:x1]
+            sums[i, j] = int(block.sum())
+            counts[i, j] = block.size
+    return sums, counts
 
 
 def dhash64(img: np.ndarray) -> int:
-    """(H, W, 3) uint8 RGB -> 64-bit difference hash. Invariant to any
-    per-pixel monotone brightness shift that preserves left-vs-right
-    ordering (in particular exact +c shifts without clipping)."""
-    gray = img.astype(np.float64).mean(axis=2)
-    small = _area_resize(gray, PHASH_GRID, PHASH_GRID + 1)
-    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    """(H, W, 3) uint8 RGB -> 64-bit difference hash.
+
+    All-integer pipeline: grayscale as the channel SUM (3x the mean —
+    scale-free for comparisons), exact block sums/counts on the
+    8x9 grid, and the left<right bit decided by cross-multiplication
+    (sum_r * n_l > sum_l * n_r) instead of float mean comparison. A
+    float version is ALMOST shift-invariant but hypothesis found the
+    rounding tie: a sub-epsilon adjacent-cell difference can collapse
+    when +c re-rounds both means. With exact integers, any uniform
+    +c shift without clipping changes sums by 3*c*count per block and
+    cancels from the cross-multiplied comparison — invariance is a
+    theorem, not a tendency (property-tested)."""
+    gray = img.astype(np.int64).sum(axis=2)
+    sums, counts = _block_stats(gray, PHASH_GRID, PHASH_GRID + 1)
+    bits = (
+        sums[:, 1:] * counts[:, :-1] > sums[:, :-1] * counts[:, 1:]
+    ).ravel()
     return int(np.packbits(bits).tobytes().hex(), 16)
 
 

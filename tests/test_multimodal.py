@@ -314,3 +314,66 @@ def test_media_phash_dedup_query(spark, registry):
     )
     assert sum(r.n_copies for r in out) == n_images
     assert all(len(r.dhash) == 16 for r in out)
+
+
+def test_dhash_properties():
+    """Pure-function properties of the perceptual hash, hypothesis-
+    driven: (a) ANY exact brightness shift without clipping leaves the
+    dHash unchanged — a theorem of the integer cross-multiplied
+    comparison (a float-mean version fails this on rounding ties, which
+    hypothesis found); (b) exact 2x pixel repetition preserves the hash
+    when the source dims are grid multiples (boundaries scale exactly);
+    (c) the hash is a valid 64-bit value."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cs686_big_data_p1_spark.operators.multimodal import (
+        PHASH_GRID,
+        _block_stats,
+        _pseudo_bytes,
+        dhash64,
+    )
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        seed=st.integers(0, 10_000),
+        h=st.integers(9, 24),
+        w=st.integers(10, 24),
+        shift=st.integers(1, 55),
+        hk=st.integers(1, 3),
+        wk=st.integers(1, 2),
+    )
+    def check(seed, h, w, shift, hk, wk):
+        base = (
+            np.frombuffer(_pseudo_bytes(seed, h * w * 3), np.uint8).astype(
+                np.int32
+            )
+            % 200
+        ).astype(np.uint8).reshape(h, w, 3)
+        d = dhash64(base)
+        assert 0 <= d < (1 << 64)
+        shifted = (base.astype(np.int32) + shift).astype(np.uint8)
+        assert dhash64(shifted) == d  # brightness invariance (exact)
+
+        # 2x repetition invariance on grid-aligned dims
+        gh, gw = PHASH_GRID * hk, (PHASH_GRID + 1) * wk
+        ali = (
+            np.frombuffer(_pseudo_bytes(seed + 1, gh * gw * 3), np.uint8)
+            .astype(np.int32) % 200
+        ).astype(np.uint8).reshape(gh, gw, 3)
+        doubled = np.repeat(np.repeat(ali, 2, axis=0), 2, axis=1)
+        assert dhash64(doubled) == dhash64(ali)
+
+        # block stats partition the image exactly
+        gray = base.astype(np.int64).sum(axis=2)
+        sums, counts = _block_stats(gray, PHASH_GRID, PHASH_GRID + 1)
+        assert counts.min() >= 1
+        if h >= PHASH_GRID and w >= PHASH_GRID + 1:
+            assert counts.sum() == h * w
+            assert sums.sum() == gray.sum()
+
+    check()
