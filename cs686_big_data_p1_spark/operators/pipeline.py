@@ -610,3 +610,54 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_shared").cast("double") / F.col("n_grams").cast("double")
          ).alias("contamination"),
     )
+
+
+def _curate_oracle() -> str:
+    from .llm import DEDUP_CLUSTERS_ORACLE
+
+    return f"""
+WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+kept AS (SELECT doc_id FROM ({CORPUS_FILTER_ORACLE}) WHERE keep),
+nonreps AS (SELECT doc_id FROM ({DEDUP_CLUSTERS_ORACLE}) c
+            WHERE c.doc_id <> c.cluster_id)
+SELECT d.doc_id, d.lang FROM documents d
+JOIN keepers k ON k.doc_id = d.doc_id
+JOIN kept f ON f.doc_id = d.doc_id
+WHERE NOT EXISTS (SELECT 1 FROM nonreps n WHERE n.doc_id = d.doc_id)
+"""
+
+
+@query("corpus_curate", oracle=_curate_oracle())
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision as ONE query: a document
+    survives iff it passes the quality/repetition filter AND is its
+    exact-duplicate class keeper AND is not a non-representative
+    member of a near-dup cluster — the composition
+    tests/test_pipeline_e2e.py exercises, promoted to a single
+    driver-verifiable operator (its oracle nests the corpus_filter
+    and recursive-CTE cluster oracles, so the whole DAG
+    hash-compares against DuckDB).
+
+    Scale: three semi/anti joins on doc_id over independently-audited
+    subplans; the filter and exact-dedup legs are map-heavy, the
+    cluster leg reuses dedup_clusters' checkpoint-bounded loop. One
+    lazy plan — nothing materializes between stages except the
+    cluster loop's own checkpoints."""
+    from .llm import dedup_clusters, dedup_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = corpus_filter(spark, sf_dir).where("keep").select("doc_id")
+    keepers = dedup_exact(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    non_reps = (
+        dedup_clusters(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(keepers, "doc_id", "left_semi")
+        .join(kept, "doc_id", "left_semi")
+        .join(non_reps, "doc_id", "left_anti")
+    )
