@@ -256,3 +256,89 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90"),
         F.max("n").cast("bigint").alias("n"),
     )
+
+
+ZSCORE_MIN_N = 5  # a z-score over fewer observations is noise
+
+_S6V = "CAST(CAST(value AS DECIMAL(12,6)) * 1000000 AS HUGEINT)"
+_SUM1 = f"sum({_S6V})"  # 1e6-scaled exact first moment
+_SUM2 = f"sum({_S6V} * {_S6V})"  # 1e12-scaled exact second moment
+
+ANOMALY_ORACLE = f"""
+WITH stats AS (
+  SELECT user_id,
+         count(*) AS n,
+         (CAST(({_SUM1}) // 1000000 AS DOUBLE)
+          + CAST(({_SUM1}) % 1000000 AS DOUBLE) / 1000000.0) AS s1,
+         (CAST(({_SUM2}) // 1000000000000 AS DOUBLE)
+          + CAST(({_SUM2}) % 1000000000000 AS DOUBLE) / 1000000000000.0)
+             AS s2
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_id, e.ts, e.value,
+       (e.value - s.s1 / s.n)
+           / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)) AS zscore
+FROM events e JOIN stats s ON e.user_id = s.user_id
+WHERE s.n >= {ZSCORE_MIN_N}
+  AND s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n) > 0
+  AND abs((e.value - s.s1 / s.n)
+          / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))) >= 2.0
+"""
+
+
+@query("anomaly_zscore", oracle=ANOMALY_ORACLE)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flags: events whose value deviates
+    >= 2 sigma from the user's own distribution — the outlier pass a
+    telemetry/curation pipeline runs before training on event data.
+
+    Cross-engine exactness: mean and population variance derive from
+    EXACT scaled integer first/second moments (1e6- and 1e12-scaled
+    HUGEINT/decimal sums, converted once via the quotient/remainder
+    split), so both engines evaluate the identical IEEE expression
+    tree for mean, variance, sqrt, and the z ratio — no accumulation-
+    order drift. Zero-variance and short series are excluded in both
+    engines (same predicate).
+
+    Scale: one groupBy on user_id (map-side partial moments) joined
+    back to the events — the stats side is one row per user; at
+    production user counts the join shuffles both sides on user_id,
+    the same key every other per-user stage already uses.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s6v = (F.col("value").cast("decimal(12,6)") * 1_000_000).cast(
+        "decimal(38,0)"
+    )
+    stats = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s6v).alias("_s1"),
+            F.sum(s6v * s6v).alias("_s2"),
+        )
+        .select(
+            "user_id",
+            "n",
+            F.expr(
+                "CAST(_s1 div 1000000 AS DOUBLE) "
+                "+ CAST(CAST(pmod(_s1, 1000000) AS BIGINT) AS DOUBLE) "
+                "/ 1000000.0"
+            ).alias("s1"),
+            F.expr(
+                "CAST(_s2 div 1000000000000 AS DOUBLE) "
+                "+ CAST(CAST(pmod(_s2, 1000000000000) AS BIGINT) AS DOUBLE) "
+                "/ 1000000000000.0"
+            ).alias("s2"),
+        )
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        e.select("user_id", "event_id", "ts", "value")
+        .join(stats, "user_id")
+        .where(
+            (F.col("n") >= ZSCORE_MIN_N) & (var > 0) & (F.abs(z) >= 2.0)
+        )
+        .select("user_id", "event_id", "ts", "value", z.alias("zscore"))
+    )

@@ -180,6 +180,7 @@ AUDITS: dict[str, dict] = {
     "gapfill_ffill": {"pruned": True, "codegen": True},
     "rolling_stats": {"pruned": True, "codegen": True},
     "event_value_quantiles": {"pruned": True, "codegen": True},
+    "anomaly_zscore": {"pruned": True, "codegen": True},
     "dedup_incremental": {"pruned": ["documents"], "codegen": True},
 }
 
