@@ -474,6 +474,52 @@ def priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_LIST_SQL = ", ".join(f"'{p}'" for p in PRIORITIES)
+
+UNPIVOT_ORACLE = f"""
+WITH yrs AS (
+  SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS order_year
+  FROM orders
+),
+pr AS (SELECT unnest([{_PR_LIST_SQL}]) AS o_orderpriority),
+cnts AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         o_orderpriority, count(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT y.order_year, p.o_orderpriority,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+FROM yrs y
+CROSS JOIN pr p
+LEFT JOIN cnts c
+  ON c.order_year = y.order_year
+ AND c.o_orderpriority = p.o_orderpriority
+"""
+
+
+@query("priority_unpivot", oracle=UNPIVOT_ORACLE)
+def priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT: melt the year x priority cross-tab (priority_pivot's
+    output) back to long form with stack() — the wide-to-long half of
+    the reshaping pair. Zero-count cells survive the round trip (the
+    pivot filled them with 0), so pivot -> unpivot is lossless and the
+    oracle builds the same dense year x priority grid.
+
+    Scale: stack() is a pure projection (each input row fans out to
+    #priorities rows JVM-side, no shuffle, no Python); the only
+    exchange is the upstream pivot aggregate's, and the output is
+    #years x #priorities rows regardless of table size."""
+    wide = priority_pivot(spark, sf_dir)
+    pairs = ", ".join(f"'{p}', `{p}`" for p in PRIORITIES)
+    return wide.select(
+        "order_year",
+        F.expr(
+            f"stack({len(PRIORITIES)}, {pairs}) "
+            "AS (o_orderpriority, n_orders)"
+        ),
+    )
+
+
 MEDIAN_ORACLE = """
 SELECT o_orderpriority,
        CAST(avg(v) AS DOUBLE) AS median_price,

@@ -38,7 +38,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 from pyspark.sql.window import Window
 
 from ..functions.vector import norm as v_norm
@@ -817,6 +817,200 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# --- IVFPQ: IVF candidate generation + PQ asymmetric-distance scoring ----
+#
+# knn_ivfpq is the piece that connects pq_encode (the compression
+# layout) to actual search — FAISS's IndexIVFPQ: candidates come from
+# the IVF coarse quantizer's probed cells, but scoring never touches
+# the candidate's raw floats. Each query builds a PQ_M x PQ_K table of
+# squared distances from its sub-vectors to every codebook centroid
+# once; a candidate's approximate distance is then PQ_M array lookups
+# over its stored codes (ADC — asymmetric distance computation,
+# Jegou et al. 2011). Cosine ranking is recovered by L2-normalizing
+# vectors before quantization: on unit vectors ||q-x||^2 = 2 - 2cos.
+
+
+def _unit_pd():
+    """Arrow-batched unit-normalization of array<float> embeddings
+    (plain float64 — no oracle replays this path; rows-only query)."""
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _unit(emb: pd.Series) -> pd.Series:
+        out = []
+        arr = emb.to_numpy()
+        for lo in range(0, len(arr), 4096):
+            X = np.stack(arr[lo : lo + 4096]).astype(np.float64)
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            n[n == 0.0] = 1.0
+            out.extend(X / n)
+        return pd.Series(out)
+
+    return _unit
+
+
+def _pq_codebooks(unit: DataFrame) -> np.ndarray:
+    """Fit the PQ_M per-subspace codebooks with seeded MLlib k-means||
+    (pq_encode's exact configuration) over unit-normalized vectors and
+    return them as a (PQ_M, PQ_K, sub) float64 array — an O(PQ_M*PQ_K*
+    sub) = 4 KiB closure, broadcast-safe at any corpus size."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = EMB_DIM // PQ_M
+    books = []
+    for m in range(PQ_M):
+        feats = unit.select(
+            array_to_vector(
+                F.slice(F.col("u_emb"), m * sub + 1, sub)
+            ).alias("_feat")
+        )
+        model = KMeans(
+            k=PQ_K, seed=686 + m, maxIter=5, featuresCol="_feat"
+        ).fit(feats)
+        books.append(np.array(model.clusterCenters(), dtype=np.float64))
+    return np.stack(books)
+
+
+IVFPQ_SHORTLIST = 8 * ANN_K  # ADC survivors exactly re-ranked per query
+
+
+@query("knn_ivfpq")
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ approximate top-k cosine search with exact refinement:
+    IVF probed-cell candidate generation (knn_ivf's coarse quantizer),
+    PQ asymmetric-distance scoring over 4-byte codes to cut each
+    query's candidates to an IVFPQ_SHORTLIST, then exact cosine
+    re-ranking of the shortlist only (FAISS IndexIVFPQ +
+    IndexRefineFlat). Rows-only by design (iterative ML fitting is not
+    SQL-expressible); tests/test_ann.py pins run-to-run determinism,
+    recall vs knn_bruteforce, probed-cell membership, and that a
+    planted exact duplicate is retrieved at rank 1.
+
+    Scale shape: the codebooks are a 4 KiB closure; each candidate is
+    represented in the ADC join by PQ_M ints (raw floats never move
+    past the one encode pass); each query ships one PQ_M*PQ_K double
+    distance table; the per-candidate ADC sum is PQ_M JVM-side
+    element_at lookups — no Python, no floats, in the O(candidates)
+    hot path. Exact scoring touches only SHORTLIST vectors per query.
+    At 100 TB the corpus is stored partitioned by cell
+    (write_ivf_store) with codes as columns, so a probe is a
+    partition-pruned scan of ints and the refine stage is a pointwise
+    fetch of shortlist rows.
+    """
+    return ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def ivfpq_topk(e: DataFrame) -> DataFrame:
+    """Core of knn_ivfpq over any (vec_id, embedding) frame (the query
+    wrapper binds it to the fixture table; tests feed synthetic corpora
+    with planted exact duplicates)."""
+    unit_udf = _unit_pd()
+    unit = track_cache(
+        e.select("vec_id", unit_udf(F.col("embedding")).alias("u_emb"))
+    )
+    books = _pq_codebooks(unit)  # (PQ_M, PQ_K, sub)
+    sub = EMB_DIM // PQ_M
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _encode(u: pd.Series) -> pd.Series:
+        out = []
+        arr = u.to_numpy()
+        for lo in range(0, len(arr), 4096):
+            X = np.stack(arr[lo : lo + 4096])
+            codes = np.empty((len(X), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                xs = X[:, m * sub : (m + 1) * sub]
+                # (B, PQ_K) squared distances; argmin = first min index
+                d = ((xs[:, None, :] - books[m][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, m] = d.argmin(axis=1).astype(np.int32)
+            out.extend(codes)
+        return pd.Series(out)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _dtable(u: pd.Series) -> pd.Series:
+        out = []
+        for v in u.to_numpy():
+            x = np.asarray(v, dtype=np.float64)
+            dt = np.empty(PQ_M * PQ_K, dtype=np.float64)
+            for m in range(PQ_M):
+                xs = x[m * sub : (m + 1) * sub]
+                dt[m * PQ_K : (m + 1) * PQ_K] = (
+                    (books[m] - xs[None, :]) ** 2
+                ).sum(axis=1)
+            out.append(dt)
+        return pd.Series(out)
+
+    _, probes, assigned = _ivf_cells(e)
+    cand = F.broadcast(probes).join(assigned, "cid").select(
+        "query_id", "neighbor_id"
+    )
+    codes = unit.where(F.col("vec_id") >= ANN_N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _encode(F.col("u_emb")).alias("codes"),
+    )
+    qdt = unit.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _dtable(F.col("u_emb")).alias("dt"),
+    )
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col("dt"),
+            F.lit(m * PQ_K + 1) + F.element_at(F.col("codes"), m + 1),
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qdt), "query_id")
+        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w_adc))
+        .where(F.col("adc_rank") <= IVFPQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact refine: raw floats are read for SHORTLIST rows per query
+    # only — the same quantized cosine knn_ivf ranks by.
+    vecs = e.select(
+        "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+    )
+    qv = vecs.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    refined = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                pair_dot_pd(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= ANN_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

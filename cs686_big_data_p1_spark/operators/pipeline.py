@@ -661,3 +661,80 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kept, "doc_id", "left_semi")
         .join(non_reps, "doc_id", "left_anti")
     )
+
+
+# --- Temperature-scaled domain resampling (data mixing) -----------------
+
+RESAMPLE_T = 0.7  # mixture temperature (multilingual-LM convention)
+_HASH_SPACE = 16 ** 15  # 60-bit md5-prefix fraction denominator
+
+RESAMPLE_ORACLE = f"""
+WITH cnts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang, n_docs,
+         CAST(floor(pow(
+             CAST((SELECT min(n_docs) FROM cnts) AS DOUBLE) / n_docs,
+             1.0 - {RESAMPLE_T}) * {_HASH_SPACE}.0) AS BIGINT) AS keep_th
+  FROM cnts
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d
+JOIN rates r ON r.lang = d.lang
+WHERE CAST(('0x' || substr(md5('resample|' || CAST(d.doc_id AS VARCHAR)),
+                           1, 15)) AS BIGINT) < r.keep_th
+"""
+
+
+@query("domain_resample", oracle=RESAMPLE_ORACLE)
+def domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing: downsample each language so the
+    surviving corpus follows the n_s^T mixture (T={0.7}) instead of
+    the raw n_s counts — the standard rebalancing that keeps majority
+    languages from drowning minority ones in pretraining mixes. Keep
+    probability p_s = (n_min / n_s)^(1-T): the smallest stratum keeps
+    everything, larger strata are thinned so surviving counts are
+    proportional to n_s^T — the maximal-retention schedule for that
+    target mixture (every p_s <= 1, at least one p_s = 1).
+
+    Membership is the seeded md5-prefix fraction (stratified_sample's
+    idiom widened to 60 bits): reproducible, engine-independent,
+    stable under retries — and unlike stratified_sample the rates are
+    DATA-DEPENDENT, computed from the per-stratum counts in-plan.
+
+    Scale: the rate table is a #strata-row aggregate (map-side
+    combined) broadcast back onto the fact scan — no second shuffle of
+    the corpus; the keep decision is one JVM hash + integer compare
+    per row. The threshold quantizes to a 60-bit integer so the only
+    float op (pow) influences a doc's fate solely when its hash lands
+    within ~1 ulp x 2^60 of the boundary — vanishing, and no float
+    ever reaches the output columns.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cnts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = cnts.agg(F.min("n_docs").alias("n_min"))
+    rates = cnts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(
+            F.pow(
+                F.col("n_min").cast("double") / F.col("n_docs"),
+                F.lit(1.0 - RESAMPLE_T),
+            )
+            * F.lit(float(_HASH_SPACE))
+        )
+        .cast("bigint")
+        .alias("keep_th"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.format_string("resample|%d", F.col("doc_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(h < F.col("keep_th"))
+        .select("doc_id", "source", "lang")
+    )

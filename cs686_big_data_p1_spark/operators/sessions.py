@@ -178,3 +178,54 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("n_clicked_after"),
         F.count("t3").alias("n_purchased_after"),
     )
+
+
+# --- Semi-structured event properties (JSON scalar-function surface) ----
+
+PROPS_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("event_props_extract", oracle=PROPS_ORACLE)
+def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction: events.props is a JSON
+    string column ('{"k": N}'); pull the typed value out with
+    get_json_object and aggregate it per event_type — the
+    schema-on-read path every event pipeline needs for properties
+    that never made it into typed columns.
+
+    Scale: extraction is a JVM-side codegen projection (no Python, no
+    shuffle); the aggregate is a map-side-combined groupBy on the
+    low-cardinality event_type with all-integer states. Malformed or
+    missing keys surface as NULL and are filtered identically in both
+    engines (the filter sits before the agg, so rows with unparsable
+    props never contribute). At 100 TB the same projection runs as a
+    scan-local stage; if a property becomes hot enough to filter ON,
+    it graduates to a typed column at ingest (schema evolution), not
+    a faster JSON parser.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )

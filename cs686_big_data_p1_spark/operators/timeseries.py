@@ -342,3 +342,29 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", "ts", "value", z.alias("zscore"))
     )
+
+
+@query("approx_quantiles")
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based per-group quantiles: percentile_approx (the
+    Greenwald-Khanna mergeable sketch built into Spark) for the same
+    (p50, p90) event_value_quantiles computes exactly. Rows-only by
+    design — the sketch's answer is implementation-defined, so no
+    cross-engine oracle can hash-match it; tests/test_er_timeseries.py
+    pins it within the sketch's rank-error tolerance of the exact
+    rank-arithmetic answers and pins determinism (the sketch is
+    deterministic for a given dataset, merge order included).
+
+    Scale: this is the 100 TB path where the exact window's full sort
+    per group is not worth it — the sketch is O(1/eps) state per
+    group, built map-side and merged associatively, one narrow shuffle
+    of sketch state instead of a full-width sort exchange. The exact
+    variant stays as the small-SF correctness anchor.
+    """
+    e = load_table(spark, sf_dir, "events")
+    acc = 10000  # 1/eps: rank error <= n/acc
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, acc).alias("p50"),
+        F.percentile_approx("value", 0.9, acc).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -268,3 +268,55 @@ def test_ivf_trained_recall_determinism_and_cell_bound(spark, registry):
     cell_of = {r.neighbor_id: r.cid for r in assigned.collect()}
     for q, n in t1:
         assert cell_of[n] in probed[q], (q, n)
+
+
+def test_ivfpq_recall_determinism_and_cell_bound(spark, registry):
+    """IVFPQ (ADC shortlist + exact refine) must (a) be deterministic
+    across runs, (b) keep recall vs brute force above the suite's
+    floor, and (c) only report neighbors from probed cells — PQ
+    scoring prunes WITHIN the IVF candidate set, never adds to it."""
+    from cs686_big_data_p1_spark.operators.ann import _ivf_cells
+
+    p1 = _pairs(registry.QUERIES["knn_ivfpq"](spark, SF_SMALL))
+    p2 = _pairs(registry.QUERIES["knn_ivfpq"](spark, SF_SMALL))
+    assert p1 == p2
+    assert len(p1) == 25
+    bf = _pairs(registry.QUERIES["knn_bruteforce"](spark, SF_SMALL))
+    recall = len(p1 & bf) / len(bf)
+    assert recall >= 0.2, f"IVFPQ recall {recall} collapsed"
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    _, probes, assigned = _ivf_cells(e)
+    probed: dict[int, set[int]] = {}
+    for r in probes.collect():
+        probed.setdefault(r.query_id, set()).add(r.cid)
+    cell_of = {r.neighbor_id: r.cid for r in assigned.collect()}
+    for q, n in p1:
+        assert cell_of[n] in probed[q], (q, n)
+
+
+def test_ivfpq_planted_duplicate_rank1(spark):
+    """ADC's defining guarantee: ADC(q, x) >= ADC(q, q) for every x
+    (each subspace term is bounded below by the distance to q's own
+    nearest centroid), so an exact copy of a query vector planted in
+    the corpus must survive the ADC shortlist and the exact refine must
+    put it at rank 1 with cosine ~1."""
+    from cs686_big_data_p1_spark.operators.ann import (
+        ANN_N_QUERIES,
+        EMB_DIM,
+        IVF_NLIST,
+        ivfpq_topk,
+    )
+
+    rng = random.Random(686)
+    n = ANN_N_QUERIES + IVF_NLIST + 40
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(EMB_DIM)])
+        for i in range(n)
+    ]
+    planted = ANN_N_QUERIES + IVF_NLIST + 7
+    rows[planted] = (planted, list(rows[2][1]))  # exact copy of query 2
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.query_id: r for r in ivfpq_topk(e).where("rank = 1").collect()}
+    assert out[2].neighbor_id == planted
+    assert out[2].cosine > 0.999

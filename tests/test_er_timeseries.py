@@ -149,3 +149,35 @@ def test_fuzzy_match_block_cap_deterministic(spark):
     assert all(a in kept and b in kept for a, b in got)
     # deterministic across re-evaluation (same truncation both runs)
     assert {(r.a_name, r.b_name) for r in match_names(names).collect()} == got
+
+
+def test_approx_quantiles_within_sketch_tolerance(spark, registry):
+    """percentile_approx must return actual data values whose RANK is
+    within the sketch's eps*n guarantee of the target rank, per group,
+    and be deterministic across runs (mergeable sketch, stable for a
+    fixed dataset)."""
+    rows1 = {r.event_type: r for r in
+             registry.QUERIES["approx_quantiles"](spark, SF_SMALL).collect()}
+    rows2 = {r.event_type: r for r in
+             registry.QUERIES["approx_quantiles"](spark, SF_SMALL).collect()}
+    assert {(k, v.p50, v.p90) for k, v in rows1.items()} == {
+        (k, v.p50, v.p90) for k, v in rows2.items()
+    }
+
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    by_type = {}
+    for r in e.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    acc = 10000
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        assert rows1[et].n == n
+        for p, got in ((0.5, rows1[et].p50), (0.9, rows1[et].p90)):
+            assert got in vals, "sketch must return an actual data value"
+            # all positions of `got` in the sorted list (tie span)
+            lo = vals.index(got) + 1
+            hi = n - vals[::-1].index(got)
+            target = p * n
+            slack = n / acc + 1
+            assert lo - slack <= target <= hi + slack, (et, p, got, lo, hi)

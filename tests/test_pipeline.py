@@ -180,3 +180,35 @@ def test_lang_id_real_lexicon_accuracy(spark):
     toy_acc = accuracy(TOY_LEXICON_R3)
     assert real_acc >= 0.9, f"real lexicon accuracy {real_acc}"
     assert real_acc > toy_acc, (real_acc, toy_acc)
+
+
+def test_domain_resample_temperature_mixture(spark, registry):
+    """The kept corpus must follow the n^T mixture: the smallest
+    stratum keeps everything (p=1 by construction), larger strata thin
+    at p = (n_min/n)^(1-T) within hash-sampling noise, and the whole
+    decision is deterministic across runs (seeded md5, no rand())."""
+    import math
+
+    from cs686_big_data_p1_spark.operators.pipeline import RESAMPLE_T
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    full = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_min = min(full.values())
+
+    kept_df = registry.QUERIES["domain_resample"](spark, SF_SMALL)
+    kept1 = [(r.doc_id, r.lang) for r in kept_df.collect()]
+    kept2 = [(r.doc_id, r.lang) for r in
+             registry.QUERIES["domain_resample"](spark, SF_SMALL).collect()]
+    assert sorted(kept1) == sorted(kept2)
+
+    kept = {}
+    for _, lang in kept1:
+        kept[lang] = kept.get(lang, 0) + 1
+    for lang, n in full.items():
+        p = (n_min / n) ** (1.0 - RESAMPLE_T)
+        if n == n_min:
+            assert kept.get(lang, 0) == n, "smallest stratum must keep all"
+        else:
+            exp = n * p
+            tol = 4 * math.sqrt(n * p * (1 - p)) + 2
+            assert abs(kept.get(lang, 0) - exp) <= tol, (lang, kept.get(lang), exp)
