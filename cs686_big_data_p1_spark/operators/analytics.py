@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..tables import load_table
@@ -925,4 +926,52 @@ def range_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_views_1h"),
         )
+    )
+
+
+DECILES_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(12,6)) * 1000000
+                  AS HUGEINT)) AS sp6
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       (CAST(sp6 // 1000000 AS DOUBLE)
+        + CAST(sp6 % 1000000 AS DOUBLE) / 1000000.0) AS total_spend,
+       CAST(ntile(10) OVER w AS INTEGER) AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM spend
+WINDOW w AS (ORDER BY sp6, o_custkey)
+"""
+
+
+@query("customer_value_deciles", oracle=DECILES_ORACLE)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value segmentation: every distribution-ranking window
+    function over per-customer lifetime spend — ntile(10) decile,
+    percent_rank, cume_dist. Spend totals ride the exact s6 fixed-point
+    sum and the window ORDERS BY THE SCALED INTEGER (tie-broken on
+    custkey), so row order — which ntile is sensitive to — is
+    bit-identical across engines; the rank ratios are then single IEEE
+    divisions of identical integers.
+
+    Scale: one map-side-combined groupBy on the high-cardinality
+    custkey, then one global-order window over #customers rows
+    (aggregate-sized, orders of magnitude under the fact table; at
+    true scale the global sort range-partitions and ntile boundaries
+    come from rank arithmetic over partition offsets — the same
+    two-phase shape price_median's histogram uses)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(s6("o_totalprice")).alias("sp6")
+    )
+    w = Window.orderBy("sp6", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        unscale("sp6", 6).alias("total_spend"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )

@@ -853,26 +853,53 @@ def _unit_pd():
     return _unit
 
 
-def _pq_codebooks(unit: DataFrame) -> np.ndarray:
-    """Fit the PQ_M per-subspace codebooks with seeded MLlib k-means||
-    (pq_encode's exact configuration) over unit-normalized vectors and
-    return them as a (PQ_M, PQ_K, sub) float64 array — an O(PQ_M*PQ_K*
-    sub) = 4 KiB closure, broadcast-safe at any corpus size."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+PQ_TRAIN_CAP = 4096  # codebook-training sample size (FAISS convention)
+PQ_TRAIN_ITERS = 10  # Lloyd iterations on the in-process sample
 
+
+def _pq_codebooks(unit: DataFrame) -> np.ndarray:
+    """Fit the PQ_M per-subspace codebooks on a BOUNDED training
+    sample: the PQ_TRAIN_CAP vectors with the smallest
+    md5('pqtrain|'||vec_id) (deterministic, engine/run-stable — a
+    TakeOrdered, never a full sort), pulled once to the driver
+    (<= 4096 x 64 doubles = 2 MB) and clustered with seeded k-means++
+    + Lloyd in-process. Training PQ on a capped sample is the FAISS
+    convention (train() cost must not scale with the corpus); the
+    full-corpus distributed-fit variant lives in pq_encode, whose
+    MLlib codebooks this mirrors in role. Returns a (PQ_M, PQ_K, sub)
+    float64 array — a 4 KiB closure, broadcast-safe at any corpus
+    size; the sample collect is bounded by the cap, not the corpus."""
     sub = EMB_DIM // PQ_M
+    sample = (
+        unit.select(
+            "u_emb", F.md5(F.format_string("pqtrain|%d", F.col("vec_id"))).alias("_h")
+        )
+        .orderBy("_h")
+        .limit(PQ_TRAIN_CAP)
+        .collect()
+    )
+    X = np.array([r.u_emb for r in sample], dtype=np.float64)
     books = []
     for m in range(PQ_M):
-        feats = unit.select(
-            array_to_vector(
-                F.slice(F.col("u_emb"), m * sub + 1, sub)
-            ).alias("_feat")
-        )
-        model = KMeans(
-            k=PQ_K, seed=686 + m, maxIter=5, featuresCol="_feat"
-        ).fit(feats)
-        books.append(np.array(model.clusterCenters(), dtype=np.float64))
+        xs = X[:, m * sub : (m + 1) * sub]
+        rng = np.random.RandomState(686 + m)
+        # k-means++ seeding, then Lloyd; empty clusters re-seeded from
+        # the farthest points so every codeword stays live
+        cents = xs[rng.randint(len(xs))][None, :]
+        for _ in range(1, PQ_K):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(2).min(1)
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cents = np.vstack([cents, xs[rng.choice(len(xs), p=p)]])
+        for _ in range(PQ_TRAIN_ITERS):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(2)
+            assign = d2.argmin(1)
+            for k in range(PQ_K):
+                members = xs[assign == k]
+                if len(members):
+                    cents[k] = members.mean(0)
+                else:
+                    cents[k] = xs[d2.min(1).argmax()]
+        books.append(cents.copy())
     return np.stack(books)
 
 

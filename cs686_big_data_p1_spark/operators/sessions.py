@@ -229,3 +229,87 @@ def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").alias("n_distinct_k"),
         )
     )
+
+
+# --- SCD2 state history (warehouse dimension-history surface) -----------
+
+SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM ordered
+),
+hist AS (
+  SELECT user_id, run_id, min(event_type) AS state,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_current,
+       n_events
+FROM hist
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+"""
+
+
+@query("scd2_user_state", oracle=SCD2_ORACLE)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from a change log: each
+    user's event stream collapses into [valid_from, valid_to) state
+    intervals — consecutive same-type events merge into one run, a
+    type change closes the old interval and opens a new one, the last
+    interval per user is open-ended (is_current). The warehouse
+    dimension-history pattern (Kimball SCD type 2) expressed as
+    gaps-and-islands + lead.
+
+    Determinism: run boundaries order by (ts, event_id) — the same
+    event-stream tie-break event_sessionize pins — and a run's state
+    is unique within the run by construction (min() is just the
+    cross-engine-stable way to project it through the groupBy).
+
+    Scale: both windows and the groupBy partition on user_id
+    (high-cardinality); Catalyst reuses one Exchange for the run
+    window and the rollup, and the interval table is runs-sized, not
+    events-sized. Hot users bound at their own event count — the same
+    (user, time-bucket) sharding sequence_pack uses is the escape
+    hatch if one key becomes pathological."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("run_id"),
+    )
+    hist = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return hist.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.when(F.lead("valid_from").over(w2).isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_current"),
+        "n_events",
+    )

@@ -8,6 +8,7 @@ code determinism, and batch-vs-reference survivor logic.
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_MED, SF_SMALL
 
@@ -181,3 +182,25 @@ def test_approx_quantiles_within_sketch_tolerance(spark, registry):
             target = p * n
             slack = n / acc + 1
             assert lo - slack <= target <= hi + slack, (et, p, got, lo, hi)
+
+
+def test_scd2_intervals_partition_history(spark, registry):
+    """SCD2 invariants per user: intervals chain (each valid_to equals
+    the next valid_from), exactly one open interval (is_current=1, the
+    last), no zero-length intervals, consecutive states differ, and
+    n_events totals the user's event count."""
+    rows = registry.QUERIES["scd2_user_state"](spark, SF_SMALL).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    n_events = {r.user_id: r.n for r in
+                e.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in ivs) == 1
+        assert ivs[-1].is_current == 1 and ivs[-1].valid_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state, "consecutive runs must differ"
+        assert sum(r.n_events for r in ivs) == n_events[uid]
