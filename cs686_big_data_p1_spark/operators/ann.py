@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 from pyspark.sql.window import Window
 
+from ..functions.vector import SCALE
 from ..functions.vector import norm as v_norm
 from ..functions.vector import pair_dot_pd
 from ..registry import query, track_cache
@@ -1040,4 +1041,64 @@ def ivfpq_topk(e: DataFrame) -> DataFrame:
         refined.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= ANN_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+EMB_STATS_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0))
+            AS INTEGER) AS n_pos,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(floor(abs(CAST(x AS DOUBLE)) * 1e12) AS BIGINT)))
+            AS BIGINT) AS l1_s12,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12)
+                      AS BIGINT))) AS BIGINT) AS sq_s12,
+       CAST(list_max(list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1e12) AS BIGINT)))
+            AS BIGINT) AS max_s12
+FROM embeddings
+"""
+
+
+@query("embedding_stats", oracle=EMB_STATS_ORACLE)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface over the embedding column:
+    transform / filter / aggregate lambdas computing per-vector
+    dimension, positive-component count, and quantized L1 / squared-L2
+    / max-component — the in-row array math a feature-store sanity
+    pass runs before indexing. Every reduction is the fixed-point
+    bigint fold (functions/vector.py), so the outputs hash-match
+    DuckDB's list_transform/list_filter/list_sum exactly, fold order
+    be damned.
+
+    Scale: pure projection — all lambdas evaluate in-row JVM-side
+    (no explode, no shuffle, no Python); the scan reads only
+    (vec_id, embedding)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    as_q = lambda expr: F.floor(expr * F.lit(SCALE)).cast("bigint")  # noqa: E731
+    zero = F.lit(0).cast("bigint")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.size(F.filter(emb, lambda x: x.cast("double") > 0.0)).cast(
+            "int"
+        ).alias("n_pos"),
+        F.aggregate(
+            F.transform(emb, lambda x: as_q(F.abs(x.cast("double")))),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("l1_s12"),
+        F.aggregate(
+            F.transform(
+                emb, lambda x: as_q(x.cast("double") * x.cast("double"))
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("sq_s12"),
+        F.array_max(
+            F.transform(emb, lambda x: as_q(x.cast("double")))
+        ).alias("max_s12"),
     )

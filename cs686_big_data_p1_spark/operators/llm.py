@@ -172,14 +172,12 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 """
 
 
-def band_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, h) shingles -> (doc_id, k, m0, m1) LSH band signatures.
-
-    All 8 min-hashes as aggregate columns of ONE groupBy — no 8x row
-    fan-out, and the (mostly map-side) shuffle carries one narrow row
-    per doc instead of 8. Hash strings match the oracle's
-    printf('mh%d|%d', k*2+j, h) exactly. Shared by batch dedup_near and
-    the streaming stream_dedup_near bucket store."""
+def minhash_wide(sh: DataFrame) -> DataFrame:
+    """(doc_id, h) shingles -> one row per doc with all
+    N_MINHASH_BANDS x N_MINHASH_ROWS min-hash columns m_<k>_<j> —
+    the un-exploded signature matrix band_signatures and
+    minhash_estimate_error both read. One (mostly map-side) groupBy;
+    hash strings match the oracle's printf('mh%d|%d', k*2+j, h)."""
     min_cols = [
         F.min(
             F.conv(
@@ -199,7 +197,18 @@ def band_signatures(sh: DataFrame) -> DataFrame:
         for k in range(N_MINHASH_BANDS)
         for j in range(N_MINHASH_ROWS)
     ]
-    wide = sh.groupBy("doc_id").agg(*min_cols)
+    return sh.groupBy("doc_id").agg(*min_cols)
+
+
+def band_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, h) shingles -> (doc_id, k, m0, m1) LSH band signatures.
+
+    All 8 min-hashes as aggregate columns of ONE groupBy — no 8x row
+    fan-out, and the (mostly map-side) shuffle carries one narrow row
+    per doc instead of 8. Hash strings match the oracle's
+    printf('mh%d|%d', k*2+j, h) exactly. Shared by batch dedup_near and
+    the streaming stream_dedup_near bucket store."""
+    wide = minhash_wide(sh)
     band_structs = F.array(
         *[
             F.struct(
@@ -234,7 +243,13 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Output is over class representatives — pair exact
     duplicates via dedup_exact's classes.
     """
-    sh = track_cache(_rep_shingles_df(spark, sf_dir))
+    return near_pairs(track_cache(_rep_shingles_df(spark, sf_dir)))
+
+
+def near_pairs(sh: DataFrame) -> DataFrame:
+    """Core of dedup_near over a cached (doc_id, h) shingle frame —
+    split out so minhash_estimate_error can share one shingle
+    materialization with the candidate/Jaccard stages."""
     sigs = band_signatures(sh)
     bucket_key = ["k", "m0", "m1"]
     ok_buckets = (
@@ -1145,4 +1160,100 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_batch_copies"),
         )
         .withColumnRenamed("th", "text_hash")
+    )
+
+
+_N_MH_SLOTS = N_MINHASH_BANDS * N_MINHASH_ROWS
+
+MINHASH_EST_ORACLE = f"""
+WITH pairs AS (SELECT doc_a, doc_b, jaccard FROM ({DEDUP_NEAR_ORACLE})),
+reps AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(printf('%s %s %s', w[i], w[i+1], w[i+2])),
+                       1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM reps))
+    WHERE len(w) >= 3
+  )
+),
+mh AS (
+  SELECT s.doc_id, g.k, g.j,
+         min(CAST(('0x' || substr(md5(printf('mh%d|%d', g.k * 2 + g.j, s.h)),
+                           1, 15)) AS BIGINT)) AS m
+  FROM shingles s CROSS JOIN (
+    SELECT k, j
+    FROM (VALUES (0),(1),(2),(3)) b(k)
+    CROSS JOIN (VALUES (0),(1)) r(j)) g
+  GROUP BY s.doc_id, g.k, g.j
+),
+est AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE)
+             / {_N_MH_SLOTS}.0 AS est_jaccard
+  FROM pairs p
+  JOIN mh a ON a.doc_id = p.doc_a
+  JOIN mh b ON b.doc_id = p.doc_b AND b.k = a.k AND b.j = a.j
+  GROUP BY p.doc_a, p.doc_b, p.jaccard
+)
+SELECT doc_a, doc_b, est_jaccard, jaccard,
+       abs(est_jaccard - jaccard) AS abs_err
+FROM est
+"""
+
+
+@query("minhash_estimate_error", oracle=MINHASH_EST_ORACLE)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sizing instrument: for every LSH candidate pair, the
+    signature-estimated Jaccard (fraction of the
+    N_MINHASH_BANDS x N_MINHASH_ROWS min-hash slots that agree — the
+    estimator whose expectation IS the Jaccard similarity, Broder '97)
+    next to the exact shingle-set Jaccard, plus the absolute error.
+    This is ann_recall's analog for the dedup family: whether 8 slots
+    suffice (est stddev sqrt(J(1-J)/8) ~ 0.18 at J=0.5) is an
+    empirical question this query answers from the corpus itself —
+    the tuning evidence for adding bands before a 100x scale-up.
+
+    Scale: shares ONE shingle materialization with the candidate
+    stage (near_pairs); the signature matrix is a second narrow
+    aggregate over it; the error join touches candidate pairs only.
+    Everything is md5-derived and integer-exact, so the whole
+    instrument — estimates, exact values, errors — hash-matches the
+    DuckDB oracle.
+    """
+    sh = track_cache(_rep_shingles_df(spark, sf_dir))
+    pairs = near_pairs(sh).select("doc_a", "doc_b", "jaccard")
+    wide = minhash_wide(sh)
+    slots = [
+        (k, j)
+        for k in range(N_MINHASH_BANDS)
+        for j in range(N_MINHASH_ROWS)
+    ]
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m_{k}_{j}").alias(f"a_{k}_{j}") for k, j in slots],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m_{k}_{j}").alias(f"b_{k}_{j}") for k, j in slots],
+    )
+    n_match = None
+    for k, j in slots:
+        hit = (F.col(f"a_{k}_{j}") == F.col(f"b_{k}_{j}")).cast("int")
+        n_match = hit if n_match is None else n_match + hit
+    est = n_match.cast("double") / F.lit(float(_N_MH_SLOTS))
+    return (
+        pairs.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            "jaccard",
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
     )

@@ -93,3 +93,51 @@ def write_orc(df: DataFrame, path: str, n_files: int | None = None) -> None:
 
 def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).orc(path)
+
+
+def upsert_parquet_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> None:
+    """Keyed upsert into a partition_col-partitioned parquet store
+    without a table format: rows in `updates` replace base rows with
+    the same key; untouched PARTITIONS are never read or rewritten.
+    This is the MERGE-INTO shape (the reference's publishChunk
+    set-semantics upsert, FileTable.java:107-122, at file-store
+    granularity) on plain parquet:
+
+      1. dynamic partition overwrite (partitionOverwriteMode=dynamic)
+         scopes the write to partitions present in the merged frame;
+      2. the base side is partition-pruned to exactly those
+         partitions before the anti-join, so IO is
+         O(affected partitions), not O(store);
+      3. the merged frame is localCheckpoint'ed eagerly BEFORE the
+         overwrite — Spark cannot lazily read from the files it is
+         replacing, and the checkpoint bounds at the affected
+         partitions' size.
+
+    Idempotent by construction: re-running the same updates rewrites
+    the same partitions to the same contents. At 100 TB the
+    partition column is a date/bucket key and an upsert touches the
+    handful of partitions the updates span."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    from pyspark.sql import functions as F
+
+    try:
+        base = spark.read.parquet(path).where(
+            F.col(partition_col).isin(parts)
+        )
+        survivors = base.join(updates, keys, "left_anti")
+        merged = survivors.unionByName(updates)
+    except Exception:  # first write: no base store yet
+        merged = updates
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

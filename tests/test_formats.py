@@ -104,3 +104,50 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
         filtered.explain(mode="formatted")
     plan = buf.getvalue()
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_upsert_parquet_partitioned(spark, tmp_path):
+    """Upsert semantics on a plain parquet store: updated keys replace,
+    new keys insert, untouched partitions keep their files (dynamic
+    overwrite never rewrites them), and the op is idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.sources.formats import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id long, part string, v long"
+    )
+    upsert_parquet_partitioned(spark, path, base, ["id"], "part")
+
+    def mtimes(part):
+        d = os.path.join(path, f"part={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    b_before = mtimes("b")
+    updates = spark.createDataFrame(
+        [(2, "a", 99), (4, "a", 40)], "id long, part string, v long"
+    )
+    upsert_parquet_partitioned(spark, path, updates, ["id"], "part")
+    got = {
+        (r.id, r.part, r.v)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a", 10), (2, "a", 99), (3, "b", 30), (4, "a", 40)}
+    assert mtimes("b") == b_before, "untouched partition was rewritten"
+
+    # idempotent: same updates again -> same contents
+    upsert_parquet_partitioned(spark, path, updates, ["id"], "part")
+    again = {
+        (r.id, r.part, r.v)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
