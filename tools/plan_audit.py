@@ -182,6 +182,28 @@ AUDITS: dict[str, dict] = {
     "event_value_quantiles": {"pruned": True, "codegen": True},
     "anomaly_zscore": {"pruned": True, "codegen": True},
     "dedup_incremental": {"pruned": ["documents"], "codegen": True},
+    # r7 additions
+    "knn_ivfpq": {
+        "broadcast": True,
+        "bounded_broadcast": "query side bounded by vec_id < ANN_N_QUERIES "
+        "predicate (a Filter, not a Limit node)",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 5,  # centroids, probes, ADC dtable side, refine query side
+    },
+    "event_props_extract": {"pruned": True, "codegen": True},
+    "priority_unpivot": {"pruned": True, "codegen": True},
+    "domain_resample": {
+        "pruned": True,
+        "codegen": True,
+        "bounded_broadcast": "per-stratum rate table (#langs rows) + its "
+        "1-row min aggregate",
+        "max_waived": 2,
+    },
+    "approx_quantiles": {"pruned": True, "codegen": True},
+    "customer_value_deciles": {"pruned": True, "codegen": True},
+    "scd2_user_state": {"pruned": True, "codegen": True},
+    "minhash_estimate_error": {"pruned": ["documents"], "codegen": True},
+    "embedding_stats": {"pruned": True, "codegen": True},
 }
 
 
