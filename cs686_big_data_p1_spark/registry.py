@@ -125,6 +125,7 @@ def load_all() -> None:
     from .operators import llm  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .operators import pipeline  # noqa: F401
+    from .operators import quality  # noqa: F401
     from .operators import sessions  # noqa: F401
     from .operators import timeseries  # noqa: F401
     from .operators import tpch  # noqa: F401

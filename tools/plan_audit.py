@@ -204,6 +204,9 @@ AUDITS: dict[str, dict] = {
     "scd2_user_state": {"pruned": True, "codegen": True},
     "minhash_estimate_error": {"pruned": ["documents"], "codegen": True},
     "embedding_stats": {"pruned": True, "codegen": True},
+    "referential_integrity": {"pruned": True, "broadcast": True, "codegen": True},
+    "table_profile": {"pruned": True, "codegen": True},
+    "nation_reconcile": {"broadcast": True, "codegen": True},
 }
 
 
