@@ -1,0 +1,164 @@
+"""Iterative graph analytics: fixed-point PageRank over the part
+co-purchase graph.
+
+The reference's only iterative loops are control-plane polls
+(controller/HeartbeatMonitor.java's periodic scan); dedup_clusters
+(operators/llm.py) already recasts one graph algorithm — connected
+components — as DataFrame iteration. This module adds the weighted
+cousin every data-platform ships: PageRank, here over the "parts
+bought together" graph derived from lineitem, the classic
+recommendation / importance signal.
+
+Determinism contract: ranks live in 1e-12 fixed-point BIGINTs and
+every update is integer arithmetic (floor-div by out-degree, floor-div
+damping), so K iterations produce bit-identical ranks regardless of
+partitioning — and the DuckDB oracle replays the SAME K updates as K
+unrolled CTEs (no float mass anywhere, no recursion-semantics risk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query, track_cache
+from ..tables import load_table
+
+PR_ITERS = 5
+PR_SCALE = 1_000_000_000_000  # 1e-12 fixed point
+# damping 0.85 as the exact rational 85/100, applied in integer math
+
+
+def _pagerank_oracle() -> str:
+    """Unroll PR_ITERS identical update steps as chained CTEs.
+
+    A recursive CTE is the obvious encoding but aggregate-in-
+    recursive-term support differs across engines; a fixed K unrolls
+    to the exact same relational algebra the Spark loop executes."""
+    base = f"((CAST({PR_SCALE} AS BIGINT) // n.n_verts) * 15) // 100"
+    steps = []
+    prev = "pr0"
+    for i in range(1, PR_ITERS + 1):
+        cur = f"pr{i}"
+        steps.append(
+            f"""{cur} AS (
+  SELECT v.v AS v,
+         {base} + (85 * coalesce(s.s, 0)) // 100 AS r
+  FROM verts v CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst AS v, sum(p.r // d.deg) AS s
+    FROM {prev} p JOIN edges e ON p.v = e.src
+    JOIN outdeg d ON d.src = p.v
+    GROUP BY e.dst
+  ) s ON s.v = v.v
+)"""
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+verts AS (SELECT DISTINCT src AS v FROM edges),
+n AS (SELECT count(*) AS n_verts FROM verts),
+pr0 AS (
+  SELECT v.v, CAST({PR_SCALE} AS BIGINT) // n.n_verts AS r
+  FROM verts v CROSS JOIN n
+),
+{chain}
+SELECT v AS part_id, r AS rank_e12,
+       CAST(r // {PR_SCALE} AS DOUBLE)
+         + CAST(r % {PR_SCALE} AS DOUBLE) / {PR_SCALE}.0 AS rank
+FROM {prev}
+"""
+
+
+PAGERANK_ORACLE = _pagerank_oracle()
+
+
+@query("pagerank_copurchase", oracle=PAGERANK_ORACLE)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({PR_ITERS} iterations, damping 85/100) over the
+    part co-purchase graph: parts are linked when some order contains
+    both (lineitem self-join on l_orderkey — fanout bounded by order
+    size^2, <=13 lines per order in this schema, and the join key is
+    high-cardinality and uniform).
+
+    Each iteration is ONE shuffle pattern: ranks join the
+    (checkpointed) edge list on src, contributions group by dst, and
+    a left join folds the damping base back over the full vertex set.
+    Ranks are 1e-12 fixed-point bigints and every step floor-divides
+    nonnegative int64s (`div` here == DuckDB `//`), so the result is
+    bit-identical to the oracle's unrolled-CTE replay. Iterations
+    localCheckpoint like dedup_clusters: lineage stays depth-1, each
+    round is planned against a materialized table instead of
+    re-optimizing the whole co-purchase DAG. The co-purchase graph is
+    symmetric, so no dangling-mass term is needed (every vertex has
+    out-degree >= 1; the coalesce(0) guard still covers isolated-in-
+    iteration vertices)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = track_cache(outdeg)
+    verts = edges.select(F.col("src").alias("v")).distinct()
+    verts = track_cache(verts)
+    n = verts.agg(F.count(F.lit(1)).alias("n_verts"))
+    base_expr = f"((CAST({PR_SCALE} AS BIGINT) div n_verts) * 15) div 100"
+    ranks = (
+        verts.crossJoin(F.broadcast(n))
+        .select(
+            "v",
+            F.expr(f"CAST({PR_SCALE} AS BIGINT) div n_verts").alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(edges, ranks.v == edges.src)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("cv"),
+                F.expr("r div deg").alias("c"),
+            )
+            .groupBy("cv")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            verts.crossJoin(F.broadcast(n))
+            .join(contrib, verts.v == F.col("cv"), "left")
+            .select(
+                "v",
+                F.expr(
+                    f"{base_expr} + (85 * coalesce(s, 0)) div 100"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("v").alias("part_id"),
+        F.col("r").alias("rank_e12"),
+        F.expr(
+            f"CAST(r div {PR_SCALE} AS DOUBLE)"
+            f" + CAST(pmod(r, {PR_SCALE}) AS BIGINT) / {PR_SCALE}.0"
+        ).alias("rank"),
+    )

@@ -43,19 +43,34 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join + count. The lakehouse replacement for constraints the
     storage layer doesn't enforce — run after ingest, alert on > 0.
 
-    Scale: each leg anti-joins on a single key column; the dimension
-    sides (customer keys, nation keys) broadcast, the lineitem->orders
-    leg is the only genuine shuffle and carries two key columns, not
-    rows. Output is 3 rows regardless of scale."""
+    Scale: each leg anti-joins on a single key column. Only the
+    nation side is EXPLICITLY broadcast — it is the one genuinely
+    bounded dimension (25 rows at any SF). The customer and orders
+    parent-key sets scale with the data, so those legs stay shuffle
+    anti-joins on purpose (at local SFs AQE still converts them to
+    broadcast at runtime from observed sizes — the safe direction;
+    forcing the broadcast by hand would OOM the build side at 100 TB).
+    Every leg shuffles key columns only, never rows. Output is 3 rows
+    regardless of scale."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
 
-    def leg(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+    def leg(
+        name: str,
+        child: DataFrame,
+        ck: str,
+        parent: DataFrame,
+        pk: str,
+        bcast: bool = False,
+    ):
+        keys = parent.select(F.col(pk).alias(ck))
+        if bcast:
+            keys = F.broadcast(keys)
         return (
             child.select(F.col(ck))
-            .join(parent.select(F.col(pk).alias(ck)), ck, "left_anti")
+            .join(keys, ck, "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
             .select(F.lit(name).alias("fk"), "n_orphans")
         )
@@ -66,7 +81,14 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             leg("lineitem.l_orderkey->orders", l, "l_orderkey", o, "o_orderkey")
         )
         .unionByName(
-            leg("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
+            leg(
+                "customer.c_nationkey->nation",
+                c,
+                "c_nationkey",
+                n,
+                "n_nationkey",
+                bcast=True,
+            )
         )
     )
 

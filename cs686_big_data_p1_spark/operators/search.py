@@ -1,0 +1,329 @@
+"""Full-text retrieval building blocks: inverted index, BM25 ranking,
+and bigram collocation mining over the ``documents`` corpus.
+
+The reference engine stores and checksums opaque chunk bytes
+(storage/StorageNode.java chunk paths); it has no text-retrieval
+layer. These operators extend the corpus-analytics family
+(operators/corpus.py, operators/llm.py) with the search-engine side
+of an LLM-data pipeline: building posting lists for corpus inspection
+tooling, ranked retrieval for eval-set mining, and collocation
+statistics for tokenizer/vocabulary design.
+
+Shared conventions (same as corpus.py):
+  * tokenization is a plain space split — bit-identical in Spark
+    (`split(text, ' ')`) and DuckDB (`string_split(text, ' ')`);
+  * scores use either pure bigint arithmetic or a fixed expression
+    tree of correctly-rounded IEEE double ops mirrored verbatim in
+    the oracle, then quantize to a 1e-6 fixed-point bigint BEFORE any
+    distributed sum, so fold order can never drift the result;
+  * every window partitions on a high-cardinality key, and the one
+    per-term ranking is two-level (bucketed pre-top-K) so a stopword
+    term can't create an unboundedly skewed sort partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query, track_cache
+from ..tables import load_table
+
+# --------------------------------------------------------------------
+# inverted_index: capped posting lists per term
+# --------------------------------------------------------------------
+
+POSTINGS_K = 10  # postings kept per term (tf DESC, doc_id ASC)
+POSTING_BUCKETS = 32  # two-level top-K fanout cap per term
+
+INVERTED_INDEX_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE length(text) > 0
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+ranked AS (
+  SELECT doc_id, term, tf,
+         CAST(row_number() OVER (
+             PARTITION BY term ORDER BY tf DESC, doc_id) AS INTEGER) AS rnk
+  FROM tf
+)
+SELECT r.term, d.df, r.doc_id, r.tf, r.rnk
+FROM ranked r JOIN df d ON r.term = d.term
+WHERE r.rnk <= {POSTINGS_K}
+"""
+
+
+@query("inverted_index", oracle=INVERTED_INDEX_ORACLE)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index: for every term, its document frequency
+    and the top-{POSTINGS_K} postings by term frequency (doc_id
+    tie-break) — the structure a corpus-inspection / retrieval tool
+    materializes from a crawl.
+
+    The per-term ranking is TWO-LEVEL: a first row_number over
+    (term, doc_id % {POSTING_BUCKETS}) discards all but
+    {POSTINGS_K} candidates per bucket, then the final per-term
+    row_number ranks at most {POSTING_BUCKETS}x{POSTINGS_K} rows.
+    Top-K distributes over any partition of its input, so the result
+    is identical to the oracle's single window — but a stopword term
+    with 10^9 postings sorts as {POSTING_BUCKETS} bounded partitions
+    plus one tiny final partition instead of one monster sort
+    (the sequence_pack sharding idiom, operators/pipeline.py)."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = track_cache(tf)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pre_w = Window.partitionBy(
+        "term", (F.col("doc_id") % POSTING_BUCKETS)
+    ).orderBy(F.col("tf").desc(), F.col("doc_id"))
+    survivors = (
+        tf.withColumn("pre", F.row_number().over(pre_w))
+        .where(F.col("pre") <= POSTINGS_K)
+        .drop("pre")
+    )
+    fin_w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id")
+    )
+    ranked = (
+        survivors.withColumn("rnk", F.row_number().over(fin_w).cast("int"))
+        .where(F.col("rnk") <= POSTINGS_K)
+    )
+    return ranked.join(df, "term").select("term", "df", "doc_id", "tf", "rnk")
+
+
+# --------------------------------------------------------------------
+# bm25_search: ranked retrieval with exact cross-engine scoring
+# --------------------------------------------------------------------
+
+BM25_TERMS = ("vector", "join", "stream")
+BM25_K = 20
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+# Per-(doc, term) score, one fixed IEEE-double expression tree —
+# written ONCE here and mirrored token-for-token in the Spark code:
+#   dl_norm = dl * N / TT          (avgdl division folded into one mul+div)
+#   idf     = (N - df + 0.5) / (df + 0.5)      [raw ratio, not ln —
+#             same rationale as tfidf_topterms: no libm in the hot path]
+#   tfn     = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl_norm))
+#   score   = floor(idf * tfn * 1000000.0)     -> bigint micro-units
+# The quantized micro-score is summed as a BIGINT, so the distributed
+# fold is order-independent and bit-identical to the serial oracle.
+
+BM25_SEARCH_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE length(text) > 0
+),
+dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM docs)
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         CAST(floor(
+           ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(t.tf AS DOUBLE) * 2.2
+              / (CAST(t.tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75
+                          * (CAST(l.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+                             / CAST(s.total_tokens AS DOUBLE)))))
+           * 1000000.0) AS BIGINT) AS score_u
+  FROM tf t
+  JOIN df d ON t.term = d.term
+  JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id, sum(score_u) AS score_e6 FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score_e6,
+       CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS INTEGER)
+           AS rnk
+FROM per_doc
+ORDER BY score_e6 DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+
+@query("bm25_search", oracle=BM25_SEARCH_ORACLE)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_K} retrieval for the fixed query
+    {BM25_TERMS} (k1=1.2, b=0.75), with the RAW-RATIO idf
+    ``(N-df+0.5)/(df+0.5)`` instead of its log — the module-header
+    expression tree is evaluated identically here and in the oracle,
+    each per-(doc,term) double is quantized to 1e-6 BEFORE the
+    per-doc sum, and the sum runs in bigints, so the ranking is
+    bit-exact across engines and partitionings.
+
+    Scale: the term filter hits the tf aggregation's input (only
+    query-term rows shuffle); df is |query| rows and dl joins on
+    doc_id (high-cardinality); corpus stats arrive via one broadcast
+    1-row crossJoin. The global top-{BM25_K} is orderBy+limit — a
+    TakeOrdered over per-partition heaps, never a single-partition
+    sort of all candidates; the final row_number runs over
+    {BM25_K} rows."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    docs = d.select("doc_id", F.split("text", " ").alias("w"))
+    dl = docs.select("doc_id", F.size("w").alias("dl"))
+    dl = track_cache(dl)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("w").alias("term"))
+        .where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = track_cache(tf)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl_norm = (
+        F.col("dl").cast("double") * F.col("n_docs").cast("double")
+        / F.col("total_tokens").cast("double")
+    )
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tfn = (
+        F.col("tf").cast("double") * F.lit(2.2)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * dl_norm)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * tfn * F.lit(1000000.0)).alias("score_u"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(F.sum("score_u").alias("score_e6"))
+    top = per_doc.orderBy(F.col("score_e6").desc(), F.col("doc_id")).limit(
+        BM25_K
+    )
+    rnk_w = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(rnk_w).cast("int"))
+
+
+# --------------------------------------------------------------------
+# collocations_lift: top bigram collocations by exact integer lift
+# --------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5  # bigram support floor (noise gate)
+COLLOC_K = 100
+_LIFT_SCALE = 1_000_000
+
+COLLOCATIONS_ORACLE = f"""
+WITH wd AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE length(text) > 0
+),
+uni AS (
+  SELECT term, count(*) AS c FROM
+    (SELECT unnest(w) AS term FROM wd) GROUP BY term
+),
+n AS (SELECT sum(c) AS n_tokens FROM uni),
+bg AS (
+  SELECT p.a, p.b, count(*) AS c_xy FROM
+    (SELECT unnest([{{'a': w[i], 'b': w[i+1]}} for i in range(1, len(w))])
+         AS p
+     FROM wd)
+  GROUP BY p.a, p.b
+),
+lift AS (
+  SELECT bg.a AS term_a, bg.b AS term_b, bg.c_xy,
+         ua.c AS c_a, ub.c AS c_b,
+         (bg.c_xy * n.n_tokens * {_LIFT_SCALE}) // (ua.c * ub.c)
+             AS lift_e6
+  FROM bg
+  JOIN uni ua ON bg.a = ua.term
+  JOIN uni ub ON bg.b = ub.term
+  CROSS JOIN n
+  WHERE bg.c_xy >= {COLLOC_MIN_COUNT}
+)
+SELECT term_a, term_b, c_xy, c_a, c_b, lift_e6
+FROM lift
+ORDER BY lift_e6 DESC, term_a, term_b
+LIMIT {COLLOC_K}
+"""
+
+
+@query("collocations_lift", oracle=COLLOCATIONS_ORACLE)
+def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{COLLOC_K} bigram collocations by lift
+    ``count(ab) * N / (count(a) * count(b))`` — the tokenizer-design /
+    phrase-mining statistic (PMI without the log). The score is pure
+    bigint arithmetic: ``c_xy * N * 1e6 // (c_a * c_b)`` floor-divides
+    nonnegative int64s identically in both engines, so ranking ties
+    cannot drift. int64 headroom: c_xy * N * 1e6 <= 1e17 at sf0.1;
+    a 100 TB corpus widens the same formula to decimal(38,0)/HUGEINT.
+
+    Scale: bigrams come from a zip_with over each doc's own token
+    array — map-side, zero shuffle to form pairs; the (a, b) count is
+    one high-cardinality groupBy; unigram counts are vocabulary-sized
+    and BROADCAST into both lift joins; N arrives as a broadcast
+    1-row aggregate. The global top-{COLLOC_K} is orderBy+limit
+    (TakeOrdered), never a full sort."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    wd = d.select("doc_id", F.split("text", " ").alias("w"))
+    uni = (
+        wd.select(F.explode("w").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = track_cache(uni)
+    n = uni.agg(F.sum("c").alias("n_tokens"))
+    pairs = wd.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (x, y) -> struct(x AS a, y AS b))"
+            )
+        ).alias("p")
+    )
+    bg = pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    ua = uni.select(F.col("term").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("term").alias("b"), F.col("c").alias("c_b"))
+    lift = (
+        bg.where(F.col("c_xy") >= COLLOC_MIN_COUNT)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            "c_xy",
+            "c_a",
+            "c_b",
+            F.expr(
+                f"(c_xy * n_tokens * {_LIFT_SCALE}) div (c_a * c_b)"
+            ).alias("lift_e6"),
+        )
+    )
+    return lift.orderBy(
+        F.col("lift_e6").desc(), F.col("term_a"), F.col("term_b")
+    ).limit(COLLOC_K)

@@ -313,3 +313,57 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_current"),
         "n_events",
     )
+
+
+RETENTION_ORACLE = """
+WITH firstd AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+j AS (
+  SELECT a.user_id,
+         CAST(date_trunc('week', f.d0) AS DATE) AS cohort_week,
+         (a.d - f.d0) // 7 AS week_offset
+  FROM act a JOIN firstd f ON a.user_id = f.user_id
+)
+SELECT cohort_week, CAST(week_offset AS INTEGER) AS week_offset,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_user_days
+FROM j GROUP BY cohort_week, week_offset
+"""
+
+
+@query("retention_cohorts", oracle=RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users cohort by the ISO week of
+    their first event; each later active day lands in a week offset
+    ``(active_day - first_day) div 7``; the rollup counts distinct
+    retained users and active user-days per (cohort_week, offset) —
+    the standard product-analytics retention matrix.
+
+    All arithmetic is exact: DATE subtraction is integer days in both
+    engines, the offset floor-divides nonnegative ints, and both
+    engines truncate weeks to Monday. No floats anywhere.
+
+    Scale: first-day and active-day dedup both group on user_id
+    (high-cardinality, one Exchange reused by the join via AQE); the
+    final rollup's (cohort_week, offset) key is low-cardinality but
+    arrives AFTER the per-user reduction — partial aggregation
+    (map-side combine) collapses it before the tiny final shuffle, so
+    there is no hot-key window anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    firstd = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    j = act.join(firstd, "user_id").select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("d0"))).alias("cohort_week"),
+        F.expr("datediff(d, d0) div 7").alias("week_offset"),
+    )
+    return j.groupBy("cohort_week", F.col("week_offset").cast("int").alias("week_offset")).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_user_days"),
+    )

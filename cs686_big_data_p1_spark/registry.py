@@ -122,10 +122,12 @@ def load_all() -> None:
     from .operators import dfs_meta  # noqa: F401
     from .operators import dfs_scalar  # noqa: F401
     from .operators import er  # noqa: F401
+    from .operators import graph  # noqa: F401
     from .operators import llm  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .operators import pipeline  # noqa: F401
     from .operators import quality  # noqa: F401
+    from .operators import search  # noqa: F401
     from .operators import sessions  # noqa: F401
     from .operators import timeseries  # noqa: F401
     from .operators import tpch  # noqa: F401

@@ -1,0 +1,193 @@
+"""Pins for the retrieval (operators/search.py), graph
+(operators/graph.py), and cohort (sessions.retention_cohorts)
+operators beyond the DuckDB oracle: structural invariants the
+hash-compare can't express (two-level top-K == naive top-K, PageRank
+mass conservation, cohort-triangle identities) plus planted fixtures
+for the ranking edge cases.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+
+
+def _write_docs(tmp_path, texts):
+    pd.DataFrame(
+        [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    return str(tmp_path)
+
+
+# ------------------------------ inverted_index ------------------------------
+
+
+def test_inverted_index_two_level_topk_matches_naive(spark):
+    """The bucketed pre-top-K must be invisible: result == the naive
+    single-window per-term top-K recomputed in pandas from raw tf."""
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.operators.search import (
+        POSTINGS_K,
+        inverted_index,
+    )
+    from cs686_big_data_p1_spark.tables import load_table
+
+    got = inverted_index(spark, SF_SMALL).toPandas()
+
+    d = load_table(spark, SF_SMALL, "documents").where(F.length("text") > 0)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .count()
+        .toPandas()
+    )
+    tf = tf.rename(columns={"count": "tf"})
+    tf = tf.sort_values(["term", "tf", "doc_id"], ascending=[True, False, True])
+    naive = tf.groupby("term").head(POSTINGS_K)
+
+    got_key = set(map(tuple, got[["term", "doc_id", "tf"]].values))
+    naive_key = set(map(tuple, naive[["term", "doc_id", "tf"]].values))
+    assert got_key == naive_key
+    # df column is constant per term and equals the true df
+    true_df = tf.groupby("term").size()
+    for term, sub in got.groupby("term"):
+        assert set(sub["df"]) == {true_df[term]}
+        assert sorted(sub["rnk"]) == list(range(1, len(sub) + 1))
+
+
+# ------------------------------ bm25_search ---------------------------------
+
+
+def test_bm25_prefers_term_dense_short_docs(spark, tmp_path):
+    """Planted corpus: a short doc saturated with a rare query term
+    must outrank long padding docs that mention it once; docs without
+    any query term must not appear at all."""
+    from cs686_big_data_p1_spark.operators.search import (
+        BM25_TERMS,
+        bm25_search,
+    )
+
+    t = BM25_TERMS[0]
+    texts = (
+        [f"{t} {t} {t} {t}"]  # doc 0: dense in the query term
+        + [("pad " * 60) + t for _ in range(3)]  # 1-3: one mention, long
+        + ["pad only filler text" for _ in range(6)]  # 4-9: no query term
+    )
+    out = bm25_search(spark, _write_docs(tmp_path, texts)).toPandas()
+    out = out.sort_values("rnk")
+    assert list(out["doc_id"])[0] == 0  # dense short doc wins
+    assert set(out["doc_id"]).isdisjoint(set(range(4, 10)))
+    assert (out["score_e6"] > 0).all()
+    # ranks are 1..n with scores non-increasing
+    assert list(out["rnk"]) == list(range(1, len(out) + 1))
+    assert (out["score_e6"].diff().dropna() <= 0).all()
+
+
+# ---------------------------- collocations_lift -----------------------------
+
+
+def test_collocations_planted_pair_tops_lift(spark, tmp_path):
+    """Two rare words that ONLY ever occur as an adjacent pair get the
+    maximal possible lift N / count and must rank first."""
+    from cs686_big_data_p1_spark.operators.search import (
+        COLLOC_MIN_COUNT,
+        collocations_lift,
+    )
+
+    pair_doc = "alpha beta " * COLLOC_MIN_COUNT  # alpha->beta x5
+    noise = "x y z w x z y w v u " * 10
+    out = collocations_lift(
+        spark, _write_docs(tmp_path, [pair_doc.strip(), noise.strip()])
+    ).toPandas()
+    top = out.iloc[0]
+    assert (top["term_a"], top["term_b"]) == ("alpha", "beta")
+    n_tokens = 2 * COLLOC_MIN_COUNT + 100
+    assert top["c_xy"] == COLLOC_MIN_COUNT
+    assert (
+        top["lift_e6"]
+        == top["c_xy"] * n_tokens * 1_000_000 // (top["c_a"] * top["c_b"])
+    )
+
+
+# --------------------------- pagerank_copurchase ----------------------------
+
+
+def test_pagerank_mass_and_floor_invariants(spark):
+    """Fixed-point PageRank: total mass never exceeds SCALE (floor
+    division only leaks downward), every rank is at least the damping
+    base, and a second run is bit-identical (determinism contract)."""
+    from cs686_big_data_p1_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_copurchase,
+    )
+
+    out = pagerank_copurchase(spark, SF_SMALL).toPandas()
+    n = len(out)
+    assert n > 0
+    base = ((PR_SCALE // n) * 15) // 100
+    assert (out["rank_e12"] >= base).all()
+    assert out["rank_e12"].sum() <= PR_SCALE
+    # truncation leak is bounded: every vertex loses < 1 unit per
+    # floor-div per iteration; with 5 iterations and 3 divisions the
+    # retained mass still dominates
+    assert out["rank_e12"].sum() > PR_SCALE * 9 // 10
+
+    again = pagerank_copurchase(spark, SF_SMALL).toPandas()
+    merged = out.merge(again, on="part_id", suffixes=("_a", "_b"))
+    assert (merged["rank_e12_a"] == merged["rank_e12_b"]).all()
+
+
+def test_pagerank_star_graph_concentrates_rank(spark, tmp_path):
+    """Planted star: a hub part in every order outranks leaf parts
+    that each appear once."""
+    rows = []
+    # 6 orders; order i holds hub part 1 and leaf part 10+i
+    for i in range(6):
+        rows.append((i, 1))
+        rows.append((i, 10 + i))
+    pd.DataFrame(
+        [
+            (ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             pd.Timestamp("2026-01-01"))
+            for ok, pk in rows
+        ],
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    ).to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+
+    from cs686_big_data_p1_spark.operators.graph import pagerank_copurchase
+
+    out = pagerank_copurchase(spark, str(tmp_path)).toPandas()
+    hub = out.loc[out.part_id == 1, "rank_e12"].iloc[0]
+    leaves = out.loc[out.part_id != 1, "rank_e12"]
+    assert (hub > leaves).all()
+
+
+# ---------------------------- retention_cohorts -----------------------------
+
+
+def test_retention_triangle_identities(spark):
+    """Offset-0 rows must cover every user exactly once (everyone is
+    active in their own first week), and n_user_days must total the
+    corpus's distinct (user, day) count."""
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.operators.sessions import retention_cohorts
+    from cs686_big_data_p1_spark.tables import load_table
+
+    out = retention_cohorts(spark, SF_SMALL).toPandas()
+    e = load_table(spark, SF_SMALL, "events")
+    n_users = e.select("user_id").distinct().count()
+    n_user_days = (
+        e.select("user_id", F.to_date("ts").alias("d")).distinct().count()
+    )
+    assert out.loc[out.week_offset == 0, "n_users"].sum() == n_users
+    assert out["n_user_days"].sum() == n_user_days
+    assert (out["week_offset"] >= 0).all()
+    assert (out["n_users"] <= out["n_user_days"]).all()

@@ -207,6 +207,25 @@ AUDITS: dict[str, dict] = {
     "referential_integrity": {"pruned": True, "broadcast": True, "codegen": True},
     "table_profile": {"pruned": True, "codegen": True},
     "nation_reconcile": {"broadcast": True, "codegen": True},
+    "inverted_index": {"pruned": ["documents"], "codegen": True},
+    "bm25_search": {
+        "pruned": ["documents"],
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "df = per-query-term aggregate (|Q| rows); "
+        "corpus stats = 1-row aggregate",
+        "max_waived": 2,
+    },
+    "collocations_lift": {
+        "pruned": ["documents"],
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "unigram counts = vocabulary-sized aggregate "
+        "(broadcast twice: a-side and b-side); N = 1-row aggregate",
+        "max_waived": 3,
+    },
+    "pagerank_copurchase": {"codegen": True},
+    "retention_cohorts": {"pruned": ["events"], "codegen": True},
 }
 
 
