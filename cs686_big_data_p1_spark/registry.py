@@ -118,6 +118,7 @@ def load_all() -> None:
     """Import every operator module, then fix the registration order."""
     from .operators import analytics  # noqa: F401
     from .operators import ann  # noqa: F401
+    from .operators import bpe  # noqa: F401
     from .operators import corpus  # noqa: F401
     from .operators import dfs_meta  # noqa: F401
     from .operators import dfs_scalar  # noqa: F401

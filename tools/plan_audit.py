@@ -226,6 +226,7 @@ AUDITS: dict[str, dict] = {
     },
     "pagerank_copurchase": {"codegen": True},
     "retention_cohorts": {"pruned": ["events"], "codegen": True},
+    "bpe_merges": {"codegen": True},
 }
 
 
