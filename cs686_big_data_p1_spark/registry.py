@@ -137,6 +137,7 @@ def load_all() -> None:
     from .streaming import neardup  # noqa: F401
     from .streaming import replication  # noqa: F401
     from .streaming import stateful  # noqa: F401
+    from .streaming import trending  # noqa: F401
 
     ordered = [n for n in PRIORITY_ORDER if n in QUERIES]
     ordered += [n for n in QUERIES if n not in PRIORITY_ORDER]

@@ -1,0 +1,108 @@
+"""Streaming trend detection: watermarked tumbling-window top-K event
+types — the live dashboard query every event pipeline ends with.
+
+Extends the reference's periodic heartbeat accounting
+(controller/HeartbeatMonitor.java's timer scan) to the user event
+stream: instead of one liveness counter per node, a windowed leaderboard
+per hour. The windowed count runs INSIDE the stream (watermarked state,
+append emission — each finalized window leaves state exactly once);
+the tiny top-K ranking runs on the drained, already-aggregated result,
+which is windows x event-types sized, not events-sized — the standard
+"aggregate in-stream, rank downstream" split.
+
+Oracle: the batch tumbling count filtered by the SAME finalization
+predicate append mode applies (window_end <= final watermark =
+max(ts) - delay), ranked identically — the stream_hb_session idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import EVENTS_NANOS_SCHEMA, SCHEMAS, events_ts_unit
+from .liveness import _run_to_memory, nanos_as_long
+
+TRENDING_K = 3
+TRENDING_DELAY = "90 minutes"  # watermark: late-event allowance
+
+TRENDING_ORACLE = f"""
+WITH wc AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n
+  FROM events
+  GROUP BY date_trunc('hour', ts), event_type
+),
+fin AS (
+  SELECT * FROM wc
+  WHERE window_start + INTERVAL 1 HOUR
+        <= (SELECT max(ts) FROM events) - INTERVAL 90 MINUTE
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type, n,
+       rnk
+FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY window_start ORDER BY n DESC, event_type) AS INTEGER)
+      AS rnk
+  FROM fin
+)
+WHERE rnk <= {TRENDING_K}
+"""
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a file-source stream with a correct ts
+    column on BOTH fixture generations (TIMESTAMP(MICROS) and
+    TIMESTAMP(NANOS) — the heartbeat_stream branch, r5 ADVICE)."""
+    if events_ts_unit(sf_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+@query("stream_trending", oracle=TRENDING_ORACLE)
+def stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TRENDING_K} trending event types per tumbling hour over
+    the live event stream. In-stream: watermarked ({TRENDING_DELAY})
+    windowed counts, append mode — state is one counter per open
+    (window, event_type), bounded by windows-in-flight x #types, and
+    each window is emitted exactly once when the watermark passes its
+    end. Downstream of the drain: a per-window row_number top-K over
+    the aggregated (not raw) rows — window_start is a high-cardinality
+    partitioning key and each partition holds at most #event_types
+    rows, so the rank is trivially bounded at any scale."""
+    with nanos_as_long(spark):
+        ev = events_stream(spark, sf_dir).select("ts", "event_type")
+        counts = (
+            ev.withWatermark("ts", TRENDING_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n",
+            )
+        )
+        drained = _run_to_memory(counts, "append")
+    rnk_w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        drained.withColumn("rnk", F.row_number().over(rnk_w).cast("int"))
+        .where(F.col("rnk") <= TRENDING_K)
+        .select("window_start", "window_end", "event_type", "n", "rnk")
+    )

@@ -191,3 +191,41 @@ def test_retention_triangle_identities(spark):
     assert out["n_user_days"].sum() == n_user_days
     assert (out["week_offset"] >= 0).all()
     assert (out["n_users"] <= out["n_user_days"]).all()
+
+
+# ----------------------------- stream_trending ------------------------------
+
+
+def test_stream_trending_withholds_unfinalized_windows(spark):
+    """Append mode must only emit windows whose end the watermark
+    passed: no emitted window_end may exceed max(ts) - 90 min, ranks
+    are 1..K per window, and an emitted window's counts must equal the
+    batch recount over the raw events."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.streaming.trending import (
+        TRENDING_K,
+        stream_trending,
+    )
+    from cs686_big_data_p1_spark.tables import load_table
+
+    out = stream_trending(spark, SF_SMALL).toPandas()
+    assert len(out) > 0
+    ev = load_table(spark, SF_SMALL, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    assert out["window_end"].max() <= max_ts - pd.Timedelta(minutes=90)
+    assert set(out["rnk"]) <= set(range(1, TRENDING_K + 1))
+
+    # spot-check the densest emitted window against a batch recount
+    ws = out.loc[out["n"].idxmax(), "window_start"]
+    sub = out[out["window_start"] == ws].sort_values("rnk")
+    batch = (
+        ev.where(F.date_trunc("hour", "ts") == F.lit(ws))
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")["count"]
+    )
+    for _, r in sub.iterrows():
+        assert batch[r["event_type"]] == r["n"]
