@@ -1,0 +1,211 @@
+"""Distributed linear algebra + model-eval surfaces over the
+embedding table: exact covariance and KNN classification evaluation.
+
+The reference has no vector layer; these complete the similarity-
+search family (operators/ann.py, llm.knn_bruteforce) with the two
+consumers every embedding pipeline runs next: the Gram/covariance
+statistics that feed PCA/whitening decisions, and a labeled
+nearest-neighbor evaluation that turns retrieval into a measurable
+classifier.
+
+Determinism: per-element contributions quantize to fixed-point
+bigints BEFORE any distributed sum (the s6/unscale idiom,
+operators/analytics.py), and every double expression downstream of
+the exact sums has ONE fixed shape mirrored in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query, track_cache
+from ..tables import load_table
+
+# ------------------------- embedding_covariance -------------------------
+
+COVARIANCE_ORACLE = """
+WITH ex AS (
+  SELECT vec_id,
+         unnest([{'i': i, 'x': embedding[i]}
+                 for i in range(1, len(embedding)+1)]) AS p
+  FROM embeddings
+),
+el AS (SELECT vec_id, p.i AS i, CAST(p.x AS DOUBLE) AS x FROM ex),
+n AS (SELECT count(*) AS n_vecs FROM embeddings),
+means AS (
+  SELECT i, sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS sx_e6 FROM el
+  GROUP BY i
+),
+prods AS (
+  SELECT a.i AS i, b.i AS j,
+         sum(CAST(floor(a.x * b.x * 1000000000000.0) AS BIGINT)) AS sxy_e12
+  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT p.i AS dim_i, p.j AS dim_j, p.sxy_e12, n.n_vecs,
+       (CAST(p.sxy_e12 AS DOUBLE) / 1000000000000.0
+        - (CAST(mi.sx_e6 AS DOUBLE) / 1000000.0)
+          * (CAST(mj.sx_e6 AS DOUBLE) / 1000000.0)
+          / CAST(n.n_vecs AS DOUBLE))
+       / CAST(n.n_vecs AS DOUBLE) AS cov
+FROM prods p
+JOIN means mi ON mi.i = p.i
+JOIN means mj ON mj.i = p.j
+CROSS JOIN n
+"""
+
+
+@query("embedding_covariance", oracle=COVARIANCE_ORACLE)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions
+    (population covariance, the PCA/whitening input): cov_ij =
+    E[x_i x_j] - E[x_i]E[x_j], with both expectations built from
+    fixed-point bigint sums so the distributed fold is order-
+    independent and the one double expression downstream is
+    bit-identical to the serial oracle.
+
+    Scale shape: the d*(d+1)/2 per-vector products are generated
+    MAP-SIDE by a nested transform over each row's own array — no
+    self-join, no shuffle to form pairs (the collocations_lift
+    pattern, lifted to index pairs). The only shuffle is the
+    partial-aggregated groupBy onto d^2/2 = 2080 cells, constant in
+    the row count; means are a d-row aggregate broadcast into the
+    final join. At 100 TB this plan moves O(d^2 * partitions) bytes
+    total — the provably minimal sufficient statistic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(embedding)-1),"
+                " i -> transform(sequence(i, size(embedding)-1),"
+                "   j -> struct(i + 1 AS i, j + 1 AS j,"
+                "        CAST(floor(CAST(embedding[i] AS DOUBLE)"
+                "             * CAST(embedding[j] AS DOUBLE)"
+                "             * 1000000000000.0) AS BIGINT) AS c))))"
+            )
+        ).alias("p")
+    )
+    prods = cells.groupBy(
+        F.col("p.i").alias("i"), F.col("p.j").alias("j")
+    ).agg(F.sum("p.c").alias("sxy_e12"))
+    means = (
+        e.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(embedding)-1),"
+                    " i -> struct(i + 1 AS i,"
+                    "      CAST(floor(CAST(embedding[i] AS DOUBLE)"
+                    "           * 1000000.0) AS BIGINT) AS c))"
+                )
+            ).alias("m")
+        )
+        .groupBy(F.col("m.i").alias("i"))
+        .agg(F.sum("m.c").alias("sx_e6"))
+    )
+    means = track_cache(means)
+    n = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    mi = means.select(F.col("i"), F.col("sx_e6").alias("sxi_e6"))
+    mj = means.select(
+        F.col("i").alias("j"), F.col("sx_e6").alias("sxj_e6")
+    )
+    return (
+        prods.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            "sxy_e12",
+            "n_vecs",
+            (
+                (
+                    F.col("sxy_e12").cast("double") / F.lit(1000000000000.0)
+                    - (F.col("sxi_e6").cast("double") / F.lit(1000000.0))
+                    * (F.col("sxj_e6").cast("double") / F.lit(1000000.0))
+                    / F.col("n_vecs").cast("double")
+                )
+                / F.col("n_vecs").cast("double")
+            ).alias("cov"),
+        )
+    )
+
+
+# ---------------------------- knn_label_eval ----------------------------
+
+KNN_EVAL_ORACLE = """
+WITH knn AS ({knn}),
+votes AS (
+  SELECT k.query_id, e.label, count(*) AS n_votes
+  FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+  GROUP BY k.query_id, e.label
+),
+pred AS (
+  SELECT query_id, label AS pred_label, n_votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY n_votes DESC, label) AS r
+    FROM votes
+  ) WHERE r = 1
+)
+SELECT p.query_id, q.label AS true_label, p.pred_label,
+       CAST(p.n_votes AS BIGINT) AS n_votes,
+       CAST(CASE WHEN q.label = p.pred_label THEN 1 ELSE 0 END AS INTEGER)
+           AS correct
+FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+"""
+
+
+def _knn_eval_oracle() -> str:
+    from .llm import KNN_ORACLE
+
+    return KNN_EVAL_ORACLE.format(knn=KNN_ORACLE)
+
+
+@query("knn_label_eval", oracle=_knn_eval_oracle())
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN-as-classifier evaluation: each query vector's top-k exact
+    neighbors (knn_bruteforce) vote with their labels; the majority
+    label (count DESC, label ASC tie-break) is the prediction,
+    compared against the query's own label — the eval loop that turns
+    the similarity-search stack into a measurable model, per query.
+
+    Scale: reuses knn_bruteforce's broadcast-query plan; the vote is
+    a (query, label) groupBy over queries*k rows and the label joins
+    probe the embeddings store on its key. The oracle nests the KNN
+    oracle, so prediction and ground truth both hash-compare."""
+    from .llm import knn_bruteforce
+
+    e = load_table(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    knn = knn_bruteforce(spark, sf_dir)
+    votes = (
+        knn.join(labels, knn.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        F.when(F.col("true_label") == F.col("pred_label"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("correct"),
+    )

@@ -124,6 +124,7 @@ def load_all() -> None:
     from .operators import dfs_scalar  # noqa: F401
     from .operators import er  # noqa: F401
     from .operators import graph  # noqa: F401
+    from .operators import linalg  # noqa: F401
     from .operators import llm  # noqa: F401
     from .operators import multimodal  # noqa: F401
     from .operators import pipeline  # noqa: F401

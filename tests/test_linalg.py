@@ -1,0 +1,71 @@
+"""Pins for operators/linalg.py beyond the DuckDB oracle: covariance
+against numpy's reference implementation, and a planted-cluster KNN
+eval where the majority vote provably recovers every label.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_SMALL
+
+
+def test_covariance_matches_numpy(spark):
+    """The fixed-point covariance must agree with numpy's float64
+    population covariance to ~1e-5 (the quantization granularity),
+    with nonnegative diagonals."""
+    from cs686_big_data_p1_spark.operators.linalg import embedding_covariance
+    from cs686_big_data_p1_spark.tables import load_table
+
+    out = embedding_covariance(spark, SF_SMALL).toPandas()
+    emb = np.array(
+        load_table(spark, SF_SMALL, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    ref = np.cov(emb, rowvar=False, bias=True)  # population covariance
+    d = emb.shape[1]
+    assert len(out) == d * (d + 1) // 2
+    for _, r in out.iterrows():
+        i, j = int(r["dim_i"]) - 1, int(r["dim_j"]) - 1
+        assert abs(r["cov"] - ref[i, j]) < 1e-5
+    diag = out[out.dim_i == out.dim_j]
+    assert (diag["cov"] >= 0).all()
+
+
+def test_knn_eval_recovers_planted_clusters(spark, tmp_path):
+    """Two tight clusters far apart: every query's neighbors share its
+    label, so the majority vote must be unanimous and correct."""
+    rng = np.random.default_rng(7)
+    rows = []
+    # labels 0/1 at centers +e0 and +e1; queries are vec_id 0..4
+    for vid in range(40):
+        label = vid % 2
+        center = np.zeros(8)
+        center[label] = 10.0
+        v = center + rng.normal(0, 0.01, 8)
+        rows.append((vid, [float(x) for x in v], label))
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    papq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    from cs686_big_data_p1_spark.operators.linalg import knn_label_eval
+
+    out = knn_label_eval(spark, str(tmp_path)).toPandas()
+    assert len(out) == 5  # KNN_N_QUERIES
+    assert (out["correct"] == 1).all()
+    assert (out["n_votes"] == 5).all()  # unanimous at k=5
+    assert (out["pred_label"] == out["true_label"]).all()

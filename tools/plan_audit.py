@@ -227,6 +227,22 @@ AUDITS: dict[str, dict] = {
     "pagerank_copurchase": {"codegen": True},
     "retention_cohorts": {"pruned": ["events"], "codegen": True},
     "bpe_merges": {"codegen": True},
+    "embedding_covariance": {
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "means = d-row aggregate (broadcast twice: "
+        "i-side and j-side); n = 1-row aggregate",
+        "max_waived": 3,
+    },
+    "knn_label_eval": {
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "query side bounded by vec_id < KNN_N_QUERIES "
+        "predicate (a Filter, not a Limit node); label/truth probes on the "
+        "queries*k result",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 3,
+    },
 }
 
 
