@@ -162,3 +162,117 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + CAST(pmod(r, {PR_SCALE}) AS BIGINT) / {PR_SCALE}.0"
         ).alias("rank"),
     )
+
+
+TRIANGLES_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ce AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM ce UNION ALL SELECT b FROM ce
+  ) GROUP BY v
+),
+oe AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND ce.a < ce.b)
+              THEN ce.a ELSE ce.b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND ce.a < ce.b)
+              THEN ce.b ELSE ce.a END AS v,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND ce.a < ce.b)
+              THEN db.d ELSE da.d END AS dv
+  FROM ce JOIN deg da ON da.v = ce.a JOIN deg db ON db.v = ce.b
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM oe e1
+  JOIN oe e2 ON e1.u = e2.u
+   AND ((e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v))
+  JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT v AS part_id, count(*) AS n_triangles FROM (
+  SELECT x AS v FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY v
+"""
+
+
+@query("triangle_count", oracle=TRIANGLES_ORACLE)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the part co-purchase graph —
+    the clustering/community-strength signal (and the classic
+    "MapReduce-hard" graph benchmark).
+
+    Uses the DEGREE-ORDERED orientation (Cohen / Suri-Vassilvitskii):
+    every undirected edge points from its lower-(degree, id) endpoint
+    to the higher one, wedges are built only from each vertex's
+    OUT-edges, and a wedge (u->v, u->w) closes iff oriented edge v->w
+    exists. Each triangle is counted exactly once, and — the scale
+    property — out-degree is bounded by O(sqrt(m)) regardless of how
+    skewed the raw degree distribution is, so the wedge join's fanout
+    per vertex is capped where the naive id-ordering would square a
+    celebrity vertex's full degree. Joins shuffle on int vertex keys
+    only; the final per-vertex rollup map-side combines the exploded
+    triangle corners."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b")
+    )
+    ce = (
+        a.join(b, "k")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ce = track_cache(ce)
+    deg = (
+        ce.select(F.col("a").alias("v"))
+        .unionAll(ce.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oe = (
+        ce.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = oe.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    e2 = oe.select(F.col("u"), F.col("v").alias("z"), F.col("dv").alias("dz"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closure = oe.select(
+        F.col("u").alias("y"), F.col("v").alias("z")
+    )
+    tri = wedges.join(closure, ["y", "z"], "left_semi").select(
+        F.col("u").alias("x"), "y", "z"
+    )
+    corners = (
+        tri.select(F.col("x").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("v")))
+        .unionAll(tri.select(F.col("z").alias("v")))
+    )
+    return corners.groupBy(F.col("v").alias("part_id")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

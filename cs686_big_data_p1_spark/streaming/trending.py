@@ -106,3 +106,74 @@ def stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TRENDING_K)
         .select("window_start", "window_end", "event_type", "n", "rnk")
     )
+
+
+ATTRIBUTION_WINDOW = "1 hour"  # view must precede purchase by <= this
+
+ATTRIBUTION_ORACLE = """
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+       p.ts AS purchase_ts, v.ts AS view_ts,
+       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_s
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
+@query("stream_attribution", oracle=ATTRIBUTION_ORACLE)
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-attribution STREAM-STREAM JOIN: every purchase pairs
+    with each view by the same user in the preceding {ATTRIBUTION_WINDOW}
+    — the canonical watermarked self-join (Spark's ad-monetization
+    example, recast on the events fixture).
+
+    Both sides carry a 2-hour watermark and the join condition is an
+    equi-join on user_id PLUS the event-time range — exactly the shape
+    Structured Streaming needs to bound state: view rows older than
+    (watermark - {ATTRIBUTION_WINDOW}) leave the state store because no
+    future purchase can reach them. INNER join semantics emit each
+    match exactly once and withhold nothing, so the drained result
+    hash-compares against the batch range-join oracle with no
+    finalization predicate. lag_s is exact integer microsecond math
+    (the event_sessionize rationale)."""
+    with nanos_as_long(spark):
+        ev = events_stream(spark, sf_dir)
+        views = (
+            ev.where(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "2 hours")
+        )
+        purchases = (
+            ev.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        joined = purchases.join(
+            views,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("view_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+        ).select(
+            "user_id",
+            "purchase_id",
+            "view_id",
+            "purchase_ts",
+            "view_ts",
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(view_ts))"
+                " div 1000000"
+            ).alias("lag_s"),
+        )
+        return _run_to_memory(joined, "append")

@@ -229,3 +229,81 @@ def test_stream_trending_withholds_unfinalized_windows(spark):
     )
     for _, r in sub.iterrows():
         assert batch[r["event_type"]] == r["n"]
+
+
+# ------------------------------ triangle_count ------------------------------
+
+
+def test_triangle_count_on_planted_clique_and_invariants(spark, tmp_path):
+    """One order holding parts {1,2,3,4} makes K4: C(4,3)=4 triangles,
+    every vertex in exactly 3. A second disjoint order of 2 parts adds
+    an edge but no triangle."""
+    rows = [(0, p) for p in (1, 2, 3, 4)] + [(1, 10), (1, 11)]
+    pd.DataFrame(
+        [
+            (ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             pd.Timestamp("2026-01-01"))
+            for ok, pk in rows
+        ],
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    ).to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+
+    from cs686_big_data_p1_spark.operators.graph import triangle_count
+
+    out = triangle_count(spark, str(tmp_path)).toPandas()
+    got = dict(zip(out.part_id, out.n_triangles))
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # parts 10/11 have none
+
+
+def test_triangle_count_corner_sum_invariant(spark):
+    """Sum of per-vertex counts must be exactly 3x the number of
+    distinct triangles (each triangle has three corners)."""
+    from cs686_big_data_p1_spark.operators.graph import triangle_count
+
+    out = triangle_count(spark, SF_SMALL).toPandas()
+    assert out["n_triangles"].sum() % 3 == 0
+    assert (out["n_triangles"] > 0).all()
+
+
+# ---------------------------- stream_attribution ----------------------------
+
+
+def test_stream_attribution_lag_bounds_and_batch_parity(spark):
+    """Every emitted pair respects the window (0 <= lag <= 3600 s) and
+    the pair set equals the batch range-join recomputed directly."""
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.streaming.trending import stream_attribution
+    from cs686_big_data_p1_spark.tables import load_table
+
+    out = stream_attribution(spark, SF_SMALL).toPandas()
+    assert len(out) > 0
+    assert (out["lag_s"] >= 0).all() and (out["lag_s"] <= 3600).all()
+
+    ev = load_table(spark, SF_SMALL, "events")
+    p = ev.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    v = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("vid"),
+        F.col("ts").alias("vts"),
+    )
+    batch = (
+        p.join(v, "u")
+        .where(
+            (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("pid", "vid")
+        .toPandas()
+    )
+    got = set(zip(out["purchase_id"], out["view_id"]))
+    want = set(zip(batch["pid"], batch["vid"]))
+    assert got == want
