@@ -367,3 +367,56 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_user_days"),
     )
+
+
+DEBOUNCE_GAP_S = 5 * 60  # min silence between same-type events kept
+
+DEBOUNCE_ORACLE = f"""
+SELECT user_id, event_type, ts, event_id
+FROM (
+  SELECT user_id, event_type, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+WHERE prev_ts IS NULL
+   OR epoch_us(ts) - epoch_us(prev_ts) > {DEBOUNCE_GAP_S} * 1000000
+"""
+
+
+@query("event_debounce", oracle=DEBOUNCE_ORACLE)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream debounce: drop a (user, event_type) occurrence if
+    the PREVIOUS occurrence is within {DEBOUNCE_GAP_S} s — the rapid-
+    fire / double-click cleaning pass run before sessionization or
+    billing. Gap arithmetic is exact integer microseconds with the
+    event_id tie-break (the event_sessionize contract), so boundary
+    events cannot flap between engines.
+
+    Note the relaxation this variant DEFINES (and the oracle mirrors):
+    the gap is measured to the previous RAW event, not the previous
+    KEPT one — pure lag, one window, one shuffle on the
+    high-cardinality (user_id, event_type) key. The kept-anchor
+    variant is a gaps-and-islands run over the same partitioning
+    (event_sessionize's shape) at identical scale cost."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            prev_us.alias("p_us"),
+            us.alias("c_us"),
+        )
+        .where(
+            F.col("p_us").isNull()
+            | (F.col("c_us") - F.col("p_us") > DEBOUNCE_GAP_S * 1_000_000)
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )

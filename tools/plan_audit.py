@@ -234,6 +234,8 @@ AUDITS: dict[str, dict] = {
         "i-side and j-side); n = 1-row aggregate",
         "max_waived": 3,
     },
+    "triangle_count": {"pruned": ["lineitem"], "codegen": True},
+    "event_debounce": {"pruned": ["events"], "codegen": True},
     "knn_label_eval": {
         "broadcast": True,
         "codegen": True,
