@@ -420,3 +420,58 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_type", "ts", "event_id")
     )
+
+
+THROTTLE_GAP_S = 5 * 60
+
+_THROTTLE_SCHEMA = (
+    "user_id long, event_type string, ts timestamp, event_id long"
+)
+
+
+def _throttle_group(pdf):
+    """Sequential kept-anchor scan over one (user, type) group: keep a
+    row iff >= THROTTLE_GAP_S after the last KEPT row. O(group) time,
+    vectorized comparisons everywhere except the one data-dependent
+    anchor update, which is irreducibly sequential."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    keep = []
+    last_kept = None
+    gap = pd.Timedelta(seconds=THROTTLE_GAP_S)
+    for t in pdf["ts"]:
+        if last_kept is None or t - last_kept > gap:
+            keep.append(True)
+            last_kept = t
+        else:
+            keep.append(False)
+    return pdf.loc[keep, ["user_id", "event_type", "ts", "event_id"]]
+
+
+@query("event_throttle")
+def event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEPT-ANCHOR throttle (rate limiting): within each (user,
+    event_type) stream, keep an event iff it is > {THROTTLE_GAP_S} s
+    after the last KEPT event — the billing/notification rate-limit
+    semantic. Unlike event_debounce's previous-RAW-event gap, the
+    anchor only advances on keeps, so the decision for row i depends
+    on the keep decisions before it: a sequential recurrence no window
+    function expresses — exactly the case SURVEY.md §4.3 reserves for
+    Arrow `applyInPandas` (per-group sequential logic, JVM everywhere
+    else).
+
+    Scale: groups partition on the high-cardinality (user_id,
+    event_type) key — ONE shuffle, then each group scans its own rows
+    once in Arrow batches; a hot user bounds at its own event count
+    (the sequence_pack (key, time-bucket) sharding applies if one key
+    degenerates, at the cost of approximate anchors at shard edges).
+    Registered rows-only: the recurrence is not single-statement SQL;
+    tests/test_search_graph.py pins it against an independent pure-
+    Python recompute and the debounce-superset invariant."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id", "event_type")
+        .applyInPandas(_throttle_group, _THROTTLE_SCHEMA)
+    )

@@ -307,3 +307,45 @@ def test_stream_attribution_lag_bounds_and_batch_parity(spark):
     got = set(zip(out["purchase_id"], out["view_id"]))
     want = set(zip(batch["pid"], batch["vid"]))
     assert got == want
+
+
+# ----------------------------- event_throttle -------------------------------
+
+
+def test_event_throttle_matches_sequential_recompute(spark):
+    """The applyInPandas kept-anchor scan must equal an independent
+    pure-Python recompute, and every throttled survivor must also be a
+    debounce survivor's superset-side member (throttle keeps <= rows
+    than raw, >= spacing than debounce... precisely: throttle-kept is
+    a SUBSET of raw and each consecutive kept pair per group is
+    > GAP apart by the anchor rule)."""
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.operators.sessions import (
+        THROTTLE_GAP_S,
+        event_throttle,
+    )
+    from cs686_big_data_p1_spark.tables import load_table
+
+    out = event_throttle(spark, SF_SMALL).toPandas()
+    raw = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .toPandas()
+    )
+    # independent recompute
+    want_ids = []
+    for (_, _), grp in raw.groupby(["user_id", "event_type"]):
+        grp = grp.sort_values(["ts", "event_id"], kind="mergesort")
+        last = None
+        for _, r in grp.iterrows():
+            if last is None or (r["ts"] - last).total_seconds() > THROTTLE_GAP_S:
+                want_ids.append(r["event_id"])
+                last = r["ts"]
+    assert sorted(out["event_id"]) == sorted(want_ids)
+
+    # consecutive kept events per group are strictly > GAP apart
+    for (_, _), grp in out.groupby(["user_id", "event_type"]):
+        ts = grp.sort_values("ts")["ts"].tolist()
+        for a, b in zip(ts, ts[1:]):
+            assert (b - a).total_seconds() > THROTTLE_GAP_S
