@@ -234,7 +234,10 @@ AUDITS: dict[str, dict] = {
         "i-side and j-side); n = 1-row aggregate",
         "max_waived": 3,
     },
-    "triangle_count": {"pruned": ["lineitem"], "codegen": True},
+    # triangle_count's final plan reads the checkpointed oriented-edge
+    # RDD, so no parquet scan is visible to assert pruning on (the
+    # pruning happened upstream of the checkpoint, same as pagerank)
+    "triangle_count": {"codegen": True},
     "event_debounce": {"pruned": ["events"], "codegen": True},
     "knn_label_eval": {
         "broadcast": True,
