@@ -573,3 +573,80 @@ def payload_fingerprint(payload: bytes) -> str:
     """Reference md5 fingerprint used by the tests to cross-check
     payload bytes against an independent Python construction."""
     return hashlib.md5(payload).hexdigest()
+
+
+# --- Perceptual AUDIO dedup (the image dHash's acoustic sibling) -----
+
+AFP_SEGMENTS = 17  # time segments (17 -> 16 gradient comparisons)
+AFP_BANDS = 4  # coarse frequency bands per segment
+
+
+def audio_fphash64(payload: bytes) -> int:
+    """64-bit acoustic fingerprint: decode WAV, split the waveform
+    into {AFP_SEGMENTS} equal time segments, measure energy in
+    {AFP_BANDS} coarse rFFT bands per segment, and emit the TIME-
+    GRADIENT SIGN per band — bit (s, b) = E[s][b] > E[s+1][b], a
+    16x4 = 64-bit code (the chromaprint/Haitsma-Kalker shape, pure
+    numpy). Comparisons are invariant under any positive gain, so
+    volume-shifted/re-mastered copies of the same audio collapse to
+    one fingerprint while md5(payload) differs."""
+    wave, _rate = decode_audio(payload)
+    n = len(wave) // AFP_SEGMENTS
+    if n == 0:
+        return 0
+    segs = wave[: n * AFP_SEGMENTS].reshape(AFP_SEGMENTS, n)
+    spec = np.abs(np.fft.rfft(segs, axis=1)) ** 2
+    nb = spec.shape[1] // AFP_BANDS
+    if nb == 0:
+        return 0
+    bands = (
+        spec[:, : nb * AFP_BANDS]
+        .reshape(AFP_SEGMENTS, AFP_BANDS, nb)
+        .sum(axis=2)
+    )
+    bits = (bands[:-1] > bands[1:]).flatten()  # 16 x 4 bools
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out
+
+
+def audio_fphash_df(media: DataFrame) -> DataFrame:
+    """Audio rows -> (doc_id, afp hex) via Arrow-batched mapInPandas."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(doc_id)
+                hashes.append(
+                    format(audio_fphash64(bytes(payload)), "016x")
+                )
+            yield pd.DataFrame({"doc_id": ids, "afp": hashes})
+
+    return media.mapInPandas(gen, "doc_id long, afp string")
+
+
+@query("media_audio_dedup")
+def media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO dedup: WAV decode -> 64-bit band-energy
+    gradient fingerprint -> digest groupBy (keeper = min doc_id) —
+    completes the perceptual family media_phash_dedup opened for
+    images: gain-shifted or re-mastered copies of the same recording
+    collapse where exact payload hashing sees distinct bytes.
+    Rows-only by design (FFT decode is not SQL); the pytest plants a
+    half-amplitude duplicate pair (power-of-2 scaling is exact in
+    IEEE floats, so the fingerprint equality is deterministic, not
+    approximate).
+
+    Scale: decode+FFT is map-side Arrow work, embarrassingly
+    parallel; the one shuffle carries (16-hex, long) rows — the
+    digest-only shape every dedup in this engine shuffles."""
+    return (
+        audio_fphash_df(media_encoded_df(spark, sf_dir, media_type="audio"))
+        .groupBy("afp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -377,3 +377,41 @@ def test_dhash_properties():
             assert sums.sum() == gray.sum()
 
     check()
+
+
+def test_audio_fphash_catches_volume_shift(spark):
+    """A half-amplitude copy of a WAV changes every payload byte but
+    not the band-energy gradient fingerprint (power-of-2 scaling is
+    exact in IEEE floats, so every energy comparison is preserved
+    bit-for-bit); distinct content gets distinct fingerprints."""
+    import numpy as np
+
+    from cs686_big_data_p1_spark.operators.multimodal import (
+        audio_fphash64,
+        encode_wav,
+        payload_fingerprint,
+    )
+
+    rng = np.random.default_rng(11)
+    samples = (rng.integers(-2**14, 2**14, 4096) * 2).astype(np.int16)
+    original = encode_wav(samples, 8000)
+    quiet = encode_wav((samples // 2).astype(np.int16), 8000)
+    other = encode_wav(
+        (rng.integers(-2**14, 2**14, 4096) * 2).astype(np.int16), 8000
+    )
+    assert payload_fingerprint(original) != payload_fingerprint(quiet)
+    assert audio_fphash64(original) == audio_fphash64(quiet)
+    assert audio_fphash64(original) != audio_fphash64(other)
+
+
+def test_media_audio_dedup_query(spark, registry):
+    """Registered query: one class per fixture audio doc (pseudo-random
+    content doesn't collide), keeper == doc_id, audio rows only."""
+    out = registry.QUERIES["media_audio_dedup"](spark, SF_SMALL).collect()
+    n_audio = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .where("doc_id % 3 = 1")
+        .count()
+    )
+    assert sum(r.n_copies for r in out) == n_audio
+    assert all(len(r.afp) == 16 for r in out)
