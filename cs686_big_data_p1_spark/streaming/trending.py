@@ -177,3 +177,77 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lag_s"),
         )
         return _run_to_memory(joined, "append")
+
+
+# --- Streaming kept-anchor throttle (event_throttle's live sibling) ---
+
+_THROTTLE_OUT_SCHEMA = (
+    "user_id long, event_type string, ts timestamp, event_id long"
+)
+_THROTTLE_STATE_SCHEMA = "last_kept_us long"
+
+
+def _throttle_state_fn(key, pdfs, state):
+    """Fold one (user, type) group's micro-batch through the kept-
+    anchor recurrence, carrying last_kept_us across batches. Emission
+    is final at decision time (append semantics): a kept event can
+    never be retracted by later IN-ORDER data, which the file stream
+    delivers (same single-source ordering contract the batch operator
+    sorts into existence)."""
+    import pandas as pd
+
+    from cs686_big_data_p1_spark.operators.sessions import THROTTLE_GAP_S
+
+    user_id, event_type = key
+    last_us = state.get[0] if state.exists else None
+    gap_us = THROTTLE_GAP_S * 1_000_000
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        keep_rows = []
+        for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+            t = pd.Timestamp(ts)
+            if t.tzinfo is not None:
+                t = t.tz_convert("UTC").tz_localize(None)
+            t_us = t.value // 1000
+            if last_us is None or t_us - last_us > gap_us:
+                keep_rows.append((ts, eid))
+                last_us = t_us
+        if keep_rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(keep_rows),
+                    "event_type": [event_type] * len(keep_rows),
+                    "ts": [r[0] for r in keep_rows],
+                    "event_id": [r[1] for r in keep_rows],
+                }
+            )
+    if last_us is not None:
+        state.update((last_us,))
+
+
+@query("stream_throttle")
+def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_throttle LIVE: the kept-anchor rate limit as an
+    applyInPandasWithState machine — state is ONE long (last kept
+    timestamp) per (user, event_type), folded across micro-batches;
+    kept events emit in append mode at decision time. On the in-order
+    fixture stream the drained output is exactly the batch operator's
+    row set (parity pytest). State is O(#active (user,type) keys) x 8
+    bytes — the bounded-state shape every stateful operator in this
+    engine maintains."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    with nanos_as_long(spark):
+        ev = events_stream(spark, sf_dir).select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        kept = ev.groupBy("user_id", "event_type").applyInPandasWithState(
+            _throttle_state_fn,
+            outputStructType=_THROTTLE_OUT_SCHEMA,
+            stateStructType=_THROTTLE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return _run_to_memory(kept, "append")

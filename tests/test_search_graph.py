@@ -349,3 +349,17 @@ def test_event_throttle_matches_sequential_recompute(spark):
         ts = grp.sort_values("ts")["ts"].tolist()
         for a, b in zip(ts, ts[1:]):
             assert (b - a).total_seconds() > THROTTLE_GAP_S
+
+
+def test_stream_throttle_matches_batch_throttle(spark):
+    """The stateful streaming throttle must emit exactly the batch
+    kept-anchor operator's row set on the fixture stream."""
+    from cs686_big_data_p1_spark.operators.sessions import event_throttle
+    from cs686_big_data_p1_spark.streaming.trending import stream_throttle
+
+    got = stream_throttle(spark, SF_SMALL).toPandas()
+    want = event_throttle(spark, SF_SMALL).toPandas()
+    key = ["user_id", "event_type", "event_id"]
+    assert sorted(map(tuple, got[key].values)) == sorted(
+        map(tuple, want[key].values)
+    )
