@@ -429,24 +429,43 @@ _THROTTLE_SCHEMA = (
 )
 
 
-def _throttle_group(pdf):
-    """Sequential kept-anchor scan over one (user, type) group: keep a
-    row iff >= THROTTLE_GAP_S after the last KEPT row. O(group) time,
-    vectorized comparisons everywhere except the one data-dependent
-    anchor update, which is irreducibly sequential."""
+def _throttle_partition(batches):
+    """Kept-anchor scan over one hash partition of (user, type)
+    groups, arriving sorted by (user_id, event_type, ts, event_id).
+
+    Why mapInPandas and not applyInPandas: the fixture has ~5 events
+    per (user, type) group, so per-GROUP pandas plumbing (one Python
+    call + frame per group) costs ~50 us x #groups and dominated the
+    first implementation (18.5 s at sf0.1). Here a partition's groups
+    are delimited VECTORIZED (one np.flatnonzero over the sorted
+    keys), and each group runs an O(#kept) searchsorted JUMP scan —
+    the anchor moves straight to the next survivor instead of
+    visiting every dropped row. Memory: one partition concatenated in
+    pandas — bounded by shuffle-partition sizing, the same envelope
+    every Arrow exchange in this engine assumes."""
+    import numpy as np
     import pandas as pd
 
-    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-    keep = []
-    last_kept = None
-    gap = pd.Timedelta(seconds=THROTTLE_GAP_S)
-    for t in pdf["ts"]:
-        if last_kept is None or t - last_kept > gap:
-            keep.append(True)
-            last_kept = t
-        else:
-            keep.append(False)
-    return pdf.loc[keep, ["user_id", "event_type", "ts", "event_id"]]
+    gap_us = THROTTLE_GAP_S * 1_000_000
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True)
+    ts_us = pdf["ts"].values.astype("datetime64[us]").astype(np.int64)
+    uid = pdf["user_id"].values
+    et, _ = pd.factorize(pdf["event_type"])
+    # group boundary wherever either key changes (input is sorted)
+    change = np.flatnonzero((np.diff(uid) != 0) | (np.diff(et) != 0)) + 1
+    starts = np.concatenate(([0], change, [len(pdf)]))
+    keep = np.zeros(len(pdf), dtype=bool)
+    for s, e in zip(starts[:-1], starts[1:]):
+        seg = ts_us[s:e]
+        i = 0
+        while i < len(seg):
+            keep[s + i] = True
+            # jump to the first row past the kept anchor's window
+            i = np.searchsorted(seg, seg[i] + gap_us, side="right")
+    yield pdf.loc[keep, ["user_id", "event_type", "ts", "event_id"]]
 
 
 @query("event_throttle")
@@ -457,21 +476,24 @@ def event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic. Unlike event_debounce's previous-RAW-event gap, the
     anchor only advances on keeps, so the decision for row i depends
     on the keep decisions before it: a sequential recurrence no window
-    function expresses — exactly the case SURVEY.md §4.3 reserves for
-    Arrow `applyInPandas` (per-group sequential logic, JVM everywhere
-    else).
+    function expresses — the case SURVEY.md §4.3 reserves for the
+    Arrow path (per-group sequential logic, JVM everywhere else).
 
-    Scale: groups partition on the high-cardinality (user_id,
-    event_type) key — ONE shuffle, then each group scans its own rows
-    once in Arrow batches; a hot user bounds at its own event count
-    (the sequence_pack (key, time-bucket) sharding applies if one key
-    degenerates, at the cost of approximate anchors at shard edges).
-    Registered rows-only: the recurrence is not single-statement SQL;
-    tests/test_search_graph.py pins it against an independent pure-
-    Python recompute and the debounce-superset invariant."""
+    Scale: ONE hash shuffle on the high-cardinality (user_id,
+    event_type) key with an in-partition sort, then mapInPandas scans
+    each partition's groups in numpy (vectorized group delimiting +
+    O(#kept) searchsorted jumps — see _throttle_partition for why
+    per-group applyInPandas was 10x slower on small groups). A hot
+    user bounds at its own event count (the sequence_pack
+    (key, time-bucket) sharding applies if one key degenerates, at
+    the cost of approximate anchors at shard edges). Registered
+    rows-only: the recurrence is not single-statement SQL;
+    tests/test_search_graph.py pins it against an independent
+    pure-Python recompute and the consecutive-gap invariant."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.select("user_id", "event_type", "ts", "event_id")
-        .groupBy("user_id", "event_type")
-        .applyInPandas(_throttle_group, _THROTTLE_SCHEMA)
+        .repartition("user_id", "event_type")
+        .sortWithinPartitions("user_id", "event_type", "ts", "event_id")
+        .mapInPandas(_throttle_partition, _THROTTLE_SCHEMA)
     )
