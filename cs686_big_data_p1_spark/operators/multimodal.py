@@ -650,3 +650,49 @@ def media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def video_phash64(payload: bytes) -> int:
+    """64-bit video fingerprint: decode Y4M, take the TEMPORALLY
+    MIDDLE frame (stable under head/tail trims of up to one frame on
+    this fixture's short clips), dHash it — brightness-invariant by
+    dhash64's integer gradient comparison. A production variant hashes
+    several sampled frames and matches on any-band agreement
+    (sample_frames provides the sampling); one frame keeps the
+    fixture-scale cost honest while exercising the full decode."""
+    frames = decode_video(payload)
+    mid = frames[len(frames) // 2]
+    # dhash64 takes (H, W, 3); lift the Y4M luma plane to 3 identical
+    # channels (the channel-sum grayscale is then exactly 3x luma —
+    # scale-free for dHash's cross-multiplied comparisons)
+    return dhash64(np.repeat(mid[:, :, None], 3, axis=2))
+
+
+@query("media_video_dedup")
+def media_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO dedup: Y4M decode -> middle-frame dHash ->
+    digest groupBy (keeper = min doc_id) — completes the perceptual
+    family across all three modalities (image media_phash_dedup,
+    audio media_audio_dedup). Rows-only by design; the pytest plants
+    a brightness-shifted re-encode that exact payload hashing misses.
+
+    Scale: decode+hash map-side Arrow work; the one shuffle carries
+    16-hex digests (the engine's universal dedup shape)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(doc_id)
+                hashes.append(format(video_phash64(bytes(payload)), "016x"))
+            yield pd.DataFrame({"doc_id": ids, "vhash": hashes})
+
+    return (
+        media_encoded_df(spark, sf_dir, media_type="video")
+        .mapInPandas(gen, "doc_id long, vhash string")
+        .groupBy("vhash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

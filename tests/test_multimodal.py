@@ -415,3 +415,38 @@ def test_media_audio_dedup_query(spark, registry):
     )
     assert sum(r.n_copies for r in out) == n_audio
     assert all(len(r.afp) == 16 for r in out)
+
+
+def test_video_phash_catches_brightness_shift(spark):
+    """A +30-brightness re-encode of a Y4M clip changes every payload
+    byte but not the middle-frame dHash (integer gradient comparisons
+    are shift-invariant when no pixel clips)."""
+    import numpy as np
+
+    from cs686_big_data_p1_spark.operators.multimodal import (
+        encode_y4m,
+        payload_fingerprint,
+        video_phash64,
+    )
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(40, 180, (5, 24, 32)).astype(np.uint8)
+    original = encode_y4m(frames)
+    brighter = encode_y4m(frames + 30)  # stays < 256: no clipping
+    other = encode_y4m(rng.integers(40, 180, (5, 24, 32)).astype(np.uint8))
+    assert payload_fingerprint(original) != payload_fingerprint(brighter)
+    assert video_phash64(original) == video_phash64(brighter)
+    assert video_phash64(original) != video_phash64(other)
+
+
+def test_media_video_dedup_query(spark, registry):
+    """Registered query: one class per fixture video doc, keeper ==
+    doc_id, video rows only."""
+    out = registry.QUERIES["media_video_dedup"](spark, SF_SMALL).collect()
+    n_video = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .where("doc_id % 3 = 2")
+        .count()
+    )
+    assert sum(r.n_copies for r in out) == n_video
+    assert all(len(r.vhash) == 16 for r in out)
