@@ -739,3 +739,333 @@ def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q9 / Q11 / Q16 / Q20 — the five partsupp-centric queries, completing
+# 22/22 TPC-H coverage. The fixture ships no partsupp table, so the
+# part-supplier relationship is DERIVED from lineitem (the pairs that
+# actually traded) and ps_supplycost is proxied by the minimum unit price
+# the supplier ever charged for the part (min(l_extendedprice/l_quantity);
+# both engines evaluate the identical IEEE binary64 division, so the min
+# and the equality test against it are bit-exact cross-engine). Remaining
+# partsupp columns are re-targeted per query and noted in each docstring.
+# ---------------------------------------------------------------------------
+
+_COST_SQL = """
+  SELECT l_partkey AS c_partkey, l_suppkey AS c_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+"""
+
+Q2_ORACLE = f"""
+WITH cost AS ({_COST_SQL}),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+ce AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, unit_cost,
+         min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM cost
+  JOIN eu ON c_suppkey = s_suppkey
+  JOIN part ON c_partkey = p_partkey
+  WHERE p_size <= 15 AND p_type = 'LARGE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       unit_cost AS supply_cost
+FROM ce WHERE unit_cost = min_cost
+"""
+
+
+@query("tpch_q2_mincost", oracle=Q2_ORACLE)
+def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier, adapted: partsupp is derived from
+    lineitem trades and ps_supplycost is the min unit price (module
+    note above); the part predicate (p_size = N AND p_type LIKE
+    '%BRASS') becomes p_size <= 15 AND p_type = 'LARGE' on the
+    fixture's columns. The correlated "cost = (SELECT min(cost) ...)"
+    subquery is decorrelated as a window min over p_partkey — one
+    sort-shuffle instead of the aggregate-plus-self-join's two.
+
+    Scale: region/nation are the only broadcast sides (O(1) rows at
+    any SF); the derived cost table shuffles on (partkey, suppkey),
+    the supplier join on suppkey, and the part filter lands before
+    the window so the window input is already pruned. supplier and
+    part scale with SF and are never broadcast-hinted.
+    """
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    cost = l.groupBy(
+        F.col("l_partkey").alias("c_partkey"),
+        F.col("l_suppkey").alias("c_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ce = (
+        cost.join(eu, F.col("c_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("c_partkey") == p.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "unit_cost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ce.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("unit_cost").alias("supply_cost"),
+        )
+    )
+
+
+# Q9 profit: supply cost is proxied by p_retailprice * l_quantity (the
+# fixture's only per-part cost-like column). Profit can go negative, so
+# the nonnegative-only `unscale` helper is applied to the revenue and
+# cost sums SEPARATELY and the subtraction happens in double with
+# identical operand order in both engines (ulp-exact).
+_COST_TERM = f"{_S6.format(c='p_retailprice')} * {_S6.format(c='l_quantity')}"
+
+Q9_ORACLE = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       {_unscale_sql(f"sum({_REV_TERM})", 12)}
+         - {_unscale_sql(f"sum({_COST_TERM})", 12)} AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+@query("tpch_q9_profit", oracle=Q9_ORACLE)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit, adapted: parts matching a color word
+    (p_name LIKE '%red%', standing in for '%green%'), profit =
+    revenue - p_retailprice * l_quantity (module note above), grouped
+    by supplier nation x order year. The widest join tree in the
+    suite: lineitem x orders x supplier x nation x part.
+
+    Scale: lineitem shuffles once per fact-fact join key (orderkey,
+    then suppkey/partkey sides); nation broadcasts; part is filtered
+    by the name predicate before the join but still shuffle-joins
+    (it scales with SF). Both money sums are exact 1e12-scaled
+    decimals unscaled only at the final projection.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(s6("l_extendedprice") * disc_factor()).alias("_rev"),
+            F.sum(s6("p_retailprice") * s6("l_quantity")).alias("_cost"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            (unscale("_rev", 12) - unscale("_cost", 12)).alias("sum_profit"),
+        )
+    )
+
+
+Q11_ORACLE = f"""
+WITH asu AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+v AS (
+  SELECT l_partkey,
+         sum({_S6.format(c='l_extendedprice')} * CAST(l_quantity AS BIGINT)) AS val
+  FROM lineitem JOIN asu ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+),
+t AS (SELECT sum(val) AS total FROM v)
+SELECT l_partkey, {_unscale_sql('val', 6)} AS part_value
+FROM v, t WHERE val * 1000 > total
+"""
+
+
+@query("tpch_q11_stockvalue", oracle=Q11_ORACLE)
+def tpch_q11_stockvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock, adapted: stock value per part is the sum of
+    l_extendedprice * l_quantity over lineitems shipped by ASIA-region
+    suppliers (standing in for ps_supplycost * ps_availqty in GERMANY),
+    keeping parts whose value exceeds 1/1000 of the region total. The
+    scalar HAVING subquery is decorrelated as a 1-row aggregate
+    broadcast over the per-part values; the threshold test is the
+    exact integer cross-multiplication val * 1000 > total — no float
+    boundary drift between engines.
+
+    Scale: one shuffle on l_suppkey (region semi-join), one on
+    l_partkey (value aggregate), then the broadcast scalar filter.
+    The 1-row total is the only crossJoin, matching the engine's
+    bounded-broadcast waiver pattern (tpch_q15/q22).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    v = (
+        l.join(asu, l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                s6("l_extendedprice") * F.col("l_quantity").cast("long")
+            ).alias("val")
+        )
+    )
+    t = v.agg(F.sum("val").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .where(F.col("val") * F.lit(1000).cast("decimal(38,0)") > F.col("total"))
+        .select("l_partkey", unscale("val", 6).alias("part_value"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16_partcount", oracle=Q16_ORACLE)
+def tpch_q16_partcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier relationship, adapted: the part-supplier
+    pairs come from lineitem trades; the excluded-supplier subquery
+    (comment LIKE '%Customer%Complaints%') becomes s_acctbal < 0 on
+    the fixture's columns, expressed as an anti-join (NOT EXISTS
+    oracle-side — null-safe, unlike NOT IN). Distinct supplier count
+    per (brand, type, size) descriptor.
+
+    Scale: part is filtered before the join (predicate pushdown on
+    brand/type/size); the anti-join's right side is the filtered
+    supplier keys (small after the filter — AQE picks broadcast, but
+    correct as a shuffle at any size); countDistinct expands to a
+    two-phase aggregate shuffling (descriptor, suppkey) then the
+    descriptor — both keys low-skew.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(bad, l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q20_ORACLE = """
+WITH qty AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1997-01-01'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q96,
+         sum(CAST(l_quantity AS BIGINT)) AS qall
+  FROM lineitem GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT l_suppkey FROM qty
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'hot%' AND q96 * 10 > qall * 3
+)
+SELECT s_name, s_acctbal FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND EXISTS (SELECT 1 FROM cand WHERE l_suppkey = s_suppkey)
+"""
+
+
+@query("tpch_q20_promotion", oracle=Q20_ORACLE)
+def tpch_q20_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential part promotion, adapted: "ps_availqty > 0.5 *
+    qty shipped in the year" becomes "1996 shipped quantity > 30% of
+    all-time shipped quantity" per (part, supplier) — the same nested
+    aggregate-threshold-semi-join shape on the fixture's columns —
+    over parts named 'hot%' (for 'forest%'), for EUROPE-region
+    suppliers (region instead of one nation so the result is
+    non-degenerate at tiny SF). The threshold is exact bigint
+    cross-multiplication (q96 * 10 > qall * 3): l_quantity is
+    integral, so no float boundary.
+
+    Scale: the quantity rollup shuffles on (partkey, suppkey) with
+    map-side partial sums; part is name-filtered before its join;
+    the candidate supplier set reduces to distinct suppkeys before
+    the final semi-join against the region-filtered supplier dim.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("hot%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    in96 = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qty = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(
+            F.when(in96, F.col("l_quantity").cast("long")).otherwise(F.lit(0))
+        ).alias("q96"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qall"),
+    )
+    cand = (
+        qty.join(p, qty.l_partkey == p.p_partkey, "left_semi")
+        .where(F.col("q96") * 10 > F.col("qall") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(cand, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )

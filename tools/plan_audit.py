@@ -159,6 +159,17 @@ AUDITS: dict[str, dict] = {
     },
     "tpch_q17_smallqty": {"pruned": True, "codegen": True},
     "tpch_q21_waiting": {"pruned": True, "codegen": True},
+    # r6 additions — partsupp-derived TPC-H queries (22/22 complete)
+    "tpch_q2_mincost": {"pruned": True, "broadcast": True, "codegen": True},
+    "tpch_q9_profit": {"pruned": True, "broadcast": True, "codegen": True},
+    "tpch_q11_stockvalue": {
+        "pruned": True,
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "scalar total-value aggregate, 1 row",
+    },
+    "tpch_q16_partcount": {"pruned": True, "codegen": True},
+    "tpch_q20_promotion": {"pruned": True, "broadcast": True, "codegen": True},
     # r5 additions — corpus curation / ER / time-series / incremental dedup
     "doc_chunk": {"pruned": ["documents"], "codegen": True},
     "span_dedup": {"pruned": ["documents"], "codegen": True},
