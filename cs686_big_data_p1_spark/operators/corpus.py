@@ -453,3 +453,95 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("bigint").alias("n_chars_norm"),
         (norm != F.col("text")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed heavy hitters (frequent terms)
+# ---------------------------------------------------------------------------
+
+HH_PHI_INV = 200  # report terms with freq >= total_tokens / 200 (phi = 0.5%)
+HH_K = 1024  # Misra-Gries counters per partition; guarantee needs K+1 > HH_PHI_INV
+
+def mg_update(counters: dict, texts, k: int) -> None:
+    """Fold one batch of texts into a Misra-Gries summary of <= k
+    counters, in place. Over-full tables shed mass by subtracting the
+    (k+1)-th largest count from every counter and dropping the
+    non-positive ones — each shed event removes >= t*(k+1) total mass,
+    so the cumulative per-item decrement is bounded by N/(k+1) and any
+    term with true partition count > N/(k+1) is guaranteed to survive
+    (the retention bound heavy_hitters' exactness proof rests on)."""
+    for text in texts:
+        if text is None:
+            continue
+        for term in text.split(" "):
+            c = counters.get(term)
+            if c is not None:
+                counters[term] = c + 1
+            else:
+                counters[term] = 1
+                if len(counters) > k:
+                    vals = sorted(counters.values(), reverse=True)
+                    t = vals[k]
+                    shed = {m: v - t for m, v in counters.items() if v > t}
+                    counters.clear()
+                    counters.update(shed)
+
+
+HEAVY_HITTERS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+t AS (SELECT count(*) AS n FROM tok)
+SELECT term, count(*) AS freq
+FROM tok, t
+GROUP BY term, n
+HAVING count(*) * {HH_PHI_INV} >= n
+"""
+
+
+@query("heavy_hitters", oracle=HEAVY_HITTERS_ORACLE)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-frequent terms (freq >= N/{HH_PHI_INV}) over the corpus
+    token stream, via the classic two-pass distributed heavy-hitters
+    scheme: (1) each partition builds a bounded Misra-Gries summary
+    (HH_K counters, batched uniform-decrement) and emits only its
+    candidate terms; (2) an exact recount restricted to the candidate
+    union, filtered by the exact integer test freq * {HH_PHI_INV} >= N.
+    The union of per-partition MG summaries is a SUPERSET of every
+    global phi-heavy hitter whenever HH_K + 1 > {HH_PHI_INV} (pigeonhole:
+    if c_p(x) <= N_p/(K+1) on every partition then c(x) <= N/(K+1)
+    < phi*N), so pass 2's exact filter makes the final answer exact —
+    the oracle is the plain GROUP BY/HAVING over all tokens.
+
+    Scale: pass 1 is map-side only, O(K) memory per partition, and
+    emits <= K rows per partition (candidate volume is O(K * #partitions)
+    regardless of data size — never the vocabulary). Pass 2 explodes
+    tokens once and shuffles on term for BOTH the candidate semi-join
+    and the recount groupBy (same key, AQE reuses the exchange); the
+    corpus total is the only broadcast (1 row). No driver-side state:
+    candidates stay distributed.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            mg_update(counters, pdf["text"], HH_K)
+        import pandas as pd
+
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    cand = (
+        docs.mapInPandas(mg_partition, "term string")
+        .distinct()
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(cand, "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(n))
+        .where(F.col("freq") * HH_PHI_INV >= F.col("n"))
+        .select("term", "freq")
+    )

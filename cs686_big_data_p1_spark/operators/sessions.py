@@ -497,3 +497,95 @@ def event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("user_id", "event_type", "ts", "event_id")
         .mapInPandas(_throttle_partition, _THROTTLE_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency (sweep line over session intervals)
+# ---------------------------------------------------------------------------
+
+MAX_CONCURRENCY_ORACLE = f"""
+WITH sess AS ({SESSIONIZE_ORACLE}),
+deltas AS (
+  SELECT session_start AS ts, 1 AS delta,
+         date_trunc('day', session_start) AS day
+  FROM sess
+  UNION ALL
+  SELECT session_end, -1, date_trunc('day', session_end) FROM sess
+),
+running AS (
+  SELECT day, ts, delta,
+         sum(delta) OVER (ORDER BY ts, delta DESC, day
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+)
+SELECT day, CAST(max(conc) AS INT) AS peak_concurrency
+FROM running GROUP BY day
+"""
+
+
+@query("max_concurrency", oracle=MAX_CONCURRENCY_ORACLE)
+def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-active sessions per day — the
+    classic interval sweep line: +1 at each session_start, -1 at each
+    session_end (inclusive ends: +1 sorts before -1 at the same
+    instant), running sum, max per day.
+
+    The oracle expresses the running sum as ONE global window — the
+    shape that cannot scale (a single total-order sort partition).
+    The engine computes the identical prefix sums SHARDED: each day's
+    deltas get an in-day running sum under a day-partitioned window,
+    day totals roll up to a bounded aggregate (O(#days) rows) whose
+    own cumulative sum — the carry-in concurrency from all prior days
+    — is a single-partition window over that tiny aggregate only,
+    broadcast back onto the in-day sums. This is the two-phase
+    distributed prefix-sum (scan) pattern: the only total-order work
+    happens on #days rows, never on the event stream.
+
+    Order-insensitivity at ties: within one (ts, delta) group the
+    prefix values are a fixed arithmetic run regardless of row
+    permutation, and all +1s sort before any -1 at the same ts in
+    both engines, so per-day maxima are deterministic cross-engine
+    even though neither engine's sort is stable.
+
+    Sessions spanning midnight need no special case: their +1 lives
+    in an earlier day's total and reaches later days through the
+    carry-in offset.
+    """
+    sess = event_sessionize(spark, sf_dir)
+    starts = sess.select(
+        F.col("session_start").alias("ts"),
+        F.lit(1).alias("delta"),
+        F.date_trunc("day", "session_start").alias("day"),
+    )
+    ends = sess.select(
+        F.col("session_end").alias("ts"),
+        F.lit(-1).alias("delta"),
+        F.date_trunc("day", "session_end").alias("day"),
+    )
+    deltas = starts.unionAll(ends)
+    in_day = Window.partitionBy("day").orderBy(
+        F.col("ts"), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    day_running = deltas.withColumn("run", F.sum("delta").over(in_day))
+    # carry-in: cumulative sum of day totals over the bounded day list
+    day_order = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        deltas.groupBy("day")
+        .agg(F.sum("delta").alias("day_total"))
+        .withColumn(
+            "carry_in",
+            F.sum("day_total").over(day_order) - F.col("day_total"),
+        )
+        .select("day", "carry_in")
+    )
+    return (
+        day_running.join(F.broadcast(offsets), "day")
+        .groupBy("day")
+        .agg(
+            F.max(F.col("run") + F.col("carry_in"))
+            .cast("int")
+            .alias("peak_concurrency")
+        )
+    )

@@ -12,7 +12,7 @@ import hashlib
 import pandas as pd
 import pytest
 
-from tests.conftest import SF_MED
+from tests.conftest import SF_MED, SF_SMALL
 
 
 def _write_docs(tmp_path, texts):
@@ -196,3 +196,83 @@ def test_span_dedup_catches_misaligned_block(spark, tmp_path):
     r = by_hash[lic_hash]
     assert (r.n_docs, r.keeper_doc_id) == (2, 0)  # docs 0+1, not doc 2
     assert r.n_occurrences == 2
+
+
+def test_mg_retention_bound():
+    """Misra-Gries summary (k=10) must retain every term whose count
+    exceeds N/(k+1), under heavy churn from 500 singleton terms."""
+    from cs686_big_data_p1_spark.operators.corpus import mg_update
+
+    # 500 distinct noise tokens (count 1 each) + one hot token x120:
+    # N = 620, N/(k+1) = 56.4 — 'hot' must survive k=10 counters.
+    texts = []
+    hot_left = 120
+    for i in range(500):
+        texts.append(f"noise{i}")
+        if hot_left and i % 4 == 0:
+            texts.append("hot")
+            hot_left -= 1
+    texts += ["hot"] * hot_left
+    counters: dict = {}
+    mg_update(counters, texts, 10)
+    assert len(counters) <= 10
+    assert "hot" in counters
+    # estimate never exceeds the true count
+    assert counters["hot"] <= 120
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark, tmp_path):
+    """Two-pass MG + recount must equal the brute-force GROUP BY
+    answer on a corpus whose vocabulary far exceeds what one doc's
+    batch fits, including boundary terms at exactly N/200."""
+    from collections import Counter
+
+    from cs686_big_data_p1_spark.operators.corpus import (
+        HH_PHI_INV,
+        heavy_hitters,
+    )
+
+    texts = []
+    # 3000 distinct rare terms + two frequent terms
+    for i in range(300):
+        texts.append(" ".join(f"w{i}_{j}" for j in range(10)))
+    texts.append(" ".join(["alpha"] * 40))
+    texts.append(" ".join(["beta"] * 17))
+    toks = [t for s in texts for t in s.split(" ")]
+    n = len(toks)
+    truth = {
+        t: c for t, c in Counter(toks).items() if c * HH_PHI_INV >= n
+    }
+    got = {
+        r.term: r.freq
+        for r in heavy_hitters(spark, _write_docs(tmp_path, texts)).collect()
+    }
+    assert got == truth
+    assert "alpha" in got  # sanity: the planted hitters actually qualify
+
+
+def test_max_concurrency_matches_bruteforce_sweep(spark):
+    """Sharded two-phase prefix sum must equal a driver-side sweep
+    line over the same session intervals at sf0.001."""
+    from cs686_big_data_p1_spark.operators.sessions import (
+        event_sessionize,
+        max_concurrency,
+    )
+
+    sess = event_sessionize(spark, SF_SMALL).collect()
+    deltas = []
+    for r in sess:
+        deltas.append((r.session_start, 1))
+        deltas.append((r.session_end, -1))
+    deltas.sort(key=lambda d: (d[0], -d[1]))
+    conc = 0
+    peak: dict = {}
+    for ts, d in deltas:
+        conc += d
+        day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        peak[day] = max(peak.get(day, conc), conc)
+    got = {
+        r.day: r.peak_concurrency
+        for r in max_concurrency(spark, SF_SMALL).collect()
+    }
+    assert got == peak

@@ -170,6 +170,18 @@ AUDITS: dict[str, dict] = {
     },
     "tpch_q16_partcount": {"pruned": True, "codegen": True},
     "tpch_q20_promotion": {"pruned": True, "broadcast": True, "codegen": True},
+    # r6 additions — exact heavy hitters + sweep-line concurrency
+    "heavy_hitters": {
+        "pruned": ["documents"],
+        "codegen": True,
+        "bounded_broadcast": "corpus token total, 1 row",
+    },
+    "max_concurrency": {
+        "pruned": ["events"],
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "per-day carry-in offsets, O(#days) rows",
+    },
     # r5 additions — corpus curation / ER / time-series / incremental dedup
     "doc_chunk": {"pruned": ["documents"], "codegen": True},
     "span_dedup": {"pruned": ["documents"], "codegen": True},
