@@ -284,3 +284,95 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy(F.col("v").alias("part_id")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-source BFS (hop distances)
+# ---------------------------------------------------------------------------
+
+BFS_ITERS = 8  # >= co-purchase graph diameter at any fixture SF
+
+
+BFS_ORACLE = f"""
+WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+s0 AS (SELECT min(src) AS s FROM edges),
+reach(v, d) AS (
+  SELECT s, 0 FROM s0
+  UNION
+  SELECT e.dst, r.d + 1
+  FROM reach r JOIN edges e ON e.src = r.v
+  WHERE r.d < {BFS_ITERS}
+)
+SELECT v AS part_id, CAST(min(d) AS INT) AS dist
+FROM reach GROUP BY v
+"""
+
+
+@query("bfs_distances", oracle=BFS_ORACLE)
+def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances over the part co-purchase
+    graph, from the deterministic source vertex min(part_id) — the
+    frontier-expansion iterative pattern (the one classic graph shape
+    pagerank's fixed-point and dedup_clusters' label propagation
+    don't cover).
+
+    Level-synchronous relaxation: each round joins current distances
+    to the edge list and folds min(d, min over in-neighbors d+1) —
+    after K rounds every vertex holds its exact hop distance capped
+    at K, which is what the oracle's depth-capped recursive CTE
+    (UNION-dedup on (v, d), d < K) computes: min over walks == min
+    over paths, so the two agree exactly for matching caps. Distances
+    are small ints; no float anywhere.
+
+    Scale: the edge list localCheckpoints once (same cut as
+    pagerank); each round is one shuffle on dst for the relax and one
+    on v for the min-fold — both int keys — and the frontier frame
+    re-checkpoints per round so lineage stays depth-1. No driver
+    data-path reads: the loop is a FIXED K (graph diameter bound),
+    not a convergence collect.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s0 = edges.agg(F.min("src").alias("s"))
+    dist = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .crossJoin(F.broadcast(s0))
+        .where(F.col("v") == F.col("s"))
+        .select("v", F.lit(0).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BFS_ITERS):
+        relaxed = dist.join(edges, dist.v == edges.src).select(
+            F.col("dst").alias("v"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("v").alias("part_id"), F.col("d").cast("int").alias("dist")
+    )

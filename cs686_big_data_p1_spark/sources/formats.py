@@ -141,3 +141,45 @@ def upsert_parquet_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) output files and return that
+    count. The lakehouse maintenance task every long-lived table
+    needs — streaming sinks and fine-grained upserts accrete
+    thousands of KB-sized part-files whose per-file open/footer/task
+    overhead eventually dominates scan time.
+
+    Sizing reads ONLY file metadata (Hadoop FS listing — no data
+    pass); the single data pass is a round-robin repartition to the
+    computed width, which both merges small files and splits
+    oversized ones. Round-robin (not range/hash) because compaction
+    must not assume a clustering key — callers who need co-location
+    use zorder_write / write_bucketed instead. At 100 TB the listing
+    is driver-side O(#files) names (the same cost any planner pays)
+    and the rewrite parallelizes across executors; compaction of a
+    partitioned table should be run per-partition so only hot
+    partitions pay the rewrite.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = path.getFileSystem(conf)
+    total = 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith("_"):
+            total += f.getLen()
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(in_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    return n_out

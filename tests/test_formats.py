@@ -151,3 +151,41 @@ def test_upsert_parquet_partitioned(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert again == got
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """200 tiny part-files compact to the metadata-computed width with
+    exact content parity; a generous target yields a single file."""
+    import os
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    df = spark.range(0, 2000).withColumn("v", F.col("id") * 3)
+    df.repartition(200).write.parquet(src)
+    n_parts = len(
+        [f for f in os.listdir(src) if f.endswith(".parquet")]
+    )
+    assert n_parts == 200
+
+    n_out = formats.compact_parquet(spark, src, out, target_bytes=1 << 40)
+    assert n_out == 1
+    produced = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(produced) == 1
+    got = {(r.id, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {(i, i * 3) for i in range(2000)}
+
+    # small target: width = ceil(total/target), still content-exact
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    target = max(1, total // 7)
+    out2 = str(tmp_path / "compacted7")
+    n_out2 = formats.compact_parquet(spark, src, out2, target_bytes=target)
+    assert n_out2 == -(-total // target)
+    assert len(
+        [f for f in os.listdir(out2) if f.endswith(".parquet")]
+    ) == n_out2
+    got2 = {(r.id, r.v) for r in spark.read.parquet(out2).collect()}
+    assert got2 == {(i, i * 3) for i in range(2000)}

@@ -363,3 +363,35 @@ def test_stream_throttle_matches_batch_throttle(spark):
     assert sorted(map(tuple, got[key].values)) == sorted(
         map(tuple, want[key].values)
     )
+
+
+def test_bfs_path_graph_exact_distances(spark, tmp_path):
+    """Planted path 1-2-3-4-5 (consecutive parts co-ordered pairwise):
+    distances from source min(part)=1 must be exact hop counts, and a
+    disconnected component must not appear at all."""
+    rows = []
+    for i, (a, b) in enumerate([(1, 2), (2, 3), (3, 4), (4, 5)]):
+        rows.append((i, a))
+        rows.append((i, b))
+    # disconnected pair far from the source
+    rows += [(99, 50), (99, 51)]
+    pd.DataFrame(
+        [
+            (ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             pd.Timestamp("2026-01-01"))
+            for ok, pk in rows
+        ],
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    ).to_parquet(str(tmp_path / "lineitem.parquet"), index=False)
+
+    from cs686_big_data_p1_spark.operators.graph import bfs_distances
+
+    got = {
+        r.part_id: r.dist
+        for r in bfs_distances(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}

@@ -182,6 +182,9 @@ AUDITS: dict[str, dict] = {
         "codegen": True,
         "bounded_broadcast": "per-day carry-in offsets, O(#days) rows",
     },
+    # bfs_distances' final plan reads the last loop checkpoint (same
+    # checkpoint-cut rationale as pagerank/triangle_count)
+    "bfs_distances": {"codegen": True},
     # r5 additions — corpus curation / ER / time-series / incremental dedup
     "doc_chunk": {"pruned": ["documents"], "codegen": True},
     "span_dedup": {"pruned": ["documents"], "codegen": True},
