@@ -975,3 +975,66 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group 2D skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+SKYLINE_ORACLE = """
+SELECT b.o_custkey, b.o_orderkey, b.o_totalprice, b.o_orderdate
+FROM orders b
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders a
+  WHERE a.o_custkey = b.o_custkey
+    AND a.o_totalprice <= b.o_totalprice
+    AND a.o_orderdate <= b.o_orderdate
+    AND (a.o_totalprice < b.o_totalprice OR a.o_orderdate < b.o_orderdate)
+)
+"""
+
+
+@query("skyline_orders", oracle=SKYLINE_ORACLE)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer Pareto frontier over (price, date), both minimized:
+    an order survives iff no other order by the same customer is at
+    least as cheap AND at least as early, strictly better in one — the
+    dominance/skyline operator ("show me the orders that were not
+    beaten on both axes").
+
+    The oracle is the textbook correlated NOT EXISTS — quadratic per
+    group. The engine's plan is the 2D-skyline classic instead: collapse
+    ties to one row per (customer, price) carrying that price level's
+    min date, take the running min of earlier (strictly cheaper) levels'
+    dates under a price-ordered window, and read dominance off two
+    scalar comparisons: dominated iff some cheaper level has date <=
+    mine (prev_min <= d) or my own price level has a strictly earlier
+    date (dmin < d). Linear work per group after one sort.
+
+    Scale: the collapse, the window, and the join-back all share the
+    o_custkey hash partitioning (the groupBy adds o_totalprice, a
+    refinement; AQE reuses the exchange) — customer is high-cardinality
+    and per-customer order counts are bounded, so no skew. All
+    comparisons are raw column values (double/int64-microsecond),
+    bit-identical in both engines; no arithmetic is performed at all.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    lvl = o.groupBy("o_custkey", "o_totalprice").agg(
+        F.min("o_orderdate").alias("dmin")
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lvl = lvl.withColumn("prev_min", F.min("dmin").over(w_prev))
+    return (
+        o.join(lvl, ["o_custkey", "o_totalprice"])
+        .where(
+            (F.col("prev_min").isNull() | (F.col("prev_min") > F.col("o_orderdate")))
+            & (F.col("dmin") == F.col("o_orderdate"))
+        )
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+    )

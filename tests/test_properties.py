@@ -185,3 +185,38 @@ def test_asof_bucketed_matches_unbounded(spark, registry):
     assert rows[199] == (None, None)
     for h in range(1, 6):
         assert rows[200 + h] == (100, t0)
+
+
+def test_skyline_orders_frontier_invariants(spark):
+    """Skyline output must (1) contain no dominated pair itself and
+    (2) dominate or tie every excluded order of the same customer."""
+    from collections import defaultdict
+
+    from cs686_big_data_p1_spark.operators.analytics import skyline_orders
+    from cs686_big_data_p1_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    sky = defaultdict(list)
+    for r in skyline_orders(spark, SF_SMALL).collect():
+        sky[r.o_custkey].append((r.o_totalprice, r.o_orderdate, r.o_orderkey))
+    allo = defaultdict(list)
+    for r in (
+        load_table(spark, SF_SMALL, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+        .collect()
+    ):
+        allo[r.o_custkey].append((r.o_totalprice, r.o_orderdate, r.o_orderkey))
+
+    def dominates(a, b):
+        return (
+            a[0] <= b[0] and a[1] <= b[1] and (a[0] < b[0] or a[1] < b[1])
+        )
+
+    assert sky, "empty skyline"
+    for cust, pts in sky.items():
+        for b in pts:  # internal consistency: frontier is an antichain
+            assert not any(dominates(a, b) for a in pts if a is not b)
+        kept_keys = {p[2] for p in pts}
+        for b in allo[cust]:  # every excluded order is dominated
+            if b[2] not in kept_keys:
+                assert any(dominates(a, b) for a in pts)

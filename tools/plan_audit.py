@@ -185,6 +185,7 @@ AUDITS: dict[str, dict] = {
     # bfs_distances' final plan reads the last loop checkpoint (same
     # checkpoint-cut rationale as pagerank/triangle_count)
     "bfs_distances": {"codegen": True},
+    "skyline_orders": {"pruned": ["orders"], "codegen": True},
     # r5 additions — corpus curation / ER / time-series / incremental dedup
     "doc_chunk": {"pruned": ["documents"], "codegen": True},
     "span_dedup": {"pruned": ["documents"], "codegen": True},
