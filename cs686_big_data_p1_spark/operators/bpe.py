@@ -39,8 +39,10 @@ SEP = "\x1f"  # unit separator: cannot occur in the space-split tokens
 _SEP_SQL = "chr(31)"
 
 
-def _bpe_oracle() -> str:
-    """Unroll N_MERGES identical (count -> argmax -> rewrite) rounds."""
+def _bpe_chain() -> str:
+    """The shared WITH-clause body: w0/s0 plus N_MERGES unrolled
+    (count -> argmax -> rewrite) rounds; the final state is s{N_MERGES}
+    (fully-merged per-word sequences) and b1..bN (the chosen pairs)."""
     steps = []
     prev = "s0"
     for k in range(1, N_MERGES + 1):
@@ -71,13 +73,7 @@ s{k} AS (
         )
         prev = f"s{k}"
     chain = ",\n".join(steps)
-    merges = "\nUNION ALL\n".join(
-        f"SELECT {k} AS merge_rank, x AS left_sym, y AS right_sym,"
-        f" c AS pair_count FROM b{k}"
-        for k in range(1, N_MERGES + 1)
-    )
-    return f"""
-WITH w0 AS (
+    return f"""w0 AS (
   SELECT word, count(*) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
         WHERE length(text) > 0)
@@ -91,7 +87,17 @@ s0 AS (
            || {_SEP_SQL} AS seq
   FROM w0
 ),
-{chain}
+{chain}"""
+
+
+def _bpe_oracle() -> str:
+    merges = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, x AS left_sym, y AS right_sym,"
+        f" c AS pair_count FROM b{k}"
+        for k in range(1, N_MERGES + 1)
+    )
+    return f"""
+WITH {_bpe_chain()}
 SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_sym, right_sym,
        pair_count
 FROM ({merges})
@@ -99,6 +105,24 @@ FROM ({merges})
 
 
 BPE_ORACLE = _bpe_oracle()
+
+BPE_ENCODE_ORACLE = f"""
+WITH {_bpe_chain()},
+tc AS (
+  SELECT word,
+         len(list_filter(string_split(seq, {_SEP_SQL}),
+                         t -> len(t) > 0)) AS n_tok
+  FROM s{N_MERGES}
+),
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+FROM words JOIN tc USING (word)
+WHERE length(word) > 0
+GROUP BY doc_id
+"""
 
 
 @query("bpe_merges", oracle=BPE_ORACLE)
@@ -116,6 +140,15 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is depth-1 instead of a k-deep replace chain (the
     dedup_clusters / pagerank iteration idiom). The corpus is touched
     exactly once, in the initial (word, freq) reduction."""
+    merges, _ = _train(spark, sf_dir)
+    return merges
+
+
+def _train(spark: SparkSession, sf_dir: str):
+    """Run the merge-learning loop; return (merge table, final
+    fully-merged per-word sequences). The final sequences ARE the
+    greedy rank-order encoding of every corpus word — bpe_encode
+    reuses them instead of re-applying the merge table."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     w0 = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -178,4 +211,38 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
-    return out
+    return out, seqs
+
+
+@query("bpe_encode", oracle=BPE_ENCODE_ORACLE)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned tokenizer: per-document token count under the
+    {N_MERGES}-merge BPE vocabulary bpe_merges trains — the train ->
+    apply loop every tokenizer pipeline closes (and the exact-BPE
+    upgrade of token_count's regex approximation).
+
+    Encoding a known word is a VOCABULARY lookup, not a re-derivation:
+    training's final per-word sequences already carry every merge
+    applied in rank order (greedy leftmost-nonoverlapping — the same
+    deterministic rewrite an encoder performs), so the engine joins
+    the exploded corpus words against that vocabulary-sized table and
+    sums token counts per doc. Oracle: the same unrolled-CTE chain as
+    bpe_merges, aggregated over s{N_MERGES} instead of the argmax rows.
+
+    Scale: the vocabulary table is Heaps-law-sized, the join key is
+    the word (high-cardinality, uniform), and the per-doc rollup
+    map-side combines. Nothing about encoding touches the corpus a
+    second time beyond the one explode."""
+    _, seqs = _train(spark, sf_dir)
+    toks = F.filter(F.split("seq", SEP), lambda t: F.length(t) > 0)
+    tc = seqs.select("word", F.size(toks).alias("n_tok"))
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+    )
+    return (
+        words.join(tc, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").cast("long").alias("n_bpe_tokens"))
+    )

@@ -69,3 +69,38 @@ def test_bpe_overlapping_run_matches_duckdb(spark, tmp_path):
     # + 'baab' has 1 -> 12
     assert (got.loc[0, "left_sym"], got.loc[0, "right_sym"]) == ("a", "a")
     assert got.loc[0, "pair_count"] == 12
+
+
+def test_bpe_encode_token_count_identities(spark):
+    """Per-doc BPE token counts: bounded above by whitespace token
+    count x max word length, below by word count (a word is >= 1
+    token), and each merge can only shrink counts: n_bpe_tokens <=
+    total characters per doc."""
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.operators.bpe import bpe_encode
+    from cs686_big_data_p1_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_encode(spark, SF_SMALL).collect()}
+    base = {
+        r.doc_id: (r.n_words, r.n_chars_nospace)
+        for r in (
+            load_table(spark, SF_SMALL, "documents")
+            .where(F.length("text") > 0)
+            .select(
+                "doc_id",
+                F.size(
+                    F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+                ).alias("n_words"),
+                F.length(F.regexp_replace("text", " ", "")).alias(
+                    "n_chars_nospace"
+                ),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == {d for d, (w, _) in base.items() if w > 0}
+    for d, n in got.items():
+        n_words, n_chars = base[d]
+        assert n_words <= n <= n_chars, (d, n, base[d])

@@ -186,6 +186,8 @@ AUDITS: dict[str, dict] = {
     # checkpoint-cut rationale as pagerank/triangle_count)
     "bfs_distances": {"codegen": True},
     "skyline_orders": {"pruned": ["orders"], "codegen": True},
+    # bpe_encode joins the corpus against the checkpointed vocabulary
+    "bpe_encode": {"pruned": ["documents"], "codegen": True},
     # r5 additions — corpus curation / ER / time-series / incremental dedup
     "doc_chunk": {"pruned": ["documents"], "codegen": True},
     "span_dedup": {"pruned": ["documents"], "codegen": True},
