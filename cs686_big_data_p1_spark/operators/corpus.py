@@ -545,3 +545,153 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("freq") * HH_PHI_INV >= F.col("n"))
         .select("term", "freq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal (span_dedup's transform half)
+# ---------------------------------------------------------------------------
+
+REMOVE_BOILERPLATE_ORACLE = f"""
+WITH dups AS (SELECT block_hash FROM ({SPAN_DEDUP_ORACLE})),
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, k,
+         array_to_string(w[1 + k * {SPAN_B} : (k + 1) * {SPAN_B}], ' ')
+           AS blk,
+         k < n // {SPAN_B} AS is_full
+  FROM (SELECT doc_id, w, n,
+               CAST(unnest(generate_series(0, n // {SPAN_B})) AS INTEGER)
+                   AS k
+        FROM base)
+  WHERE k < n // {SPAN_B} OR n % {SPAN_B} > 0
+),
+kept AS (
+  SELECT p.doc_id, p.k, p.blk
+  FROM parts p
+  WHERE NOT (p.is_full AND EXISTS
+             (SELECT 1 FROM dups d WHERE d.block_hash = md5(p.blk)))
+),
+rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list(blk ORDER BY k), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, count(*) AS n_parts FROM parts GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(t.n_parts - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b
+JOIN totals t ON t.doc_id = b.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+"""
+
+
+@query("remove_boilerplate", oracle=REMOVE_BOILERPLATE_ORACLE)
+def remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_dedup's TRANSFORM half: rewrite every document with its
+    cross-document duplicated {SPAN_B}-word blocks removed — the
+    boilerplate strip (license headers, navigation chrome, repeated
+    footers) that follows span detection in every curation pipeline.
+
+    A document is re-tiled into its phase-0 blocks plus the (< {SPAN_B}
+    words) tail remainder; a full block is dropped iff its hash is in
+    span_dedup's duplicate set (either phase — so blocks duplicated at
+    a misaligned offset in the OTHER document are still recognized
+    here); the tail always survives (it never entered detection). The
+    surviving parts re-join in order. Every document comes back, with
+    clean_text = '' when it was pure boilerplate.
+
+    Scale: block generation is the same map-side explode as span_dedup
+    (bounded fanout n/{SPAN_B}); the dup check is a hash-key anti-join
+    (digest-only shuffle, uniform key); reassembly groups by doc_id
+    with a sorted-struct collect whose per-doc size is the document
+    itself — the same bound as any per-doc rollup in the engine. No
+    window, no skew key, no driver step.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    nb = (F.col("n") / SPAN_B).cast("int")
+    parts = (
+        base.select(
+            "doc_id",
+            "n",
+            F.posexplode(
+                F.concat(
+                    # sequence(1, 0, 1) is illegal in Spark, so docs
+                    # shorter than one block get an explicit empty list
+                    F.when(
+                        nb >= 1,
+                        F.transform(
+                            F.sequence(F.lit(1), nb, F.lit(1)),
+                            lambda k: F.array_join(
+                                F.slice(
+                                    F.col("w"),
+                                    (k - F.lit(1)) * SPAN_B + F.lit(1),
+                                    F.lit(SPAN_B),
+                                ),
+                                " ",
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                    F.when(
+                        F.col("n") % SPAN_B > 0,
+                        F.array(
+                            F.array_join(
+                                F.slice(
+                                    F.col("w"),
+                                    nb * SPAN_B + F.lit(1),
+                                    F.col("n") - nb * SPAN_B,
+                                ),
+                                " ",
+                            )
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            ).alias("k", "blk"),
+        )
+        .withColumn("is_full", F.col("k") < (F.col("n") / SPAN_B).cast("int"))
+        .select("doc_id", "k", "blk", "is_full")
+    )
+    dups = span_dedup(spark, sf_dir).select("block_hash")
+    full = parts.where("is_full")
+    tail = parts.where(~F.col("is_full"))
+    kept = (
+        full.withColumn("block_hash", F.md5("blk"))
+        .join(dups, "block_hash", "left_anti")
+        .select("doc_id", "k", "blk")
+        .unionByName(tail.select("doc_id", "k", "blk"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "blk"))),
+                lambda s: s["blk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = parts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_parts"))
+    return (
+        base.select("doc_id")
+        .join(totals, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (
+                F.col("n_parts") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

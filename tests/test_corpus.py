@@ -276,3 +276,31 @@ def test_max_concurrency_matches_bruteforce_sweep(spark):
         for r in max_concurrency(spark, SF_SMALL).collect()
     }
     assert got == peak
+
+
+def test_remove_boilerplate_strips_shared_block(spark, tmp_path):
+    """A 16-word license block present in two docs is removed from
+    BOTH; unique blocks and sub-block tails survive verbatim; a doc
+    shorter than one block passes through untouched."""
+    from cs686_big_data_p1_spark.operators.corpus import (
+        SPAN_B,
+        remove_boilerplate,
+    )
+
+    lic = " ".join(f"L{i}" for i in range(SPAN_B))
+    uniq0 = " ".join(f"a{i}" for i in range(SPAN_B))
+    tail = "t0 t1 t2"
+    texts = [
+        lic + " " + uniq0 + " " + tail,   # block 0 = lic (dup), block 1 uniq
+        lic + " " + " ".join(f"b{i}" for i in range(SPAN_B)),
+        "short doc only",
+    ]
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_boilerplate(
+            spark, _write_docs(tmp_path, texts)
+        ).collect()
+    }
+    assert got[0] == (uniq0 + " " + tail, 1)
+    assert got[1][1] == 1 and not got[1][0].startswith("L0")
+    assert got[2] == ("short doc only", 0)
