@@ -327,3 +327,76 @@ def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lift.orderBy(
         F.col("lift_e6").desc(), F.col("term_a"), F.col("term_b")
     ).limit(COLLOC_K)
+
+
+# --------------------------------------------------------------------
+# phrase_search: positional-index exact phrase retrieval
+# --------------------------------------------------------------------
+
+PHRASE = ("big", "order", "scan")
+_P0, _P1, _P2 = PHRASE
+
+
+PHRASE_SEARCH_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(text) > 0
+),
+hits AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, t,
+               CAST(unnest(generate_series(1, n - 2)) AS INTEGER) AS i
+        FROM w WHERE n >= 3)
+  WHERE t[i] = '{_P0}' AND t[i+1] = '{_P1}' AND t[i+2] = '{_P2}'
+)
+SELECT doc_id, count(*) AS n_matches, CAST(min(i) AS INTEGER) AS first_pos
+FROM hits GROUP BY doc_id
+"""
+
+
+@query("phrase_search", oracle=PHRASE_SEARCH_ORACLE)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval for the fixed query "{_P0} {_P1} {_P2}"
+    via POSITIONAL posting lists — the index shape inverted_index
+    lacks (its postings are per-term counts; a phrase needs adjacency,
+    i.e. positions). Each phrase term's postings carry (doc_id, pos);
+    the phrase match is the n-way positional intersection
+    pos, pos+1, pos+2 — the standard phrase-query plan of every
+    full-text engine, as two equi-joins on (doc_id, position).
+
+    Overlap semantics: every occurrence counts (a doc with the phrase
+    twice reports n_matches=2); first_pos is 1-based to match the
+    oracle's array indexing.
+
+    Scale: the posexplode is map-side and the term filter drops every
+    posting not in the 3-term phrase BEFORE any shuffle, so the joins
+    move only the phrase terms' postings; the join key (doc_id, pos)
+    is high-cardinality and unique per posting — no skew even for
+    stopword-grade terms, because position disambiguates. The rollup
+    map-side combines per doc_id."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    postings = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "term"),
+    ).where(F.col("term").isin(*PHRASE))
+    t0 = postings.where(F.col("term") == _P0).select(
+        "doc_id", (F.col("pos0") + 1).alias("i")
+    )
+    t1 = postings.where(F.col("term") == _P1).select(
+        F.col("doc_id").alias("d1"), (F.col("pos0") + 1).alias("i1")
+    )
+    t2 = postings.where(F.col("term") == _P2).select(
+        F.col("doc_id").alias("d2"), (F.col("pos0") + 1).alias("i2")
+    )
+    hits = t0.join(
+        t1,
+        (F.col("doc_id") == F.col("d1")) & (F.col("i1") == F.col("i") + 1),
+    ).join(
+        t2,
+        (F.col("doc_id") == F.col("d2")) & (F.col("i2") == F.col("i") + 2),
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("i").cast("int").alias("first_pos"),
+    )

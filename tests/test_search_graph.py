@@ -395,3 +395,26 @@ def test_bfs_path_graph_exact_distances(spark, tmp_path):
         for r in bfs_distances(spark, str(tmp_path)).collect()
     }
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_phrase_search_overlap_and_positions(spark, tmp_path):
+    """Planted docs: overlapping repeats each count, first_pos is
+    1-based, phrase split across docs does not match, and a doc
+    containing all three words non-adjacently is excluded."""
+    from cs686_big_data_p1_spark.operators.search import (
+        PHRASE,
+        phrase_search,
+    )
+
+    a, b, c = PHRASE
+    texts = [
+        f"x {a} {b} {c} y {a} {b} {c}",         # two matches, first at 2
+        f"{a} {b} {c} {b} {c}",                  # one match at 1
+        f"{a} x {b} x {c}",                      # words present, no adjacency
+        f"{a} {b}",                              # prefix only
+    ]
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(spark, _write_docs(tmp_path, texts)).collect()
+    }
+    assert got == {0: (2, 2), 1: (1, 1)}
