@@ -368,3 +368,94 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.9, acc).alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+CUSUM_H = 200  # drift threshold, in value units
+
+
+CUSUM_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         sum(CAST(CAST(value AS DECIMAL(12,6)) * 1000000 AS HUGEINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sk,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS k,
+         sum(CAST(CAST(value AS DECIMAL(12,6)) * 1000000 AS HUGEINT))
+           OVER (PARTITION BY user_id) AS t,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+d AS (SELECT *, n * sk - k * t AS dev FROM s)
+SELECT user_id, ts, event_id, CAST(k AS INTEGER) AS k,
+       CAST(CASE WHEN dev > 0 THEN 1 ELSE -1 END AS INTEGER) AS direction,
+       (CAST(abs(dev) // 1000000 AS DOUBLE)
+        + CAST(abs(dev) % 1000000 AS DOUBLE) / 1000000.0) / n AS cusum_dev
+FROM d
+WHERE abs(dev) > {CUSUM_H} * n * 1000000
+"""
+
+
+@query("cusum_changepoints", oracle=CUSUM_ORACLE)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per user: flag event positions where the
+    cumulative deviation from the user's mean value exceeds
+    {CUSUM_H} value units — the classic changepoint statistic
+    (Page 1954) over each user's event-value series, the "did this
+    user's spending level shift" signal anomaly_zscore's pointwise
+    test cannot see (a run of individually-unremarkable values drifts
+    the cumulative sum far from zero).
+
+    The statistic CUSUM_k = S_k - k*mean is a RATIO-free exact test:
+    cross-multiplying by n turns it into |n*S_k - k*T| > h*n (all
+    1e6-scaled decimal/HUGEINT integers — S_k the running sum, T the
+    user total), so the flag boundary cannot drift between engines.
+    The reported magnitude divides the exact |dev| back to value
+    units via the quotient/remainder split (nonnegative by
+    construction) and one shared double division.
+
+    Scale: ONE user_id-partitioned window pass computes the running
+    sum, the rank, and the per-user totals together (user_id is
+    high-cardinality; per-user series are bounded) — no join, no
+    second shuffle, no driver step.
+    """
+    v6 = (F.col("value").cast("decimal(12,6)") * 1_000_000).cast(
+        "decimal(38,0)"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum(v6)
+            .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("sk"),
+            F.row_number().over(wo).cast("long").alias("k"),
+            F.sum(v6).over(wall).alias("t"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .withColumn("dev", F.col("n") * F.col("sk") - F.col("k") * F.col("t"))
+        .withColumn("adev", F.abs(F.col("dev")))
+    )
+    unscaled = F.expr(
+        "CAST(adev div 1000000 AS DOUBLE)"
+        " + CAST(CAST(pmod(adev, 1000000) AS BIGINT) AS DOUBLE) / 1000000.0"
+    )
+    return s.where(
+        F.col("adev")
+        > F.lit(CUSUM_H) * F.col("n") * F.lit(1_000_000).cast("decimal(38,0)")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("k").cast("int").alias("k"),
+        F.when(F.col("dev") > 0, 1).otherwise(-1).cast("int").alias("direction"),
+        (unscaled / F.col("n")).alias("cusum_dev"),
+    )

@@ -204,3 +204,38 @@ def test_scd2_intervals_partition_history(spark, registry):
             assert a.valid_to == b.valid_from
             assert a.state != b.state, "consecutive runs must differ"
         assert sum(r.n_events for r in ivs) == n_events[uid]
+
+
+def test_cusum_flags_planted_level_shift(spark, tmp_path):
+    """A user whose value jumps from 10 to 300 halfway must flag
+    positions around the shift with direction -1 before (running sum
+    below the global mean line) and a flat user must flag nothing."""
+    import pandas as pd
+
+    rows = []
+    ts0 = pd.Timestamp("2026-01-01")
+    for i in range(40):
+        v = 10.0 if i < 20 else 300.0
+        rows.append((i, ts0 + pd.Timedelta(minutes=i), 1, "view", v, "{}"))
+    for i in range(40):  # flat user: cusum stays 0
+        rows.append(
+            (100 + i, ts0 + pd.Timedelta(minutes=i), 2, "view", 50.0, "{}")
+        )
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    from cs686_big_data_p1_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    got = cusum_changepoints(spark, str(tmp_path)).collect()
+    flagged = {r.user_id for r in got}
+    assert flagged == {1}
+    # mean = 155; after k steps of value 10 the deviation is k*(-145):
+    # crosses 200 units at k=2, deepest at the shift (k=20, 2900 units)
+    u1 = sorted((r.k, r.direction, r.cusum_dev) for r in got)
+    assert u1[0][0] == 2 and all(d == -1 for _, d, _ in u1)
+    deepest = max(r.cusum_dev for r in got)
+    assert abs(deepest - 2900.0) < 1e-9

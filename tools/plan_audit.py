@@ -190,6 +190,7 @@ AUDITS: dict[str, dict] = {
     "bpe_encode": {"pruned": ["documents"], "codegen": True},
     "remove_boilerplate": {"pruned": ["documents"], "codegen": True},
     "phrase_search": {"pruned": ["documents"], "codegen": True},
+    "cusum_changepoints": {"pruned": ["events"], "codegen": True},
     # r5 additions — corpus curation / ER / time-series / incremental dedup
     "doc_chunk": {"pruned": ["documents"], "codegen": True},
     "span_dedup": {"pruned": ["documents"], "codegen": True},
