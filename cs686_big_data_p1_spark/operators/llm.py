@@ -1257,3 +1257,124 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("jaccard")).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# All-pairs set-cosine similarity join with prefix filtering (AllPairs /
+# PPJoin — Bayardo et al. 2007, Xiao et al. 2008)
+# ---------------------------------------------------------------------------
+
+# theta^2 as the exact rational APC_NUM/APC_DEN (theta ~ 0.9747): the
+# similarity test and the prefix length never touch a float.
+APC_NUM = 95
+APC_DEN = 100
+
+
+ALLPAIRS_COSINE_ORACLE = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE length(text) > 0
+),
+sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+I AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE)
+         / sqrt(CAST(sa.n * sb.n AS DOUBLE)) AS cosine
+FROM I
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE {APC_DEN} * n_shared * n_shared >= {APC_NUM} * sa.n * sb.n
+"""
+
+
+@query("allpairs_cosine", oracle=ALLPAIRS_COSINE_ORACLE)
+def allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs set-cosine similarity join at threshold theta with
+    sqrt(theta^2) = sqrt({APC_NUM}/{APC_DEN}): every document pair whose
+    word-SET cosine |A∩B|/sqrt(|A||B|) meets the threshold — the exact
+    (non-LSH) sibling of dedup_near, via PREFIX FILTERING instead of
+    sketching.
+
+    The filter (AllPairs/PPJoin): order the vocabulary globally by
+    (df ASC, term ASC) and keep only each document's first
+    |d| - ceil(theta^2 * |d|) + 1 terms (its rarest). If
+    cos(A,B) >= theta then |A∩B| >= theta^2 * max(|A|,|B|) (since
+    |B| >= |A∩B|), so the smallest shared term under the global order
+    cannot sit in either suffix — both prefixes contain it, and the
+    prefix-term equi-join is a guaranteed candidate superset at a
+    fraction of the postings (~(1 - theta^2)|d| per doc). Verification
+    counts the true intersection and applies the exact integer test
+    {APC_DEN}*I^2 >= {APC_NUM}*|A||B| — no float at the boundary; the
+    reported cosine is one exact-int-to-double conversion, one
+    correctly-rounded sqrt, and one division (IEEE-identical in both
+    engines). The oracle is the brute-force quadratic join — the
+    prefix filter must be invisible.
+
+    Scale: df is a vocabulary-sized aggregate; the per-doc rarest-
+    prefix rank is a doc_id-partitioned window (high-cardinality key);
+    candidate generation joins PREFIX postings only, where every
+    posting's term is rare-by-construction for its doc — the same
+    df-skew argument as dedup_ngram's rare-gram lists, without the
+    hard df cap because prefixes shrink as theta grows. Verification
+    shuffles candidate pairs (bounded by the prefix join) and term
+    postings on int/digest keys.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    terms = track_cache(
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        ).distinct()
+    )
+    sizes = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length |d| - ceil(theta^2 |d|) + 1, in exact integers
+    pre_len = F.col("n") - F.expr(
+        f"CAST(({APC_NUM} * n + {APC_DEN} - 1) DIV {APC_DEN} AS BIGINT)"
+    ) + F.lit(1)
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "term")
+    prefix = (
+        terms.join(df, "term")
+        .withColumn("rnk", F.row_number().over(w_doc))
+        .join(sizes, "doc_id")
+        .where(F.col("rnk") <= pre_len)
+        .select("doc_id", "term")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "term")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "term")
+    cand = (
+        pa.join(pb, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = terms.select(F.col("doc_id").alias("doc_a"), "term")
+    tb = terms.select(F.col("doc_id").alias("doc_b"), "term")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.lit(APC_DEN) * F.col("n_shared") * F.col("n_shared")
+            >= F.lit(APC_NUM) * F.col("n_a") * F.col("n_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cosine"),
+        )
+    )

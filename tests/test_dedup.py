@@ -149,3 +149,45 @@ def test_simhash_pairs_complete_vs_bruteforce(spark, registry):
         ).collect()
     }
     assert got == want
+
+
+def test_allpairs_cosine_prefix_filter_invisible(spark, tmp_path):
+    """Planted word-sets with known cosines: the prefix-filtered join
+    must return exactly the pairs meeting theta (boundary included)
+    and report the closed-form cosine."""
+    import math
+
+    import pandas as pd
+
+    from cs686_big_data_p1_spark.operators.llm import (
+        APC_DEN,
+        APC_NUM,
+        allpairs_cosine,
+    )
+
+    # docs 0/1: 20-word sets sharing 20 words -> cosine 1.0 (kept)
+    # docs 0/2: share 19 of 20 -> cos = 19/20 = 0.95 < sqrt(0.95) (dropped)
+    # docs 3/4: |A|=25 shares 25 with |B|=26 -> 25/sqrt(650) ~ 0.9806 (kept)
+    w = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(w[:20]),
+        " ".join(w[:20]),
+        " ".join(w[1:20] + ["z0"]),
+        " ".join(w[:25]),
+        " ".join(w[:25] + ["z1"]),
+    ]
+    pd.DataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.cosine)
+        for r in allpairs_cosine(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(0, 1), (3, 4)}
+    assert got[(0, 1)] == (20, 1.0)
+    n, c = got[(3, 4)]
+    assert n == 25 and abs(c - 25 / math.sqrt(650)) < 1e-15
+    # sanity on the planted boundary: 0/2 really is just under theta
+    assert (19 * 19 * APC_DEN) < (APC_NUM * 20 * 20)

@@ -191,6 +191,7 @@ AUDITS: dict[str, dict] = {
     "remove_boilerplate": {"pruned": ["documents"], "codegen": True},
     "phrase_search": {"pruned": ["documents"], "codegen": True},
     "cusum_changepoints": {"pruned": ["events"], "codegen": True},
+    "allpairs_cosine": {"pruned": ["documents"], "codegen": True},
     # r5 additions — corpus curation / ER / time-series / incremental dedup
     "doc_chunk": {"pruned": ["documents"], "codegen": True},
     "span_dedup": {"pruned": ["documents"], "codegen": True},
