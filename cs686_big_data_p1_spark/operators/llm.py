@@ -1264,16 +1264,31 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PPJoin — Bayardo et al. 2007, Xiao et al. 2008)
 # ---------------------------------------------------------------------------
 
-# theta^2 as the exact rational APC_NUM/APC_DEN (theta ~ 0.9747): the
-# similarity test and the prefix length never touch a float.
-APC_NUM = 95
+# theta^2 as the exact rational APC_NUM/APC_DEN (theta = 0.8): the
+# similarity test and the prefix length never touch a float. Items are
+# word TRIGRAMS (shingles), not unigrams: the fixture's ~31-word
+# vocabulary makes unigram SETS collide into huge identical-set cliques
+# (35k exact-duplicate pairs at sf0.1 — quadratic OUTPUT, no plan can
+# fix that), and even bigrams (~900 shapes for 5000 docs) leave
+# posting lists ~100 docs deep. The ~27k-trigram space keeps max df at
+# ~25 docs, so posting-list pair fanout is bounded AND the output is
+# the real near-dup set (tens to hundreds of pairs) — the same reason
+# dedup_ngram shingles before matching.
+APC_NUM = 64
 APC_DEN = 100
 
 
 ALLPAIRS_COSINE_ORACLE = f"""
-WITH t AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
-  FROM documents WHERE length(text) > 0
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+t AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+  FROM (SELECT doc_id, t,
+               CAST(unnest(generate_series(1, n - 2)) AS INTEGER) AS i
+        FROM w)
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
 I AS (
@@ -1293,11 +1308,12 @@ WHERE {APC_DEN} * n_shared * n_shared >= {APC_NUM} * sa.n * sb.n
 
 @query("allpairs_cosine", oracle=ALLPAIRS_COSINE_ORACLE)
 def allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs set-cosine similarity join at threshold theta with
-    sqrt(theta^2) = sqrt({APC_NUM}/{APC_DEN}): every document pair whose
-    word-SET cosine |A∩B|/sqrt(|A||B|) meets the threshold — the exact
-    (non-LSH) sibling of dedup_near, via PREFIX FILTERING instead of
-    sketching.
+    """All-pairs set-cosine similarity join at threshold theta =
+    sqrt({APC_NUM}/{APC_DEN}) = 0.8 over word-TRIGRAM sets (module note
+    above on why shingles, not unigrams): every document pair whose
+    shingle-set cosine |A∩B|/sqrt(|A||B|) meets the threshold — the
+    exact (non-LSH) sibling of dedup_near, via PREFIX FILTERING
+    instead of sketching.
 
     The filter (AllPairs/PPJoin): order the vocabulary globally by
     (df ASC, term ASC) and keep only each document's first
@@ -1323,10 +1339,19 @@ def allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles candidate pairs (bounded by the prefix join) and term
     postings on int/digest keys.
     """
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 3
+    )
     terms = track_cache(
-        d.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        w.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+                )
+            ).alias("term"),
         ).distinct()
     )
     sizes = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1341,13 +1366,24 @@ def allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w_doc))
         .join(sizes, "doc_id")
         .where(F.col("rnk") <= pre_len)
-        .select("doc_id", "term")
+        .select("doc_id", "term", "n")
     )
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "term")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), "term")
+    # length filter (PPJoin): cos >= theta forces theta^2*max(|A|,|B|)
+    # <= I <= min(|A|,|B|), so size-incompatible pairs drop BEFORE the
+    # candidate distinct — sizes ride along on the prefix postings.
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("n").alias("pn_a")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("n").alias("pn_b")
+    )
     cand = (
         pa.join(pb, "term")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(APC_DEN) * F.col("pn_a") >= F.lit(APC_NUM) * F.col("pn_b"))
+            & (F.lit(APC_DEN) * F.col("pn_b") >= F.lit(APC_NUM) * F.col("pn_a"))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )

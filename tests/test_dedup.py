@@ -152,9 +152,10 @@ def test_simhash_pairs_complete_vs_bruteforce(spark, registry):
 
 
 def test_allpairs_cosine_prefix_filter_invisible(spark, tmp_path):
-    """Planted word-sets with known cosines: the prefix-filtered join
-    must return exactly the pairs meeting theta (boundary included)
-    and report the closed-form cosine."""
+    """Planted word sequences: the prefix+length-filtered join must
+    equal a brute-force trigram-set cosine computed in pure Python,
+    boundary pairs included."""
+    import itertools
     import math
 
     import pandas as pd
@@ -165,17 +166,31 @@ def test_allpairs_cosine_prefix_filter_invisible(spark, tmp_path):
         allpairs_cosine,
     )
 
-    # docs 0/1: 20-word sets sharing 20 words -> cosine 1.0 (kept)
-    # docs 0/2: share 19 of 20 -> cos = 19/20 = 0.95 < sqrt(0.95) (dropped)
-    # docs 3/4: |A|=25 shares 25 with |B|=26 -> 25/sqrt(650) ~ 0.9806 (kept)
-    w = [f"w{i}" for i in range(40)]
+    w = [f"w{i}" for i in range(60)]
     texts = [
-        " ".join(w[:20]),
-        " ".join(w[:20]),
-        " ".join(w[1:20] + ["z0"]),
-        " ".join(w[:25]),
-        " ".join(w[:25] + ["z1"]),
+        " ".join(w[:30]),                 # 0
+        " ".join(w[:30]),                 # 1: identical to 0
+        " ".join(w[:28] + ["x", "y"]),    # 2: shares a long prefix with 0
+        " ".join(w[30:60]),               # 3: disjoint
+        " ".join(w[:10]),                 # 4: subset run, size-incompatible
+        "a b",                            # 5: too short for a trigram
     ]
+
+    def grams(t):
+        ws = t.split(" ")
+        return {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        } if len(ws) >= 3 else set()
+
+    want = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        ga, gb = grams(texts[a]), grams(texts[b])
+        if not ga or not gb:
+            continue
+        i_ = len(ga & gb)
+        if APC_DEN * i_ * i_ >= APC_NUM * len(ga) * len(gb):
+            want[(a, b)] = (i_, i_ / math.sqrt(len(ga) * len(gb)))
+
     pd.DataFrame(
         [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
         columns=["doc_id", "text", "lang", "source", "n_chars"],
@@ -185,9 +200,8 @@ def test_allpairs_cosine_prefix_filter_invisible(spark, tmp_path):
         (r.doc_a, r.doc_b): (r.n_shared, r.cosine)
         for r in allpairs_cosine(spark, str(tmp_path)).collect()
     }
-    assert set(got) == {(0, 1), (3, 4)}
-    assert got[(0, 1)] == (20, 1.0)
-    n, c = got[(3, 4)]
-    assert n == 25 and abs(c - 25 / math.sqrt(650)) < 1e-15
-    # sanity on the planted boundary: 0/2 really is just under theta
-    assert (19 * 19 * APC_DEN) < (APC_NUM * 20 * 20)
+    assert set(got) == set(want)
+    assert (0, 1) in got and got[(0, 1)][1] == 1.0  # the planted exact dup
+    for k, (n, c) in got.items():
+        assert n == want[k][0]
+        assert abs(c - want[k][1]) < 1e-15
