@@ -321,20 +321,26 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     pagerank's fixed-point and dedup_clusters' label propagation
     don't cover).
 
-    Level-synchronous relaxation: each round joins current distances
-    to the edge list and folds min(d, min over in-neighbors d+1) —
-    after K rounds every vertex holds its exact hop distance capped
-    at K, which is what the oracle's depth-capped recursive CTE
-    (UNION-dedup on (v, d), d < K) computes: min over walks == min
-    over paths, so the two agree exactly for matching caps. Distances
-    are small ints; no float anywhere.
+    FRONTIER-based expansion (textbook BFS, not whole-table
+    relaxation): in a level-synchronous BFS from one source, the
+    vertices discovered in round i are exactly the vertices at
+    distance i, so each round expands ONLY the previous frontier and
+    anti-joins the settled set — never re-relaxing vertices whose
+    distance is final. After K rounds every vertex within K hops
+    holds its exact distance, which is what the oracle's depth-capped
+    recursive CTE (UNION-dedup on (v, d), d < K) computes: min over
+    walks == min over paths, so the two agree exactly for matching
+    caps. Distances are small ints; no float anywhere.
 
     Scale: the edge list localCheckpoints once (same cut as
-    pagerank); each round is one shuffle on dst for the relax and one
-    on v for the min-fold — both int keys — and the frontier frame
-    re-checkpoints per round so lineage stays depth-1. No driver
-    data-path reads: the loop is a FIXED K (graph diameter bound),
-    not a convergence collect.
+    pagerank; the edge materialization, not the waves, dominates the
+    measured cost at fixture scale); each round shuffles
+    O(|frontier| x avg-degree) dst keys plus the anti-join against
+    the settled set — on small-world graphs the frontier saturates
+    by round 2-3, and an empty wave short-circuits the remaining
+    rounds (a control-flow-only driver boolean, the dedup_clusters
+    contract). Only frontiers checkpoint: the settled set is a union
+    of checkpointed waves, depth-1 by construction.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -355,7 +361,7 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     s0 = edges.agg(F.min("src").alias("s"))
-    dist = (
+    frontier = (
         edges.select(F.col("src").alias("v"))
         .distinct()
         .crossJoin(F.broadcast(s0))
@@ -363,16 +369,24 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v", F.lit(0).alias("d"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(BFS_ITERS):
-        relaxed = dist.join(edges, dist.v == edges.src).select(
-            F.col("dst").alias("v"), (F.col("d") + 1).alias("d")
-        )
-        dist = (
-            dist.unionAll(relaxed)
-            .groupBy("v")
-            .agg(F.min("d").alias("d"))
+    dist = frontier
+    for i in range(1, BFS_ITERS + 1):
+        frontier = (
+            frontier.join(edges, frontier.v == edges.src)
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(dist, "v", "left_anti")
+            .select("v", F.lit(i).alias("d"))
             .localCheckpoint(eager=True)
         )
+        # dist needs NO checkpoint of its own: it is a union of
+        # already-checkpointed frontiers, i.e. depth-1 by construction.
+        dist = dist.unionAll(frontier)
+        # Control-flow-only driver read (the dedup_clusters contract):
+        # once a wave comes back empty every later wave is empty too,
+        # so stop instead of paying (K - diameter) no-op rounds.
+        if frontier.rdd.isEmpty():
+            break
     return dist.select(
         F.col("v").alias("part_id"), F.col("d").cast("int").alias("dist")
     )
