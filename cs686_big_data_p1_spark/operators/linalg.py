@@ -209,3 +209,88 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("correct"),
     )
+
+
+# ------------------------------ pca_project ------------------------------
+
+PCA_K = 8  # principal components kept
+
+
+@query("pca_project")
+def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto its corpus's top-{PCA_K} principal
+    components — the dimensionality-reduction step in front of
+    clustering/ANN (and the textbook split of driver vs distributed
+    math): the DISTRIBUTED part is embedding_covariance's exact
+    fixed-point d^2 sufficient statistics (the provably minimal
+    shuffle — O(d^2) cells regardless of row count); the DRIVER part
+    is one numpy eigh on the collected 64x64 matrix (d^3 ~ 262k flops
+    — driver-side by design, like kmeans_cells' centroid updates);
+    projection is Arrow-batched (X - mu) @ W with the tiny W/mu
+    shipped in the task closure. At 100 TB only the d^2 statistics
+    and the final projections move.
+
+    Determinism: the covariance matrix is built from exact bigint
+    sums (bit-identical regardless of partitioning), numpy's eigh is
+    deterministic on identical input, and each component's sign is
+    fixed by making its largest-|coordinate| entry positive — so
+    repeated runs produce identical projections (pinned by pytest
+    against an all-driver numpy PCA of the same vectors). No SQL
+    oracle: eigendecomposition is not SQL-expressible (rows-only
+    driver check; the numpy-parity pytest is the real gate).
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(spark, sf_dir).select(
+        "dim_i", "dim_j", "cov"
+    ).collect()
+    d = max(r.dim_j for r in cov_rows)
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r.dim_i - 1, r.dim_j - 1] = r.cov
+        C[r.dim_j - 1, r.dim_i - 1] = r.cov
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    W = evecs[:, order]
+    # sign convention: the largest-|coordinate| of each component > 0
+    for k in range(W.shape[1]):
+        j = int(np.argmax(np.abs(W[:, k])))
+        if W[j, k] < 0:
+            W[:, k] = -W[:, k]
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mu_rows = (
+        e.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(embedding)-1),"
+                    " i -> struct(i + 1 AS i,"
+                    "      CAST(floor(CAST(embedding[i] AS DOUBLE)"
+                    "           * 1000000.0) AS BIGINT) AS c))"
+                )
+            ).alias("m")
+        )
+        .groupBy(F.col("m.i").alias("i"))
+        .agg(F.sum("m.c").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mu_rows:
+        mu[r.i - 1] = (r.s / 1_000_000.0) / r.n
+
+    W_b = W.copy()
+    mu_b = mu.copy()
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            P = (X - mu_b) @ W_b
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "proj": list(P)}
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id long, proj array<double>"
+    )

@@ -69,3 +69,49 @@ def test_knn_eval_recovers_planted_clusters(spark, tmp_path):
     assert (out["correct"] == 1).all()
     assert (out["n_votes"] == 5).all()  # unanimous at k=5
     assert (out["pred_label"] == out["true_label"]).all()
+
+
+def test_pca_project_matches_all_driver_numpy(spark):
+    """Distributed PCA (exact-covariance stats + driver eigh + Arrow
+    projection) must match an all-driver numpy PCA of the same
+    vectors: same top-K subspace, same signs, per-element agreement,
+    and variance ordering along components."""
+    import numpy as np
+
+    from cs686_big_data_p1_spark.operators.linalg import PCA_K, pca_project
+    from cs686_big_data_p1_spark.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    rows = (
+        load_table(spark, SF_SMALL, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    # reference: the SAME fixed-point quantization the engine uses
+    q12 = np.floor(
+        X[:, :, None] * X[:, None, :] * 1e12
+    ).sum(axis=0)
+    q6 = np.floor(X * 1e6).sum(axis=0)
+    n = len(X)
+    C = (q12 / 1e12 - np.outer(q6 / 1e6, q6 / 1e6) / n) / n
+    C = (C + C.T) / 2  # the engine mirrors the upper triangle
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    W = evecs[:, order]
+    for k in range(W.shape[1]):
+        j = int(np.argmax(np.abs(W[:, k])))
+        if W[j, k] < 0:
+            W[:, k] = -W[:, k]
+    mu = (q6 / 1e6) / n
+    want = {i: p for i, p in zip(ids, (X - mu) @ W)}
+
+    got = {r.vec_id: np.array(r.proj) for r in pca_project(spark, SF_SMALL).collect()}
+    assert set(got) == set(want)
+    for i in ids:
+        assert np.allclose(got[i], want[i], atol=1e-9), i
+    # variance must be non-increasing along the kept components
+    P = np.array([got[i] for i in ids])
+    v = P.var(axis=0)
+    assert all(v[k] >= v[k + 1] - 1e-12 for k in range(len(v) - 1))
