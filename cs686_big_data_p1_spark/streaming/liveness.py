@@ -287,3 +287,4 @@ def stream_event_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
         return _run_to_memory(counts, "complete")
+

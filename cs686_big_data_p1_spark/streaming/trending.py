@@ -251,3 +251,37 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
         return _run_to_memory(kept, "append")
+
+
+DEDUP_TTL_DELAY = "2 hours"  # duplicate-arrival allowance (state TTL)
+
+
+@query("stream_dedup_ttl")
+def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-TTL'd streaming dedup (dropDuplicatesWithinWatermark):
+    duplicate EVENTS arriving within {DEDUP_TTL_DELAY} of the original
+    are suppressed, and — the part stream_dedup_exact's accumulating
+    dropDuplicates cannot do — each key's state is EVICTED once the
+    watermark passes its event time, so state is bounded by the
+    duplicate-arrival window instead of growing with every distinct
+    key ever seen. On an unbounded 100 TB ingest that is the
+    difference between O(in-flight window) and O(corpus) state: the
+    accumulating form is right for bounded re-publishable corpora
+    (documents), the TTL form for infinite event firehoses where a
+    duplicate can only arrive near its original (at-least-once
+    delivery retries).
+
+    Dedup key: event_id. The fixture has no true duplicates, so the
+    stream must pass every event through exactly once (rows-only
+    check: count == events count); the planted-duplicate semantics —
+    in-window duplicate suppressed, key evicted after the watermark —
+    are pinned by tests/test_streaming.py on a purpose-built stream.
+    """
+    with nanos_as_long(spark):
+        ev = events_stream(spark, sf_dir)
+        out = (
+            ev.select("event_id", "ts", "user_id", "event_type")
+            .withWatermark("ts", DEDUP_TTL_DELAY)
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        return _run_to_memory(out, "append")

@@ -465,3 +465,91 @@ def test_stream_dedup_near_resumes_from_persisted_store(
     assert got == want
     assert (910001, 910002) in got  # found ACROSS deliveries via the store
     assert os.path.isdir(f"{store}/shingles")
+
+
+def test_stream_dedup_ttl_suppresses_inwindow_evicts_after(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics pinned on a planted
+    2-batch stream: an in-batch duplicate within the TTL window is
+    suppressed; a key whose state the advancing watermark evicted
+    passes through AGAIN in a later batch (bounded state, not
+    accumulate-forever — the exact contrast with stream_dedup_exact)."""
+    import os
+    import uuid
+
+    import pandas as pd
+
+    from cs686_big_data_p1_spark.streaming.trending import DEDUP_TTL_DELAY
+
+    assert DEDUP_TTL_DELAY == "2 hours"
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    b1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 3],
+            "ts": [t0, t0 + 10 * h, t0, t0 + pd.Timedelta(minutes=10)],
+            "user_id": [1] * 4,
+            "event_type": ["view"] * 4,
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    # State cleanup runs at the END of the batch that advanced the
+    # watermark, so eviction of id=1 (expiry t0+2h < watermark t0+8h)
+    # is visible from batch 3 on: b2 only advances time, b3 re-sends.
+    b2 = pd.DataFrame(
+        {
+            "event_id": [9],
+            "ts": [t0 + 11 * h],
+            "user_id": [1],
+            "event_type": ["view"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    b3 = pd.DataFrame(
+        {
+            "event_id": [1],
+            "ts": [t0 + 12 * h],
+            "user_id": [1],
+            "event_type": ["view"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    src = tmp_path / "events_src"
+    os.makedirs(src)
+    for i, pdf in enumerate([b1, b2, b3]):
+        path = str(src / f"b{i}.parquet")
+        pdf = pdf.assign(ts=pdf["ts"].astype("datetime64[us]"))
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    from pyspark.sql import functions as F
+    from cs686_big_data_p1_spark.tables import SCHEMAS
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("event_id", "ts")
+        .withWatermark("ts", DEDUP_TTL_DELAY)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = "ttl" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.event_id, r.ts) for r in spark.table(name).collect()
+    )
+    want = sorted(
+        [(1, t0.to_pydatetime()), (2, (t0 + 10 * h).to_pydatetime()),
+         (3, t0.to_pydatetime()), (9, (t0 + 11 * h).to_pydatetime()),
+         (1, (t0 + 12 * h).to_pydatetime())]
+    )
+    assert got == want
