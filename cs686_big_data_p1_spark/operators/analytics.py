@@ -1038,3 +1038,58 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT o_orderpriority,
+       year(o_orderdate) AS y,
+       CAST(CASE WHEN o_orderpriority IS NULL AND year(o_orderdate) IS NULL
+                 THEN 3
+                 WHEN o_orderpriority IS NULL THEN 2
+                 WHEN year(o_orderdate) IS NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS gid,
+       count(*) AS n_orders,
+       (CAST((sum(CAST(CAST(o_totalprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) // 1000000 AS DOUBLE) + CAST((sum(CAST(CAST(o_totalprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))) % 1000000 AS DOUBLE) / 1000000.0) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)), ())
+"""
+
+
+@query("priority_sets", oracle=GROUPING_SETS_ORACLE)
+def priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((priority), (year), ()) with a
+    grouping_id discriminator — the third member of the grouping
+    trio (priority_rollup = ROLLUP, order_date_cube = CUBE), needed
+    whenever the wanted sets are NEITHER a prefix hierarchy nor the
+    full lattice: here two independent 1-D marginals plus the grand
+    total, skipping the (priority, year) cross that CUBE would pay
+    for.
+
+    gid disambiguates "NULL because aggregated away" from a (possible)
+    NULL group value; the oracle derives the same discriminator from
+    the NULL pattern (safe here: neither column is nullable in the
+    fixture, mirrored exactly either way). Scale: one Expand (3x) +
+    one hash-agg shuffle, no repeated scans — the same cost shape as
+    rollup/cube, minus the lattice sets not asked for."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("y"),
+        "o_totalprice",
+    )
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["y"], []], "o_orderpriority", "y"
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(s6("o_totalprice")).alias("_tot"),
+        )
+        .select(
+            "o_orderpriority",
+            "y",
+            "gid",
+            "n_orders",
+            unscale("_tot", 6).alias("sum_total"),
+        )
+    )

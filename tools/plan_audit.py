@@ -193,6 +193,7 @@ AUDITS: dict[str, dict] = {
     "cusum_changepoints": {"pruned": ["events"], "codegen": True},
     "allpairs_cosine": {"pruned": ["documents"], "codegen": True},
     "pca_project": {"pruned": ["embeddings"], "codegen": True},
+    "priority_sets": {"pruned": ["orders"], "codegen": True},
     # r5 additions — corpus curation / ER / time-series / incremental dedup
     "doc_chunk": {"pruned": ["documents"], "codegen": True},
     "span_dedup": {"pruned": ["documents"], "codegen": True},
