@@ -589,3 +589,63 @@ def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("peak_concurrency")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov over user streams)
+# ---------------------------------------------------------------------------
+
+TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+f AS (SELECT from_type, sum(n) AS n_from FROM t GROUP BY from_type)
+SELECT t.from_type, t.to_type, t.n,
+       CAST(t.n AS DOUBLE) / f.n_from AS p
+FROM t JOIN f ON t.from_type = f.from_type
+"""
+
+
+@query("event_transitions", oracle=TRANSITIONS_ORACLE)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: counts and conditional probabilities of event_type ->
+    next event_type (ties on ts broken by event_id, the engine-wide
+    sequencing rule) — the navigation-pattern / next-action summary
+    every product-analytics stack derives.
+
+    Scale: ONE user_id-partitioned lead window (high-cardinality
+    key), then a groupBy onto at most #types^2 cells — map-side
+    combine collapses each partition to the tiny matrix before the
+    exchange, and the row-sum normalizer joins on a #types-row
+    aggregate. p is one exact-int division, identical IEEE op in
+    both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    t = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    f = t.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return t.join(F.broadcast(f), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+    )

@@ -194,6 +194,12 @@ AUDITS: dict[str, dict] = {
     "allpairs_cosine": {"pruned": ["documents"], "codegen": True},
     "pca_project": {"pruned": ["embeddings"], "codegen": True},
     "priority_sets": {"pruned": ["orders"], "codegen": True},
+    "event_transitions": {
+        "pruned": ["events"],
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "row-sum normalizer, O(#event_types) rows",
+    },
     # r5 additions — corpus curation / ER / time-series / incremental dedup
     "doc_chunk": {"pruned": ["documents"], "codegen": True},
     "span_dedup": {"pruned": ["documents"], "codegen": True},
