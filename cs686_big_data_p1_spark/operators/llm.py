@@ -1414,3 +1414,100 @@ def allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+HARDNEG_K = 5
+
+HARD_NEGATIVES_ORACLE = f"""
+WITH exploded AS (
+  SELECT vec_id, i, CAST(x AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM exploded GROUP BY vec_id
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(sum(CAST(floor(q.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM exploded q JOIN exploded c ON q.i = c.i
+  WHERE q.vec_id < {KNN_N_QUERIES} AND c.vec_id >= {KNN_N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id
+),
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT query_id, neighbor_id, neg_label, cosine, rank FROM (
+  SELECT d.query_id, d.neighbor_id, lc.label AS neg_label,
+         d.dot / (nq.norm * nc.norm) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot / (nq.norm * nc.norm) DESC,
+                                     d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+  JOIN lab lq ON lq.vec_id = d.query_id
+  JOIN lab lc ON lc.vec_id = d.neighbor_id
+  WHERE lc.label <> lq.label)
+WHERE rank <= {HARDNEG_K}
+"""
+
+
+@query("hard_negatives", oracle=HARD_NEGATIVES_ORACLE)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negative mining for contrastive training: for each query
+    vector, the top-{HARDNEG_K} MOST SIMILAR candidates with a
+    DIFFERENT label — the near-the-margin negatives that make
+    embedding models learn (random negatives are too easy; the
+    standard recipe mines them with exactly this query). Identical
+    machinery to knn_bruteforce with the label anti-filter applied
+    BEFORE the ranking window, so rank is dense over true negatives.
+
+    Scale: the bounded query side broadcasts (the audited ann
+    pattern); labels ride the candidate rows (no extra join at
+    scale); one ranking window per query id. The production-scale
+    candidate generator is knn_ivf's probed cells — this is its
+    exactness anchor, like knn_bruteforce for ann_recall.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "embedding", "label", v_norm(F.col("embedding")).alias("norm")
+    )
+    q = vecs.where(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = vecs.where(F.col("vec_id") >= KNN_N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("neg_label"),
+        F.col("norm").alias("c_norm"),
+    )
+    dot = pair_dot_pd(F.col("q_emb"), F.col("c_emb"))
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neg_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            (dot / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HARDNEG_K)
+        .select("query_id", "neighbor_id", "neg_label", "cosine", "rank")
+    )

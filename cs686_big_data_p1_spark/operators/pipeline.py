@@ -738,3 +738,70 @@ def domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(h < F.col("keep_th"))
         .select("doc_id", "source", "lang")
     )
+
+
+# --- Deterministic contrastive negative sampling ------------------------
+
+NEG_K = 4  # negatives drawn per anchor document
+
+
+NEGATIVE_SAMPLING_ORACLE = f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+draws AS (
+  SELECT d.doc_id, CAST(k AS INTEGER) AS k,
+         CAST(('0x' || substr(md5('neg|' || CAST(d.doc_id AS VARCHAR)
+                                  || '|' || CAST(k AS VARCHAR)), 1, 15))
+              AS BIGINT) % n.n_docs AS h,
+         n.n_docs
+  FROM documents d
+  CROSS JOIN n
+  CROSS JOIN (SELECT unnest(generate_series(1, {NEG_K})) AS k)
+)
+SELECT doc_id, k,
+       CASE WHEN h = doc_id THEN (h + 1) % n_docs ELSE h END AS neg_doc_id
+FROM draws
+"""
+
+
+@query("negative_sampling", oracle=NEGATIVE_SAMPLING_ORACLE)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: {NEG_K} pseudo-random
+    partner documents per anchor, drawn as md5('neg|'||doc_id||'|'||k)
+    mod corpus size with a +1 probe past a self-draw — the random
+    half of a contrastive pair generator (hard_negatives mines the
+    difficult half). Seeded-hash membership (the stratified_sample /
+    domain_resample idiom) makes the draw reproducible run-over-run,
+    engine-independent, and retry-stable — properties rand() cannot
+    give a training pipeline.
+
+    Assumes dense doc_ids 0..n-1 (the fixture's layout); a sparse-id
+    corpus would first mint dense ids (dataset_split's rank idiom)
+    and join back. Scale: pure map-side fanout x{NEG_K} with a 1-row
+    broadcast count; no shuffle at all beyond that scalar.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.format_string("neg|%d|%d", F.col("doc_id"), F.col("k"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint") % F.col("n_docs")
+    return (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n_docs",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("int").alias("k"),
+            F.when(h == F.col("doc_id"), (h + 1) % F.col("n_docs"))
+            .otherwise(h)
+            .alias("neg_doc_id"),
+        )
+    )

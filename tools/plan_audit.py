@@ -194,6 +194,18 @@ AUDITS: dict[str, dict] = {
     "allpairs_cosine": {"pruned": ["documents"], "codegen": True},
     "pca_project": {"pruned": ["embeddings"], "codegen": True},
     "priority_sets": {"pruned": ["orders"], "codegen": True},
+    "hard_negatives": {
+        "broadcast": True,
+        "bounded_broadcast": "query side bounded by vec_id < KNN_N_QUERIES "
+        "predicate (a Filter, not a Limit node)",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 1,
+    },
+    "negative_sampling": {
+        "pruned": ["documents"],
+        "codegen": True,
+        "bounded_broadcast": "corpus count, 1 row",
+    },
     "event_transitions": {
         "pruned": ["events"],
         "broadcast": True,
