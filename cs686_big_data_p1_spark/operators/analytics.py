@@ -1093,3 +1093,89 @@ def priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             unscale("_tot", 6).alias("sum_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing with error bars (BlinkDB-style)
+# ---------------------------------------------------------------------------
+
+AQP_INV_P = 64  # Bernoulli sampling rate p = 1/64 (power of two: the
+#                 60-bit hash threshold 2^60/64 = 2^54 is EXACT)
+_AQP_TH = (16**15) // AQP_INV_P
+
+
+AQP_ORACLE = f"""
+WITH s AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE CAST(('0x' || substr(md5('aqp|' || CAST(o_orderkey AS VARCHAR)),
+                             1, 15)) AS BIGINT) < {_AQP_TH}
+),
+agg AS (
+  SELECT o_orderpriority,
+         count(*) AS n_sampled,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))
+             AS s1,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT)
+             * CAST(CAST(o_totalprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))
+             AS s2
+  FROM s GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_sampled,
+       (CAST(s1 // 1000000 AS DOUBLE)
+        + CAST(s1 % 1000000 AS DOUBLE) / 1000000.0) * {AQP_INV_P}
+           AS est_total,
+       sqrt((CAST(s2 // 1000000000000 AS DOUBLE)
+             + CAST(s2 % 1000000000000 AS DOUBLE) / 1000000000000.0)
+            * {AQP_INV_P}.0 * {AQP_INV_P - 1}.0) AS stderr
+FROM agg
+"""
+
+
+@query("aqp_revenue", oracle=AQP_ORACLE)
+def aqp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate total revenue per order priority with an error bar,
+    from a 1/{AQP_INV_P} seeded-hash Bernoulli sample (BlinkDB-style
+    AQP): est = sum(sample)/p (Horvitz-Thompson, unbiased) and
+    stderr = sqrt((1/p)(1/p - 1) * sum(sample x^2)) — the plug-in
+    variance of the HT estimator under Bernoulli sampling. The whole
+    point at 100 TB: the scan touches 1/{AQP_INV_P} of the rows (at
+    scale, a pre-materialized sample table partition-prunes the rest)
+    and the answer carries its own uncertainty.
+
+    Determinism/exactness: membership is the engine's seeded md5
+    idiom with a POWER-OF-TWO rate, so the 60-bit threshold is exact;
+    both moment sums are exact scaled integers (1e6 / 1e12), and the
+    only floats are the final unscale-multiply and one
+    correctly-rounded sqrt — identical IEEE expressions in both
+    engines, so even the error bar hash-compares. The pytest checks
+    the estimate covers the true total within 4 stderr per group.
+
+    Scale: one pushed-filter scan + one low-cardinality groupBy with
+    map-side combine; no joins, no windows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.format_string("aqp|%d", F.col("o_orderkey"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    v6 = s6("o_totalprice")
+    agg = (
+        o.where(h < F.lit(_AQP_TH))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(v6).alias("s1"),
+            F.sum(v6 * v6).alias("s2"),
+        )
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_sampled",
+        (unscale("s1", 6) * AQP_INV_P).alias("est_total"),
+        F.sqrt(
+            unscale("s2", 12) * float(AQP_INV_P) * float(AQP_INV_P - 1)
+        ).alias("stderr"),
+    )

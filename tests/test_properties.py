@@ -220,3 +220,37 @@ def test_skyline_orders_frontier_invariants(spark):
         for b in allo[cust]:  # every excluded order is dominated
             if b[2] not in kept_keys:
                 assert any(dominates(a, b) for a in pts)
+
+
+def test_aqp_estimate_covers_truth(spark):
+    """The Horvitz-Thompson estimate must bracket the true per-priority
+    revenue within 4 standard errors, and the error bar itself must be
+    positive and finite for every sampled group."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.operators.analytics import (
+        aqp_revenue,
+        s6,
+        unscale,
+    )
+    from cs686_big_data_p1_spark.tables import load_table
+    from tests.conftest import SF_MED
+
+    got = {
+        r.o_orderpriority: (r.n_sampled, r.est_total, r.stderr)
+        for r in aqp_revenue(spark, SF_MED).collect()
+    }
+    true = {
+        r.o_orderpriority: r.t
+        for r in load_table(spark, SF_MED, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(s6("o_totalprice")).alias("_t"))
+        .select("o_orderpriority", unscale("_t", 6).alias("t"))
+        .collect()
+    }
+    assert got, "sample produced no groups"
+    for prio, (n, est, se) in got.items():
+        assert n > 0 and se > 0 and math.isfinite(se)
+        assert abs(est - true[prio]) <= 4 * se, (prio, est, true[prio], se)

@@ -201,6 +201,7 @@ AUDITS: dict[str, dict] = {
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
         "max_waived": 1,
     },
+    "aqp_revenue": {"pruned": ["orders"], "codegen": True},
     "negative_sampling": {
         "pruned": ["documents"],
         "codegen": True,
