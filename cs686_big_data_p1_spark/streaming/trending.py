@@ -285,3 +285,34 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicatesWithinWatermark(["event_id"])
         )
         return _run_to_memory(out, "append")
+
+
+@query("stream_distinct_users")
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per tumbling hour, maintained IN-STREAM
+    with the HLL++ sketch (approx_count_distinct): state per open
+    window is one fixed-size sketch, not a user set — the only way a
+    distinct count fits streaming state at 100 TB (the exact set is
+    O(users/window); the sketch is O(1) and mergeable across
+    partitions and micro-batches alike). Append mode + watermark:
+    each window's count finalizes exactly once. Batch anchor:
+    distinct_customers_approx (same sketch, same rsd) and the
+    tolerance pytest vs the exact per-window distinct.
+    """
+    with nanos_as_long(spark):
+        ev = events_stream(spark, sf_dir).select("ts", "user_id")
+        counts = (
+            ev.withWatermark("ts", TRENDING_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.approx_count_distinct("user_id", 0.02).alias(
+                    "approx_users"
+                )
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "approx_users",
+            )
+        )
+        return _run_to_memory(counts, "append")

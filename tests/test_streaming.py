@@ -628,3 +628,29 @@ def test_streaming_state_bounds_measured(spark):
     # the 90-minute allowance (2 open hourly windows max)
     assert 0 < trend_rows <= 2 * n_types
     assert trend_rows < n_events / 10
+
+
+def test_stream_distinct_users_tolerance_and_finalization(spark, registry):
+    """Each finalized window's sketch count must sit within 5% of the
+    exact per-window distinct, and only watermark-finalized windows
+    may appear (the stream_trending predicate)."""
+    rows = registry.QUERIES["stream_distinct_users"](spark, SF_SMALL).collect()
+    assert rows, "no finalized windows"
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    exact = {
+        (r.ws, r.we): r.n
+        for r in ev.select(
+            F.window("ts", "1 hour").alias("w"), "user_id"
+        )
+        .groupBy(F.col("w.start").alias("ws"), F.col("w.end").alias("we"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    horizon = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    final_wm = horizon - datetime.timedelta(minutes=90)
+    for r in rows:
+        assert r.window_end <= final_wm  # finalized only
+        n = exact[(r.window_start, r.window_end)]
+        assert abs(r.approx_users - n) <= max(2, 0.05 * n), (r, n)
