@@ -1179,3 +1179,64 @@ def aqp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             unscale("s2", 12) * float(AQP_INV_P) * float(AQP_INV_P - 1)
         ).alias("stderr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(CAST(o_totalprice AS DECIMAL(12,6)) * 1000000 AS HUGEINT))
+             AS monetary_e6
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, last_order, frequency,
+       (CAST(monetary_e6 // 1000000 AS DOUBLE)
+        + CAST(monetary_e6 % 1000000 AS DOUBLE) / 1000000.0) AS monetary,
+       CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS INTEGER)
+           AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER)
+           AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary_e6 DESC, o_custkey) AS INTEGER)
+           AS m_score
+FROM base
+"""
+
+
+@query("customer_rfm", oracle=RFM_ORACLE)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, recency (last order date),
+    frequency (order count), monetary (exact total spend), each
+    quintiled 1-5 — the classic marketing segmentation (1/1/1 = best).
+
+    Determinism: every ntile orders by an exact column (timestamp /
+    bigint / scaled-integer spend) with o_custkey as the total-order
+    tie-break, so quintile boundaries cannot drift between engines
+    (customer_value_deciles' rule, three times over). Scale note:
+    ntile is a GLOBAL window, but its input is the per-customer
+    AGGREGATE (#customers rows, orders of magnitude below the fact
+    table); at the point that table itself outgrows one partition the
+    deciles move to approx-quantile cuts — the documented
+    customer_value_deciles trade."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(s6("o_totalprice")).alias("monetary_e6"),
+    )
+    wr = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary_e6"), F.asc("o_custkey"))
+    return base.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        unscale("monetary_e6", 6).alias("monetary"),
+        F.ntile(5).over(wr).cast("int").alias("r_score"),
+        F.ntile(5).over(wf).cast("int").alias("f_score"),
+        F.ntile(5).over(wm).cast("int").alias("m_score"),
+    )

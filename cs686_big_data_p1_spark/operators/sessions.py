@@ -649,3 +649,46 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("n_from")).alias("p"),
     )
+
+
+SESSION_ASSIGN_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts,
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS INTEGER)
+           AS session_id
+FROM flagged
+"""
+
+
+@query("event_session_assign", oracle=SESSION_ASSIGN_ORACLE)
+def event_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session labels — event_sessionize's enrichment
+    output: every event carries its (user, session) id so downstream
+    joins (throttling, attribution, funnels) can key on the session
+    without re-deriving the gaps-and-islands. Same one-shuffle
+    user_id window as the rollup; identical tie-break (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (us - prev_us > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+        .alias("session_id"),
+    )

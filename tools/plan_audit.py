@@ -202,6 +202,8 @@ AUDITS: dict[str, dict] = {
         "max_waived": 1,
     },
     "aqp_revenue": {"pruned": ["orders"], "codegen": True},
+    "customer_rfm": {"pruned": ["orders"], "codegen": True},
+    "event_session_assign": {"pruned": ["events"], "codegen": True},
     "negative_sampling": {
         "pruned": ["documents"],
         "codegen": True,
