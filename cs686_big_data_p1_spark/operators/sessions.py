@@ -692,3 +692,76 @@ def event_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("session_id"),
     )
+
+
+ATTRIBUTION_CREDIT_ORACLE = """
+WITH touches AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.value AS purchase_value,
+         v.event_id AS view_id, v.ts AS view_ts,
+         count(*) OVER (PARTITION BY p.event_id) AS n_touches,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS recency
+  FROM events p JOIN events v
+    ON v.user_id = p.user_id
+   AND p.event_type = 'purchase' AND v.event_type = 'view'
+   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+)
+SELECT purchase_id, view_id, user_id, n_touches,
+       CAST(CASE WHEN recency = 1 THEN 1 ELSE 0 END AS DOUBLE)
+           AS last_touch_credit,
+       1.0 / n_touches AS linear_credit
+FROM touches
+"""
+
+
+@query("attribution_credit", oracle=ATTRIBUTION_CREDIT_ORACLE)
+def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution over the purchase<-view range join
+    (stream_attribution's batch shape): each (purchase, view) touch
+    gets LAST-TOUCH credit (1.0 to the most recent view, event_id
+    tie-break) and LINEAR credit (1/n_touches) — the two models every
+    marketing stack reports side by side. Credits are exact: the
+    indicator is integer, and 1/n is a single IEEE division both
+    engines share.
+
+    Scale: the range join shuffles on user_id (the stream sibling's
+    state-bounding key); the per-purchase window partitions on
+    purchase event_id — high-cardinality, bounded by views-per-hour
+    per user. No extra scan: counts and recency ranks come from the
+    same window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    touches = p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("p_ts"))
+        & (F.col("view_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    wr = wp.orderBy(F.desc("view_ts"), F.desc("view_id"))
+    return touches.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.count(F.lit(1)).over(wp).alias("n_touches"),
+        F.row_number().over(wr).alias("recency"),
+    ).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        "n_touches",
+        F.when(F.col("recency") == 1, 1.0).otherwise(0.0).alias(
+            "last_touch_credit"
+        ),
+        (F.lit(1.0) / F.col("n_touches")).alias("linear_credit"),
+    )

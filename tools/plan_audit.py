@@ -204,6 +204,7 @@ AUDITS: dict[str, dict] = {
     "aqp_revenue": {"pruned": ["orders"], "codegen": True},
     "customer_rfm": {"pruned": ["orders"], "codegen": True},
     "event_session_assign": {"pruned": ["events"], "codegen": True},
+    "attribution_credit": {"pruned": ["events"], "codegen": True},
     "negative_sampling": {
         "pruned": ["documents"],
         "codegen": True,
