@@ -198,13 +198,24 @@ def neardup_stream_pairs(
         orig_process(batch, batch_id)
         n_batches["n"] += 1
 
-    q = (
-        docs.writeStream.foreachBatch(process_counting)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from .liveness import STREAM_STATE_PARTITIONS
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # state-partition sizing, not cores (liveness.py rationale) —
+        # also right for the per-micro-batch signature joins here
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        q = (
+            docs.writeStream.foreachBatch(process_counting)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     if store_path and n_batches["n"] > 0:
         # no-batch drains skip the write: the store frames would still
         # be lazy readers of the very parquet the overwrite truncates
