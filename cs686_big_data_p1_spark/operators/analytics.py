@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..registry import query
+from ..registry import query, track_cache
 from ..tables import load_table
 
 
@@ -1239,4 +1239,197 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(wr).cast("int").alias("r_score"),
         F.ntile(5).over(wf).cast("int").alias("f_score"),
         F.ntile(5).over(wm).cast("int").alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / stickiness (rolling distinct actives)
+# ---------------------------------------------------------------------------
+
+DAU_WAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+wau AS (
+  SELECT d.day, count(DISTINCT u.user_id) AS wau
+  FROM days d JOIN du u
+    ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+  GROUP BY d.day
+)
+SELECT d.day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+"""
+
+
+@query("dau_wau", oracle=DAU_WAU_ORACLE)
+def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives, trailing-7-day actives, and stickiness
+    (DAU/WAU) per active day — the growth dashboard's first page.
+
+    The WAU rolling distinct cannot use a window frame (COUNT
+    DISTINCT over a range frame isn't supported and would re-scan
+    anyway), and the oracle's interval join is quadratic in days.
+    The engine instead EXPLODES each (day, user) activity row onto
+    the <= 7 window days it contributes to (map-side, bounded x7)
+    and counts distinct users per window day — the standard
+    "contribute to every window you're in" trick that turns a
+    rolling distinct into one groupBy. Extra window days past the
+    last active day are clipped by the semi-join back to real days.
+
+    Scale: activity first reduces to DISTINCT (day, user) — one
+    shuffle keyed by the pair — then the x7 fanout and the count
+    shuffle on day; stickiness is one shared IEEE division.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"), "user_id"
+        ).distinct()
+    )
+    du = track_cache(du)
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 6),"
+                " i -> timestampadd(DAY, i, day))"
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B conversion analysis with z-statistic
+# ---------------------------------------------------------------------------
+
+AB_TEST_ORACLE = """
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM events
+),
+conv AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 100
+),
+arms AS (
+  SELECT a.variant, count(*) AS n_users,
+         sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_converted
+  FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+  GROUP BY a.variant
+),
+w AS (
+  SELECT
+    (SELECT n_users FROM arms WHERE variant = 'A') AS na,
+    (SELECT n_converted FROM arms WHERE variant = 'A') AS ca,
+    (SELECT n_users FROM arms WHERE variant = 'B') AS nb,
+    (SELECT n_converted FROM arms WHERE variant = 'B') AS cb
+)
+SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+       CAST(ca AS DOUBLE) / na AS rate_a,
+       CAST(cb AS DOUBLE) / nb AS rate_b,
+       (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+         / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                * (1.0 / na + 1.0 / nb)) AS z_score
+FROM w
+"""
+
+
+@query("ab_test_conversion", oracle=AB_TEST_ORACLE)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B conversion analysis: users split into
+    variants by the seeded-hash assignment (md5 parity — the
+    reproducible, engine-independent randomization every experiment
+    platform uses), conversion = the user ever made a >100-unit
+    purchase (every fixture user purchases SOMETHING, which would
+    degenerate the pooled rate to 1 and the z denominator to 0), and
+    the pooled two-proportion z-statistic — the experiment readout, as
+    one query.
+
+    Exactness: counts are exact; rates and z are a fixed IEEE
+    expression tree (divisions + one correctly-rounded sqrt) written
+    token-for-token in both engines, so even the z-score
+    hash-compares. Scale: distinct-first on (user) then one
+    low-cardinality groupBy; the final 1-row pivot is driver-free
+    (conditional aggregation over 2 rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.format_string("ab|%d", F.col("user_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assign = ev.select("user_id").distinct().select("user_id", variant.alias("variant"))
+    conv = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 100))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    arms = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).alias(
+                "n_converted"
+            ),
+        )
+    )
+    w = arms.agg(
+        F.sum(F.when(F.col("variant") == "A", F.col("n_users"))).alias("na"),
+        F.sum(F.when(F.col("variant") == "A", F.col("n_converted"))).alias("ca"),
+        F.sum(F.when(F.col("variant") == "B", F.col("n_users"))).alias("nb"),
+        F.sum(F.when(F.col("variant") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na")
+    rb = F.col("cb").cast("double") / F.col("nb")
+    pooled = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    return w.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        (
+            (ra - rb)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+            )
+        ).alias("z_score"),
     )

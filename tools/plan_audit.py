@@ -205,6 +205,8 @@ AUDITS: dict[str, dict] = {
     "customer_rfm": {"pruned": ["orders"], "codegen": True},
     "event_session_assign": {"pruned": ["events"], "codegen": True},
     "attribution_credit": {"pruned": ["events"], "codegen": True},
+    "dau_wau": {"pruned": ["events"], "codegen": True},
+    "ab_test_conversion": {"pruned": ["events"], "codegen": True},
     "negative_sampling": {
         "pruned": ["documents"],
         "codegen": True,
