@@ -207,3 +207,70 @@ def nation_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("presence"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (distribution profiling)
+# ---------------------------------------------------------------------------
+
+HIST_NB = 20  # buckets
+
+
+VALUE_HISTOGRAM_ORACLE = f"""
+WITH ext AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+),
+b AS (
+  SELECT least(CAST(floor((value - lo) * {HIST_NB} / (hi - lo)) AS BIGINT),
+               {HIST_NB - 1}) AS bucket,
+         lo, hi
+  FROM events CROSS JOIN ext
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       lo + bucket * (hi - lo) / {HIST_NB} AS bucket_lo,
+       lo + (bucket + 1) * (hi - lo) / {HIST_NB} AS bucket_hi,
+       count(*) AS n
+FROM b GROUP BY bucket, lo, hi
+"""
+
+
+@query("value_histogram", oracle=VALUE_HISTOGRAM_ORACLE)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width {HIST_NB}-bucket histogram of the event value
+    distribution — the profiling primitive behind every "show me the
+    distribution" dashboard panel (and the one table_profile's
+    min/max/count summary can't draw).
+
+    Bucketing floors the SAME IEEE expression ((v-lo)*{HIST_NB}/(hi-lo))
+    in both engines — identical operand order, so a value landing
+    within one ulp of a bucket edge floors identically and the hash
+    compare holds; the max value clamps into the last bucket. Scale:
+    one 2-value extrema aggregate broadcast back onto the scan, one
+    {HIST_NB}-cell groupBy with map-side combine. Empty buckets are
+    absent by design (count 0 rows can't be grouped); renderers
+    densify with a sequence() join if needed."""
+    ev = load_table(spark, sf_dir, "events")
+    ext = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.least(
+        F.floor(
+            (F.col("value") - F.col("lo")) * HIST_NB / (F.col("hi") - F.col("lo"))
+        ),
+        F.lit(HIST_NB - 1),
+    )
+    return (
+        ev.crossJoin(F.broadcast(ext))
+        .select(bucket.alias("bucket"), "lo", "hi")
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            (
+                F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo")) / HIST_NB
+            ).alias("bucket_lo"),
+            (
+                F.col("lo")
+                + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / HIST_NB
+            ).alias("bucket_hi"),
+            "n",
+        )
+    )

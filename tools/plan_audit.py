@@ -207,6 +207,11 @@ AUDITS: dict[str, dict] = {
     "attribution_credit": {"pruned": ["events"], "codegen": True},
     "dau_wau": {"pruned": ["events"], "codegen": True},
     "ab_test_conversion": {"pruned": ["events"], "codegen": True},
+    "value_histogram": {
+        "pruned": ["events"],
+        "codegen": True,
+        "bounded_broadcast": "value extrema, 1 row",
+    },
     "negative_sampling": {
         "pruned": ["documents"],
         "codegen": True,
