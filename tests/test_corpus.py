@@ -304,3 +304,43 @@ def test_remove_boilerplate_strips_shared_block(spark, tmp_path):
     assert got[0] == (uniq0 + " " + tail, 1)
     assert got[1][1] == 1 and not got[1][0].startswith("L0")
     assert got[2] == ("short doc only", 0)
+
+
+def test_mg_retention_bound_property():
+    """Hypothesis: for ANY token stream and any k, the MG summary
+    retains every term with true count > N/(k+1), and no estimate
+    exceeds its true count (the two halves of the heavy_hitters
+    exactness proof)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cs686_big_data_p1_spark.operators.corpus import mg_update
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        tokens=st.lists(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=400
+        ),
+        k=st.integers(min_value=1, max_value=12),
+        n_batches=st.integers(min_value=1, max_value=4),
+    )
+    def check(tokens, k, n_batches):
+        texts = []
+        step = max(1, len(tokens) // n_batches)
+        for i in range(0, len(tokens), step):
+            texts.append(" ".join(f"t{t}" for t in tokens[i : i + step]))
+        counters: dict = {}
+        for t in texts:
+            mg_update(counters, [t], k)
+        true = Counter(f"t{t}" for t in tokens)
+        n = len(tokens)
+        assert len(counters) <= k
+        for term, c in true.items():
+            if c * (k + 1) > n:
+                assert term in counters, (term, c, n, k)
+        for term, est in counters.items():
+            assert 0 < est <= true[term], (term, est, true[term])
+
+    check()
