@@ -1102,3 +1102,117 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(emb, lambda x: as_q(x.cast("double")))
         ).alias("max_s12"),
     )
+
+
+# ------------------------------ knn_graph -------------------------------
+
+KNN_GRAPH_K = 3
+
+
+KNN_GRAPH_ORACLE = f"""
+WITH {_BUCKETS_CTE},
+capped AS (
+  SELECT vec_id, t, bucket
+  FROM (SELECT vec_id, t, bucket,
+               count(*) OVER (PARTITION BY t, bucket) AS bsz
+        FROM buckets)
+  WHERE bsz <= {MAX_BUCKET_VECS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
+  FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+),
+dots AS (
+  SELECT cd.src_id, cd.dst_id,
+         CAST(sum(CAST(floor(xa.x * xb.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM cand cd
+  JOIN ex xa ON xa.vec_id = cd.src_id
+  JOIN ex xb ON xb.vec_id = cd.dst_id AND xb.i = xa.i
+  GROUP BY cd.src_id, cd.dst_id
+)
+SELECT src_id, dst_id, cosine, rank FROM (
+  SELECT d.src_id, d.dst_id,
+         d.dot / (na.norm * nb.norm) AS cosine,
+         CAST(row_number() OVER (
+             PARTITION BY d.src_id
+             ORDER BY d.dot / (na.norm * nb.norm) DESC, d.dst_id) AS INTEGER)
+             AS rank
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.src_id
+  JOIN norms nb ON nb.vec_id = d.dst_id)
+WHERE rank <= {KNN_GRAPH_K}
+"""
+
+
+@query("knn_graph", oracle=KNN_GRAPH_ORACLE)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole embedding corpus: every
+    vector's top-{KNN_GRAPH_K} bucket-mate neighbors by cosine — the
+    construction step in front of graph clustering, label propagation,
+    and UMAP-style layouts (knn_bruteforce/knn_ivf answer point
+    queries; this materializes the neighbor structure for ALL points
+    at once).
+
+    Candidates are dedup_embedding's capped LSH bucket-mates — the
+    same oracle-replayable seeded hyperplanes — taken DIRECTED (both
+    orientations of each bucket pair), then one per-source ranking
+    window. A vector whose buckets were all cap-skipped (or whose
+    bucket-mates are none) has no edges, exactly like the dedup pass;
+    the skip set stays observable via dedup_embedding_skipped_buckets.
+
+    Scale: the self-join keys on (t, bucket) ints with the
+    MAX_BUCKET_VECS cap bounding fanout; pair cosines are Arrow
+    zip_with folds on candidates only; the ranking window partitions
+    on src_id (high-cardinality, per-source candidate counts bounded
+    by {MAX_BUCKET_VECS}x tables). No all-pairs anything.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    wb = Window.partitionBy("t", "bucket")
+    bk = track_cache(
+        _bucketed(e.select("vec_id", "embedding"))
+        .select("vec_id", "t", "bucket")
+        .withColumn("bsz", F.count(F.lit(1)).over(wb))
+        .where(F.col("bsz") <= MAX_BUCKET_VECS)
+        .drop("bsz")
+    )
+    a = bk.select(F.col("vec_id").alias("src_id"), "t", "bucket")
+    b = bk.select(F.col("vec_id").alias("dst_id"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    vecs = e.select(
+        "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    scored = (
+        cand.join(va, "src_id")
+        .join(vb, "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            (
+                pair_dot_pd(F.col("a_emb"), F.col("b_emb"))
+                / (F.col("a_norm") * F.col("b_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= KNN_GRAPH_K)
+        .select("src_id", "dst_id", "cosine", "rank")
+    )

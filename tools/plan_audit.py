@@ -207,6 +207,7 @@ AUDITS: dict[str, dict] = {
     "attribution_credit": {"pruned": ["events"], "codegen": True},
     "dau_wau": {"pruned": ["events"], "codegen": True},
     "ab_test_conversion": {"pruned": ["events"], "codegen": True},
+    "knn_graph": {"pruned": True, "codegen": True},
     "value_histogram": {
         "pruned": ["events"],
         "codegen": True,
