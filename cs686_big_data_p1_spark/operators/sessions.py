@@ -765,3 +765,141 @@ def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.lit(1.0) / F.col("n_touches")).alias("linear_credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage time (sweep line, part 2)
+# ---------------------------------------------------------------------------
+
+COVERAGE_TIME_ORACLE = f"""
+WITH sess AS ({SESSIONIZE_ORACLE}),
+deltas AS (
+  SELECT session_start AS ts, 1 AS delta,
+         date_trunc('day', session_start) AS day
+  FROM sess
+  UNION ALL
+  SELECT session_end, -1, date_trunc('day', session_end) FROM sess
+),
+daytot AS (
+  SELECT day, sum(delta) AS day_total,
+         min(ts) AS first_ts, max(ts) AS last_ts
+  FROM deltas GROUP BY day
+),
+offs AS (
+  SELECT day, first_ts, last_ts, day_total,
+         sum(day_total) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             - day_total AS carry_in
+  FROM daytot
+),
+running AS (
+  SELECT day, ts,
+         sum(delta) OVER (ORDER BY ts, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS conc,
+         lead(ts) OVER (PARTITION BY day ORDER BY ts, delta DESC)
+             AS next_ts
+  FROM deltas
+),
+inner_cov AS (
+  SELECT day,
+         sum(CASE WHEN conc > 0 AND next_ts IS NOT NULL
+                  THEN epoch_us(next_ts) - epoch_us(ts) ELSE 0 END) AS cov_us
+  FROM running GROUP BY day
+)
+SELECT o.day,
+       CAST(i.cov_us
+            + CASE WHEN o.carry_in > 0
+                   THEN epoch_us(o.first_ts) - epoch_us(o.day)
+                   ELSE 0 END
+            + CASE WHEN o.carry_in + o.day_total > 0
+                   THEN epoch_us(o.day + INTERVAL 1 DAY) - epoch_us(o.last_ts)
+                   ELSE 0 END AS BIGINT) AS covered_us
+FROM offs o JOIN inner_cov i ON i.day = o.day
+"""
+
+
+@query("coverage_time", oracle=COVERAGE_TIME_ORACLE)
+def coverage_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION length per day: microseconds during which at
+    least one user session was active — the SLA/uptime accounting
+    classic (max_concurrency asks "how many at once"; this asks "for
+    how long at all"), robust to arbitrarily overlapping sessions
+    because it sums sweep-line segments where concurrency > 0 rather
+    than session durations.
+
+    Same sharded two-phase scan as max_concurrency: in-day running
+    concurrency + an O(#days) per-day summary (totals, first/last
+    delta, cumulative carry-in). Interior segments credit
+    (ts -> next_ts) spans with positive concurrency; the day's
+    OPENING span (midnight -> first delta) is credited iff sessions
+    carried in overnight (carry_in > 0) and the CLOSING span (last
+    delta -> midnight) iff the day ends with open sessions
+    (carry_in + day_total > 0) — both read from the deterministic
+    per-day summary, never from a boundary row's own running sum,
+    because rows tied on (ts, delta) make "the first row's prefix"
+    permutation-dependent across engines. Interior spans are safe:
+    only the physically-last row of a tied group carries a next_ts
+    beyond the tie, and its prefix is the full post-group concurrency
+    under any permutation. Days with zero deltas do not appear
+    (documented; the oracle scopes identically). All arithmetic is
+    exact epoch-microsecond int64.
+    """
+    sess = event_sessionize(spark, sf_dir)
+    starts = sess.select(
+        F.col("session_start").alias("ts"),
+        F.lit(1).alias("delta"),
+        F.date_trunc("day", "session_start").alias("day"),
+    )
+    ends = sess.select(
+        F.col("session_end").alias("ts"),
+        F.lit(-1).alias("delta"),
+        F.date_trunc("day", "session_end").alias("day"),
+    )
+    deltas = starts.unionAll(ends)
+    in_day = Window.partitionBy("day").orderBy(
+        F.col("ts"), F.col("delta").desc()
+    )
+    run_f = in_day.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    day_order = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = (
+        deltas.groupBy("day")
+        .agg(
+            F.sum("delta").alias("day_total"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .withColumn(
+            "carry_in",
+            F.sum("day_total").over(day_order) - F.col("day_total"),
+        )
+    )
+    r = (
+        deltas.withColumn("run_in_day", F.sum("delta").over(run_f))
+        .withColumn("next_ts", F.lead("ts").over(in_day))
+        .join(F.broadcast(offs.select("day", "carry_in")), "day")
+        .withColumn("conc", F.col("run_in_day") + F.col("carry_in"))
+    )
+    inner = r.groupBy("day").agg(
+        F.sum(
+            F.when(
+                (F.col("conc") > 0) & F.col("next_ts").isNotNull(),
+                F.unix_micros("next_ts") - F.unix_micros("ts"),
+            ).otherwise(F.lit(0))
+        ).alias("cov_us")
+    )
+    return offs.join(inner, "day").select(
+        "day",
+        (
+            F.col("cov_us")
+            + F.when(
+                F.col("carry_in") > 0,
+                F.unix_micros("first_ts") - F.unix_micros("day"),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("carry_in") + F.col("day_total") > 0,
+                F.unix_micros(F.col("day") + F.expr("INTERVAL 1 DAY"))
+                - F.unix_micros("last_ts"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("covered_us"),
+    )

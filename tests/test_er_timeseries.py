@@ -239,3 +239,51 @@ def test_cusum_flags_planted_level_shift(spark, tmp_path):
     assert u1[0][0] == 2 and all(d == -1 for _, d, _ in u1)
     deepest = max(r.cusum_dev for r in got)
     assert abs(deepest - 2900.0) < 1e-9
+
+
+def test_coverage_time_matches_bruteforce_union(spark):
+    """Per-day covered time must equal a driver-side interval union of
+    the same sessions, clipped to day boundaries."""
+    import datetime
+
+    from cs686_big_data_p1_spark.operators.sessions import (
+        coverage_time,
+        event_sessionize,
+    )
+    from tests.conftest import SF_SMALL
+
+    sess = [
+        (r.session_start, r.session_end)
+        for r in event_sessionize(spark, SF_SMALL).collect()
+    ]
+    # merge intervals, then clip per day
+    sess.sort()
+    merged = []
+    for s, e in sess:
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    day_cov: dict = {}
+    for s, e in merged:
+        d = s.replace(hour=0, minute=0, second=0, microsecond=0)
+        while d <= e:
+            nxt = d + datetime.timedelta(days=1)
+            lo, hi = max(s, d), min(e, nxt)
+            if hi > lo:
+                day_cov[d] = day_cov.get(d, 0) + int(
+                    (hi - lo).total_seconds() * 1_000_000
+                )
+            d = nxt
+    got = {
+        r.day: r.covered_us for r in coverage_time(spark, SF_SMALL).collect()
+    }
+    # the query scopes to days that have deltas (a day whose only
+    # activity is zero-length single-beat sessions reports 0)
+    delta_days = {
+        t.replace(hour=0, minute=0, second=0, microsecond=0)
+        for pair in sess
+        for t in pair
+    }
+    want = {d: day_cov.get(d, 0) for d in delta_days}
+    assert got == want

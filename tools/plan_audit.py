@@ -205,6 +205,13 @@ AUDITS: dict[str, dict] = {
     "customer_rfm": {"pruned": ["orders"], "codegen": True},
     "event_session_assign": {"pruned": ["events"], "codegen": True},
     "attribution_credit": {"pruned": ["events"], "codegen": True},
+    "coverage_time": {
+        "pruned": ["events"],
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "per-day summary/carry-ins, O(#days) rows",
+        "max_waived": 2,  # carry-in probe + final per-day summary join
+    },
     "dau_wau": {"pruned": ["events"], "codegen": True},
     "ab_test_conversion": {"pruned": ["events"], "codegen": True},
     "knn_graph": {"pruned": True, "codegen": True},
