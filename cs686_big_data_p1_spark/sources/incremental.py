@@ -48,7 +48,17 @@ def maintain_daily_order_stats(
             ).alias("total_e6"),
         )
     )
-    try:
+    # First-batch detection is an explicit existence probe, NOT a bare
+    # except around the read: a corrupt footer, permission error, or
+    # transient FS failure must propagate instead of being mistaken
+    # for "no store yet" and silently discarding accumulated state for
+    # the batch's days.
+    jvm = spark.sparkContext._jvm
+    store_jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = store_jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    if fs.exists(store_jpath):
         days = [r[0] for r in delta.select("day").distinct().collect()]
         base = spark.read.parquet(store_path).where(F.col("day").isin(days))
         merged = (
@@ -65,7 +75,7 @@ def maintain_daily_order_stats(
                 F.sum("total_e6").alias("total_e6"),
             )
         )
-    except Exception:  # first batch: store does not exist yet
+    else:  # first batch: store does not exist yet
         merged = delta
     merged = merged.select(
         "day",

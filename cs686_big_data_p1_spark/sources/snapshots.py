@@ -11,9 +11,14 @@ atomic filesystem rename per commit — no table-format dependency:
     atomic primitive on HDFS-compatible stores and POSIX alike), so a
     reader can never observe a half-written version;
   * the current version is simply the highest published directory —
-    no manifest file to corrupt, no read-modify-write race: two racing
-    writers target different version numbers and the loser's rename
-    fails (directory exists), exactly like a CAS;
+    no manifest file to corrupt. Hadoop's ``FileSystem.rename`` is NOT
+    a CAS when the destination directory exists (it moves the source
+    INTO it and reports success), so the publish is a *verified* CAS:
+    each committer stages under a uuid-unique dir carrying a unique
+    commit-marker file, renames, then checks the marker sits directly
+    under the final path. A loser finds its whole stage dir nested
+    inside the winner's version, pulls it back out, and retries with
+    the next number — no commit is ever silently dropped;
   * readers pin a version (time travel) or take the latest; a reader
     holding version N is unaffected by later commits or by vacuum of
     OTHER versions (immutable snapshot isolation).
@@ -27,6 +32,8 @@ instead; this module keeps whole-table semantics deliberately simple.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -56,22 +63,46 @@ def snapshot_versions(spark: SparkSession, table_path: str) -> list[int]:
 
 
 def write_snapshot(spark: SparkSession, df: DataFrame, table_path: str) -> int:
-    """Commit df as the next version; return its number. Stage-then-
-    rename makes the publish atomic: concurrent committers race on the
-    rename and the loser retries with the next number."""
-    fs, _, jvm = _fs(spark, table_path)
+    """Commit df as the next version; return its number.
+
+    Verified-CAS publish: the snapshot is written ONCE to a
+    uuid-unique stage dir containing a unique ``_commit-<token>``
+    marker; each attempt renames the stage onto the next free version
+    and then verifies the marker sits directly under that version
+    path. ``FileSystem.rename`` onto an existing directory moves the
+    stage INSIDE it and still returns true (observed on local FS; HDFS
+    behaves the same), so the rename result alone proves nothing — the
+    marker check is what decides the race. A loser recovers its intact
+    stage dir from inside the winner's version and retries with the
+    next number, so no concurrent commit is ever silently lost."""
+    fs, root, jvm = _fs(spark, table_path)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    token = uuid.uuid4().hex
+    stage = f"{table_path}/.stage-{token}"
+    marker = f"_commit-{token}"
+    df.write.mode("overwrite").parquet(stage)
+    fs.create(jpath(f"{stage}/{marker}")).close()
+    fs.mkdirs(root)  # rename needs an existing destination parent
     while True:
         vs = snapshot_versions(spark, table_path)
         v = (vs[-1] if vs else 0) + 1
-        stage = f"{table_path}/.stage-v{v:0{_WIDTH}d}"
         final = f"{table_path}/v={v:0{_WIDTH}d}"
-        df.write.mode("overwrite").parquet(stage)
-        if fs.rename(
-            jvm.org.apache.hadoop.fs.Path(stage),
-            jvm.org.apache.hadoop.fs.Path(final),
-        ):
-            return v
-        fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)  # lost the race
+        if fs.exists(jpath(final)):
+            continue  # published between listing and here; re-list
+        renamed = fs.rename(jpath(stage), jpath(final))
+        if renamed and fs.exists(jpath(f"{final}/{marker}")):
+            return v  # marker directly under final ⇒ we own this version
+        if renamed:
+            # Lost: rename moved the stage dir INTO the winner's
+            # version. Pull it back out, intact, and retry.
+            nested = f"{final}/.stage-{token}"
+            if not fs.rename(jpath(nested), jpath(stage)):
+                raise IOError(
+                    f"snapshot commit race: could not recover stage "
+                    f"dir from {nested}"
+                )
+        # renamed == False (e.g. dst appeared with rename semantics
+        # that do fail on existing dst): stage is untouched; retry.
 
 
 def read_snapshot(

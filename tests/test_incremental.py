@@ -90,3 +90,36 @@ def test_incremental_equals_full_recompute_and_prunes(spark, tmp_path):
         .collect()
     }
     assert got == full
+
+
+def test_incremental_corrupt_store_raises_not_resets(spark, tmp_path):
+    """A store that EXISTS but cannot be read (corrupt parquet footer)
+    must raise — never be mistaken for 'first batch', which would
+    silently discard the accumulated aggregates for those days."""
+    import pytest
+
+    store = str(tmp_path / "daily_stats")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").limit(50)
+    maintain_daily_order_stats(spark, store, orders)
+    before = {
+        (r.day, r.o_orderpriority): r.n_orders
+        for r in read_daily_order_stats(spark, store).collect()
+    }
+    # corrupt every data file in place
+    for root, _dirs, names in os.walk(store):
+        for n in names:
+            if n.endswith(".parquet"):
+                with open(os.path.join(root, n), "wb") as f:
+                    f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        maintain_daily_order_stats(spark, store, orders)
+    # and a healthy store is still folded into, not reset (regression
+    # guard for the existence-probe refactor)
+    store2 = str(tmp_path / "daily_stats2")
+    maintain_daily_order_stats(spark, store2, orders)
+    maintain_daily_order_stats(spark, store2, orders)
+    doubled = {
+        (r.day, r.o_orderpriority): r.n_orders
+        for r in read_daily_order_stats(spark, store2).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in before.items()}

@@ -54,3 +54,62 @@ def test_snapshot_stage_invisible_and_vacuum(spark, tmp_path):
 def test_snapshot_empty_table_errors(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_snapshot_publish_race_loser_retries(spark, tmp_path, monkeypatch):
+    """Verified-CAS property: Hadoop rename onto an EXISTING version
+    dir 'succeeds' by nesting the stage inside it; the loser must
+    detect that via the commit marker, recover its stage, and land on
+    the next version — the winner's snapshot stays byte-identical and
+    the loser's commit is not lost."""
+    import cs686_big_data_p1_spark.sources.snapshots as snap
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(2), tbl)  # v1
+
+    # The "winner" publishes v2 directly on disk.
+    winner = spark.range(10, 13)
+    winner.write.parquet(f"{tbl}/v=00000002")
+
+    # Simulate the loser having raced: it listed versions BEFORE the
+    # winner published (stale [1]) and its exists() probe for v=2 also
+    # predates the publish (lies False exactly once).
+    real_sv = snap.snapshot_versions
+    calls = {"n": 0}
+
+    def stale_sv(s, path):
+        calls["n"] += 1
+        return [1] if calls["n"] == 1 else real_sv(s, path)
+
+    class RacyFS:
+        def __init__(self, fs):
+            self._fs = fs
+            self._lied = False
+
+        def exists(self, p):
+            if not self._lied and p.getName() == "v=00000002":
+                self._lied = True
+                return False
+            return self._fs.exists(p)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    real_fs_fn = snap._fs
+
+    def racy_fs(s, path):
+        fs, p, jvm = real_fs_fn(s, path)
+        return RacyFS(fs), p, jvm
+
+    monkeypatch.setattr(snap, "snapshot_versions", stale_sv)
+    monkeypatch.setattr(snap, "_fs", racy_fs)
+
+    v = write_snapshot(spark, spark.range(100, 104), tbl)
+    assert v == 3  # loser retried past the winner, did not clobber it
+    assert real_sv(spark, tbl) == [1, 2, 3]
+    assert {r.id for r in read_snapshot(spark, tbl, 2).collect()} == {10, 11, 12}
+    assert {r.id for r in read_snapshot(spark, tbl, 3).collect()} == {100, 101, 102, 103}
+    # no stray nested stage dir left inside the winner's snapshot
+    fs, p, jvm = real_fs_fn(spark, f"{tbl}/v=00000002")
+    names = [st.getPath().getName() for st in fs.listStatus(p)]
+    assert not any(n.startswith(".stage-") for n in names)
