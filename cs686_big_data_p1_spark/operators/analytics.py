@@ -929,6 +929,110 @@ def range_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucket count for the two-phase global rank. Equal-width value buckets
+# between the broadcast 1-row extrema: correctness never depends on the
+# bucket population (rank = within-bucket row_number + the bucket's
+# cumulative offset, and the order is total), only the balance does. At
+# 100 TB with a pathological value distribution the growth rule is a
+# second histogram pass inside the hot bucket — price_median's rule.
+RANK_BUCKETS = 4096
+
+
+def _two_phase_global_rank(
+    df: DataFrame, value_col: str, tie_col: str, desc: bool = False
+) -> DataFrame:
+    """Global row_number under the TOTAL order (value asc|desc, tie asc)
+    with no single-partition window — the distributed two-phase rank:
+
+      1. bucket rows into RANK_BUCKETS equal-width value ranges between
+         the (broadcast, 1-row) min/max extrema — pure map-side integer
+         math on the exact decimal value;
+      2. one cumulative window over the BOUNDED histogram aggregate
+         (<= RANK_BUCKETS rows — constant, never data-sized) yields each
+         bucket's start offset and the total n;
+      3. row_number partitioned BY BUCKET (parallel across buckets),
+         plus the bucket's offset, is the exact global rank.
+
+    Descending order rides the same machinery with the value negated
+    (ties still break ascending on tie_col, matching `ORDER BY v DESC,
+    tie ASC`). Adds `_rank` (1-based bigint) and `_n` (total count);
+    callers must drop both. value_col must be castable to
+    decimal(38,0) — exact, so bucket edges cannot drift between runs
+    (not that they need to: any monotone bucketing yields the same
+    ranks).
+
+    The input is localCheckpoint'ed (the dedup_clusters/pagerank
+    lineage-cut discipline): the plan references it three times
+    (extrema, histogram, final join), and without the cut each
+    reference re-embeds — and re-executes — the whole upstream
+    subtree (chaining three ranks in customer_rfm multiplied the
+    orders scan 32x before this cut). The checkpoint materializes
+    exactly the rows the single-partition window used to sort — once,
+    partitioned."""
+    df = df.localCheckpoint(eager=True)
+    v = F.col(value_col).cast("decimal(38,0)")
+    if desc:
+        v = -v
+    d = df.withColumn("_v", v)
+    ext = d.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    d = d.crossJoin(F.broadcast(ext))
+    d = d.withColumn(
+        "_bkt",
+        F.expr(f"((_v - _lo) * {RANK_BUCKETS}) div (_hi - _lo + 1)"),
+    ).drop("_lo", "_hi")
+    hist = d.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_prev = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "_bkt",
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_start"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    d = d.join(F.broadcast(cum), "_bkt")
+    w_cell = Window.partitionBy("_bkt").orderBy(F.asc("_v"), F.asc(tie_col))
+    return (
+        d.withColumn(
+            "_rank",
+            F.row_number().over(w_cell).cast("bigint") + F.col("_start"),
+        )
+        .drop("_v", "_bkt", "_start")
+    )
+
+
+def _ntile_from_rank(k: int) -> Column:
+    """ntile(k) computed arithmetically from the exact global `_rank`
+    and total `_n` (SQL-standard tiling: the first n%k tiles get
+    ceil(n/k) rows, the rest floor(n/k)) — what the built-in would
+    produce, without its single-partition sort."""
+    q = f"(_n div {k})"
+    r = f"(_n % {k})"
+    return F.expr(
+        f"CASE WHEN _rank <= {r} * ({q} + 1)"
+        f" THEN (_rank - 1) div ({q} + 1) + 1"
+        f" ELSE {r} + (_rank - {r} * ({q} + 1) - 1) div {q} + 1 END"
+    )
+
+
+def _percent_rank_from_rank() -> Column:
+    """percent_rank = (rank-1)/(n-1) — exact because the window order is
+    total (rank() == row_number). Same IEEE division of the same exact
+    integers the built-in performs."""
+    return F.expr(
+        "CASE WHEN _n > 1 THEN CAST(_rank - 1 AS DOUBLE)"
+        " / CAST(_n - 1 AS DOUBLE) ELSE 0.0D END"
+    )
+
+
+def _cume_dist_from_rank() -> Column:
+    """cume_dist = rank/n under a total order (no ties by
+    construction)."""
+    return F.expr("CAST(_rank AS DOUBLE) / CAST(_n AS DOUBLE)")
+
+
 DECILES_ORACLE = """
 WITH spend AS (
   SELECT o_custkey,
@@ -958,22 +1062,25 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions of identical integers.
 
     Scale: one map-side-combined groupBy on the high-cardinality
-    custkey, then one global-order window over #customers rows
-    (aggregate-sized, orders of magnitude under the fact table; at
-    true scale the global sort range-partitions and ntile boundaries
-    come from rank arithmetic over partition offsets — the same
-    two-phase shape price_median's histogram uses)."""
+    custkey, then the TWO-PHASE global rank (_two_phase_global_rank:
+    bucket histogram -> bounded cumulative offsets -> per-bucket
+    row_number + offset) — no single-partition WindowExec anywhere;
+    ntile/percent_rank/cume_dist are pure arithmetic over the exact
+    (rank, n) pair, reproducing the built-ins' SQL-standard
+    definitions bit-for-bit (the r6 plan sorted all customers in ONE
+    task; this one's widest sequential step is the <= RANK_BUCKETS-row
+    histogram window)."""
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(s6("o_totalprice")).alias("sp6")
     )
-    w = Window.orderBy("sp6", "o_custkey")
-    return spend.select(
+    ranked = _two_phase_global_rank(spend, "sp6", "o_custkey")
+    return ranked.select(
         "o_custkey",
         unscale("sp6", 6).alias("total_spend"),
-        F.ntile(10).over(w).cast("int").alias("decile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        _ntile_from_rank(10).cast("int").alias("decile"),
+        _percent_rank_from_rank().alias("pct_rank"),
+        _cume_dist_from_rank().alias("cume"),
     )
 
 
@@ -1216,29 +1323,38 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every ntile orders by an exact column (timestamp /
     bigint / scaled-integer spend) with o_custkey as the total-order
     tie-break, so quintile boundaries cannot drift between engines
-    (customer_value_deciles' rule, three times over). Scale note:
-    ntile is a GLOBAL window, but its input is the per-customer
-    AGGREGATE (#customers rows, orders of magnitude below the fact
-    table); at the point that table itself outgrows one partition the
-    deciles move to approx-quantile cuts — the documented
-    customer_value_deciles trade."""
+    (customer_value_deciles' rule, three times over).
+
+    Scale: each quintile is the TWO-PHASE global rank (bucket
+    histogram -> bounded offsets -> per-bucket row_number) plus the
+    arithmetic ntile — three bounded-histogram passes chained on the
+    per-customer aggregate, zero single-partition sorts (the r6 plan
+    ran three global ntile windows in one task each). Descending
+    orders ride the same machinery with the value negated."""
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(s6("o_totalprice")).alias("monetary_e6"),
     )
-    wr = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.desc("monetary_e6"), F.asc("o_custkey"))
-    return base.select(
+    d = base.withColumn("_lo_us", F.unix_micros("last_order"))
+    d = _two_phase_global_rank(d, "_lo_us", "o_custkey", desc=True)
+    d = d.withColumn("r_score", _ntile_from_rank(5).cast("int")).drop(
+        "_rank", "_n", "_lo_us"
+    )
+    d = _two_phase_global_rank(d, "frequency", "o_custkey", desc=True)
+    d = d.withColumn("f_score", _ntile_from_rank(5).cast("int")).drop(
+        "_rank", "_n"
+    )
+    d = _two_phase_global_rank(d, "monetary_e6", "o_custkey", desc=True)
+    return d.select(
         "o_custkey",
         "last_order",
         "frequency",
         unscale("monetary_e6", 6).alias("monetary"),
-        F.ntile(5).over(wr).cast("int").alias("r_score"),
-        F.ntile(5).over(wf).cast("int").alias("f_score"),
-        F.ntile(5).over(wm).cast("int").alias("m_score"),
+        "r_score",
+        "f_score",
+        _ntile_from_rank(5).cast("int").alias("m_score"),
     )
 
 

@@ -120,6 +120,46 @@ def descendant_scan_ids(node: Node) -> list[int]:
     return out
 
 
+def unpartitioned_window_ids(plan: str) -> list[int]:
+    """Window node ids whose partitionSpec is empty — the plans that
+    funnel their whole input through ONE task (Spark logs "No Partition
+    Defined for Window operation" at runtime).
+
+    Detection: in the formatted detail section, a Window node's
+    Arguments line is `[functions], [partitionSpec], [orderSpec]`;
+    empty specs are OMITTED, not rendered as []. Three groups is
+    always partitioned. Two groups is ambiguous — `[funcs], [order]`
+    (unpartitioned, the bad shape) vs `[funcs], [partition]` (a
+    partitioned whole-frame window with no order, fine) — and the two
+    are told apart by the ASC/DESC direction tokens only an orderSpec
+    carries. Counted bracket-aware so commas inside
+    windowspecdefinition(...) don't split."""
+    out: set[int] = set()
+    current: int | None = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) Window\s*$", line)
+        if m:
+            current = int(m.group(1))
+            continue
+        if re.match(r"^\(\d+\) ", line):
+            current = None
+            continue
+        if current is not None and line.startswith("Arguments:"):
+            groups = [
+                g.strip()
+                for g in split_top_level(line[len("Arguments:"):].strip())
+                if g.strip().startswith("[")
+            ]
+            if len(groups) == 2 and re.search(
+                r" (ASC|DESC)( NULLS (FIRST|LAST))?\]?", groups[1]
+            ):
+                out.add(current)
+            elif len(groups) == 1:
+                out.add(current)  # neither partition nor order spec
+            current = None
+    return sorted(out)
+
+
 def broadcast_fact_tables(plan: str, fact_tables: set[str]) -> list[str]:
     """Tables from `fact_tables` that sit under a BroadcastExchange —
     the plan shape that OOMs at scale when the broadcast is hint-forced."""

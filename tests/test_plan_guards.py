@@ -93,3 +93,91 @@ def test_price_median_no_full_table_price_sort(spark, registry):
         assert any("Join" in s for s in sub), (
             f"Sort({n.id}) runs before the target-bucket filter join"
         )
+
+
+def test_two_phase_rank_queries_have_no_global_window(spark, registry):
+    """VERDICT r6 #1: customer_value_deciles / customer_rfm must not
+    funnel their input through a single-partition WindowExec. The only
+    unpartitioned windows allowed in their plans are the cumulative
+    offsets over the bounded RANK_BUCKETS histogram — at most 1 per
+    two-phase rank (Spark fuses the two frame variants into one node).
+    """
+    from cs686_big_data_p1_spark.plans import unpartitioned_window_ids
+
+    for name, max_hist_windows in (
+        ("customer_value_deciles", 1),
+        ("customer_rfm", 3),
+    ):
+        plan = formatted_plan(registry.QUERIES[name](spark, SF_SMALL))
+        ids = unpartitioned_window_ids(plan)
+        assert len(ids) <= max_hist_windows, (
+            f"{name}: {len(ids)} unpartitioned Window nodes {ids} — "
+            "the two-phase rank regressed to a global sort"
+        )
+        # and the histogram windows must sit above a groupBy(_bkt)
+        # aggregate, never the raw input
+        assert "HashAggregate" in plan
+
+
+def test_window_detector_flags_global_and_passes_partitioned(spark):
+    """The unpartitioned-window detector itself: a global ORDER BY
+    window is flagged; a partitioned window (with or without orderBy)
+    is not — so a parser regression cannot silently waive everything.
+    """
+    from pyspark.sql.window import Window
+
+    from cs686_big_data_p1_spark.plans import unpartitioned_window_ids
+
+    df = spark.range(100).withColumn("g", F.col("id") % 7)
+    flagged = formatted_plan(
+        df.select(F.ntile(4).over(Window.orderBy("id")).alias("t"))
+    )
+    assert unpartitioned_window_ids(flagged), "global window not detected"
+    ok_ordered = formatted_plan(
+        df.select(
+            F.row_number()
+            .over(Window.partitionBy("g").orderBy("id"))
+            .alias("r")
+        )
+    )
+    assert not unpartitioned_window_ids(ok_ordered)
+    ok_frame_only = formatted_plan(
+        df.select(
+            F.count(F.lit(1))
+            .over(
+                Window.partitionBy("g").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("c")
+        )
+    )
+    assert not unpartitioned_window_ids(ok_frame_only)
+
+
+def test_ntile_arithmetic_matches_builtin(spark):
+    """_ntile_from_rank's closed form must equal the built-in ntile
+    for every (n, k) shape class: n<k, n=k, n%k==0, n%k!=0."""
+    from pyspark.sql.window import Window
+
+    from cs686_big_data_p1_spark.operators.analytics import _ntile_from_rank
+
+    for n, k in [(3, 10), (10, 10), (40, 10), (47, 10), (1, 5), (23, 5)]:
+        df = (
+            spark.range(n)
+            .withColumn("_rank", F.col("id") + 1)
+            .withColumn("_n", F.lit(n).cast("bigint"))
+        )
+        got = {
+            r["_rank"]: r.tile
+            for r in df.select(
+                "_rank", _ntile_from_rank(k).alias("tile")
+            ).collect()
+        }
+        want = {
+            r["_rank"]: r.tile
+            for r in df.select(
+                "_rank", F.ntile(k).over(Window.orderBy("_rank")).alias("tile")
+            ).collect()
+        }
+        assert got == want, f"n={n} k={k}"

@@ -39,6 +39,7 @@ from cs686_big_data_p1_spark.plans import (  # noqa: E402
     parse_tree,
     scan_read_counts,
     scan_tables,
+    unpartitioned_window_ids,
 )
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -202,7 +203,13 @@ AUDITS: dict[str, dict] = {
         "max_waived": 1,
     },
     "aqp_revenue": {"pruned": ["orders"], "codegen": True},
-    "customer_rfm": {"pruned": ["orders"], "codegen": True},
+    # customer_rfm / customer_value_deciles read the two-phase rank's
+    # checkpointed per-customer aggregate (the _two_phase_global_rank
+    # lineage cut), so no parquet scan is visible to assert pruning on
+    # — same rationale as triangle_count/bfs_distances; their broadcast
+    # sides (1-row extrema, <= RANK_BUCKETS-row offsets) sit above the
+    # checkpoint too.
+    "customer_rfm": {"codegen": True},
     "event_session_assign": {"pruned": ["events"], "codegen": True},
     "attribution_credit": {"pruned": ["events"], "codegen": True},
     "coverage_time": {
@@ -272,7 +279,7 @@ AUDITS: dict[str, dict] = {
         "max_waived": 2,
     },
     "approx_quantiles": {"pruned": True, "codegen": True},
-    "customer_value_deciles": {"pruned": True, "codegen": True},
+    "customer_value_deciles": {"codegen": True},
     "scd2_user_state": {"pruned": True, "codegen": True},
     "minhash_estimate_error": {"pruned": ["documents"], "codegen": True},
     "embedding_stats": {"pruned": True, "codegen": True},
@@ -321,6 +328,93 @@ AUDITS: dict[str, dict] = {
         "max_waived": 3,
     },
 }
+
+
+# Suite-wide guard: NO query may contain an unpartitioned WindowExec
+# over unbounded input (the whole table funneling through one task).
+# Every exception below runs its global window over a provably BOUNDED
+# row set and says why; "max" caps how many such windows the plan may
+# contain, so an unbounded one regressing into a waived query still
+# fails. Queries not listed here must have zero unpartitioned windows.
+GLOBAL_WINDOW_WAIVERS: dict[str, dict] = {
+    "max_concurrency": {
+        "max": 1,
+        "reason": "cumulative carry-in over the O(#days) day summary",
+    },
+    "coverage_time": {
+        "max": 2,
+        "reason": "carry-in + midnight-credit windows over the "
+        "O(#days) day summary",
+    },
+    "bm25_search": {
+        "max": 1,
+        "reason": "rank over the post-LIMIT top-K rows (<= BM25_K)",
+    },
+    "vocab_topk": {
+        "max": 1,
+        "reason": "rank over the post-LIMIT top-K rows (<= VOCAB_K)",
+    },
+    "customer_value_deciles": {
+        "max": 2,
+        "reason": "cumulative offsets over the bounded RANK_BUCKETS "
+        "histogram (two-phase global rank, phase 2)",
+    },
+    "customer_rfm": {
+        "max": 6,
+        "reason": "three two-phase ranks, each with its bounded "
+        "RANK_BUCKETS histogram windows",
+    },
+}
+
+
+def audit_global_windows(spark) -> list[str]:
+    """Sweep EVERY registered batch query's physical plan for
+    unpartitioned Window nodes; fail any not covered by an explicit
+    bounded-input waiver. Streaming queries are skipped — their
+    registry callables drain to an in-memory batch whose plan is a
+    LocalTableScan (state sizing is pytest-audited instead)."""
+    from cs686_big_data_p1_spark import registry
+
+    failures: list[str] = []
+    lines: list[str] = []
+    for name, fn in sorted(registry.QUERIES.items()):
+        if name.startswith("stream_"):
+            continue
+        try:
+            plan = formatted_plan(fn(spark, SF_DIR))
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            lines.append(f"* {name}: PLAN ERROR {e}")
+            continue
+        finally:
+            registry.clear_caches()
+        ids = unpartitioned_window_ids(plan)
+        if not ids:
+            continue
+        waiver = GLOBAL_WINDOW_WAIVERS.get(name)
+        if waiver is None:
+            failures.append(name)
+            lines.append(
+                f"* {name}: FAIL — unpartitioned Window node(s) {ids} "
+                "with no bounded-input waiver"
+            )
+        elif len(ids) > waiver["max"]:
+            failures.append(name)
+            lines.append(
+                f"* {name}: FAIL — {len(ids)} unpartitioned Windows "
+                f"{ids} exceed waiver max={waiver['max']}"
+            )
+        else:
+            lines.append(
+                f"* {name}: {len(ids)} unpartitioned Window(s) waived "
+                f"— {waiver['reason']}"
+            )
+    print("## Global-window sweep (all batch queries) — "
+          + ("FAIL" if failures else "ok") + "\n")
+    for ln in lines:
+        print(ln)
+    print()
+    return failures
 
 
 BOUNDING_NODES = ("Aggregate", "Limit", "TakeOrdered")
@@ -485,6 +579,7 @@ def main() -> int:
             failures.append(name)
     if audit_cluster_round(spark):
         failures.append("dedup_clusters_round")
+    failures.extend(audit_global_windows(spark))
     if failures:
         print(f"\nFAILED: {failures}", file=sys.stderr)
         return 1
