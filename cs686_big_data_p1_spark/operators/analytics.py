@@ -930,12 +930,120 @@ def range_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Bucket count for the two-phase global rank. Equal-width value buckets
-# between the broadcast 1-row extrema: correctness never depends on the
-# bucket population (rank = within-bucket row_number + the bucket's
-# cumulative offset, and the order is total), only the balance does. At
-# 100 TB with a pathological value distribution the growth rule is a
-# second histogram pass inside the hot bucket — price_median's rule.
+# between the broadcast 1-row extrema; a hot bucket holding a SINGLE
+# tied value is further sub-split on equal-width ranges of the TIE
+# column (ties order by tie_col, so a monotone tie bucketing preserves
+# the total order). Correctness never depends on the bucket population
+# (rank = within-composite-bucket row_number + the bucket's cumulative
+# offset, and the composite key is monotone in the total order), only
+# the balance does.
 RANK_BUCKETS = 4096
+
+
+def _rank_bucketed(
+    df: DataFrame, value_col: str, tie_col: str, desc: bool = False
+) -> DataFrame:
+    """Phase 1 of the two-phase global rank: localCheckpoint the input
+    and assign the composite bucket key (_bkt, _sub), monotone in the
+    total order (value asc|desc, tie asc). Split out so the skew pytest
+    can inspect bucket populations directly.
+
+      * `_v` — the value cast to exact decimal(38,0), negated for desc.
+      * `_bkt` — equal-width value bucket between the (broadcast, 1-row)
+        extrema. DIVISION-FIRST math, `(_v - _lo) div w` with
+        `w = (_hi - _lo) div B + 1` (= ceil((hi-lo+1)/B)), so the old
+        `(_v-_lo)*B` multiply can never overflow decimal(38,0); if the
+        subtraction itself overflows (value range wider than 38 digits)
+        the bucket is raised as an error rather than silently NULLed
+        into a dropped row. NULL values get a sentinel bucket ranked
+        where the replaced Window.orderBy put them: FIRST for asc
+        (bucket -1), LAST for desc (bucket B) — Spark's asc/desc
+        defaults.
+      * `_sub` — tie sub-bucket, non-zero only inside a bucket that (a)
+        holds a single distinct value (null-safe compare, so the
+        all-NULL sentinel bucket splits too — its rows also order
+        purely by tie), (b) is hot (> n/B rows), and (c) has a numeric
+        tie with a non-overflowing range. Such a bucket's rows order
+        purely by tie_col, so equal-width tie ranges are monotone;
+        sub-bucket counts are allocated proportionally
+        (m = min(B, count*B/n + 1)), keeping the composite histogram
+        <= ~2B rows total. NULL ties get sentinel sub -1 (tie asc =
+        NULLS FIRST). The residual skew case — a hot bucket spanning
+        MULTIPLE distinct values (possible only when the value range
+        exceeds B with mass piled on adjacent values) — is not split;
+        its row_number still runs in one task.
+
+    The input is localCheckpoint'ed (the dedup_clusters/pagerank
+    lineage-cut discipline): the plan references it several times
+    (extrema, per-bucket stats, composite histogram, final join), and
+    without the cut each reference re-embeds — and re-executes — the
+    whole upstream subtree (chaining three ranks in customer_rfm
+    multiplied the orders scan 32x before this cut). The two bounded
+    aggregates (1-row extrema, <=B+2-row bucket stats) are
+    track_cache'd so later references don't re-scan the checkpoint."""
+    from pyspark.sql import types as T
+
+    df = df.localCheckpoint(eager=True)
+    v = F.col(value_col).cast("decimal(38,0)")
+    if desc:
+        v = -v
+    d = df.withColumn("_v", v)
+    if isinstance(df.schema[tie_col].dataType, T.NumericType):
+        d = d.withColumn("_t", F.col(tie_col).cast("decimal(38,0)"))
+    else:
+        d = d.withColumn("_t", F.lit(None).cast("decimal(38,0)"))
+    ext = track_cache(
+        d.agg(
+            F.min("_v").alias("_lo"),
+            F.max("_v").alias("_hi"),
+            F.count(F.lit(1)).alias("_tot"),
+        )
+    )
+    d = d.crossJoin(F.broadcast(ext))
+    null_bkt = RANK_BUCKETS if desc else -1
+    bkt = F.expr(f"(_v - _lo) div ((_hi - _lo) div {RANK_BUCKETS} + 1)")
+    d = d.withColumn(
+        "_bkt",
+        F.when(F.col("_v").isNull(), F.lit(null_bkt).cast("bigint")).otherwise(
+            F.coalesce(
+                bkt.cast("bigint"),
+                F.expr(
+                    "raise_error('_two_phase_global_rank: value-bucket "
+                    "overflow (range exceeds decimal(38,0))')"
+                ).cast("bigint"),
+            )
+        ),
+    ).drop("_lo", "_hi")
+    stats = d.groupBy("_bkt").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min("_v").alias("_bv_lo"),
+        F.max("_v").alias("_bv_hi"),
+        F.min("_t").alias("_bt_lo"),
+        (F.max("_t") - F.min("_t")).alias("_tr"),
+        F.first("_tot").alias("_tot"),
+    )
+    stats = stats.withColumn(
+        "_m",
+        F.when(
+            F.expr("_bv_lo <=> _bv_hi")
+            & (F.col("_c") * RANK_BUCKETS > F.col("_tot"))
+            & F.col("_tr").isNotNull(),
+            F.least(
+                F.lit(RANK_BUCKETS).cast("bigint"),
+                (F.col("_c") * RANK_BUCKETS / F.col("_tot")).cast("bigint")
+                + 1,
+            ),
+        ).otherwise(F.lit(1).cast("bigint")),
+    ).withColumn("_sw", F.expr("_tr div _m + 1"))
+    stats = track_cache(stats.select("_bkt", "_m", "_sw", "_bt_lo"))
+    d = d.drop("_tot").join(F.broadcast(stats), "_bkt")
+    d = d.withColumn(
+        "_sub",
+        F.when(F.col("_m") == 1, F.lit(0).cast("bigint"))
+        .when(F.col("_t").isNull(), F.lit(-1).cast("bigint"))
+        .otherwise(F.expr("(_t - _bt_lo) div _sw").cast("bigint")),
+    ).drop("_t", "_m", "_sw", "_bt_lo")
+    return d
 
 
 def _two_phase_global_rank(
@@ -944,62 +1052,50 @@ def _two_phase_global_rank(
     """Global row_number under the TOTAL order (value asc|desc, tie asc)
     with no single-partition window — the distributed two-phase rank:
 
-      1. bucket rows into RANK_BUCKETS equal-width value ranges between
-         the (broadcast, 1-row) min/max extrema — pure map-side integer
-         math on the exact decimal value;
-      2. one cumulative window over the BOUNDED histogram aggregate
-         (<= RANK_BUCKETS rows — constant, never data-sized) yields each
-         bucket's start offset and the total n;
-      3. row_number partitioned BY BUCKET (parallel across buckets),
-         plus the bucket's offset, is the exact global rank.
+      1. bucket rows by a composite key (value bucket, tie sub-bucket)
+         that is monotone in the total order — `_rank_bucketed` above
+         (map-side integer math between broadcast bounded stats; NULL
+         values ranked NULLS-FIRST asc / NULLS-LAST desc via sentinel
+         buckets, matching the Window.orderBy defaults this replaces);
+      2. one cumulative window over the BOUNDED composite histogram
+         (<= ~2*RANK_BUCKETS rows — constant, never data-sized) yields
+         each bucket's start offset and the total n;
+      3. row_number partitioned BY COMPOSITE BUCKET (parallel across
+         buckets), plus the bucket's offset, is the exact global rank.
 
     Descending order rides the same machinery with the value negated
     (ties still break ascending on tie_col, matching `ORDER BY v DESC,
-    tie ASC`). Adds `_rank` (1-based bigint) and `_n` (total count);
-    callers must drop both. value_col must be castable to
-    decimal(38,0) — exact, so bucket edges cannot drift between runs
-    (not that they need to: any monotone bucketing yields the same
-    ranks).
-
-    The input is localCheckpoint'ed (the dedup_clusters/pagerank
-    lineage-cut discipline): the plan references it three times
-    (extrema, histogram, final join), and without the cut each
-    reference re-embeds — and re-executes — the whole upstream
-    subtree (chaining three ranks in customer_rfm multiplied the
-    orders scan 32x before this cut). The checkpoint materializes
-    exactly the rows the single-partition window used to sort — once,
-    partitioned."""
-    df = df.localCheckpoint(eager=True)
-    v = F.col(value_col).cast("decimal(38,0)")
-    if desc:
-        v = -v
-    d = df.withColumn("_v", v)
-    ext = d.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
-    d = d.crossJoin(F.broadcast(ext))
-    d = d.withColumn(
-        "_bkt",
-        F.expr(f"((_v - _lo) * {RANK_BUCKETS}) div (_hi - _lo + 1)"),
-    ).drop("_lo", "_hi")
-    hist = d.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_prev = Window.orderBy("_bkt").rowsBetween(
+    tie ASC`). Adds `_rank` (1-based bigint) and `_n` (total count,
+    NULL values included); callers must drop both. value_col must be
+    castable to decimal(38,0) — exact, so bucket edges cannot drift
+    between runs (not that they need to: any monotone bucketing yields
+    the same ranks). Heavily-tied value columns (the customer_rfm
+    frequency quintile) no longer funnel each tied value through one
+    task: single-value hot buckets sub-split on tie ranges."""
+    d = _rank_bucketed(df, value_col, tie_col, desc=desc)
+    hist = d.groupBy("_bkt", "_sub").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_prev = Window.orderBy("_bkt", "_sub").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    w_all = Window.orderBy("_bkt").rowsBetween(
+    w_all = Window.orderBy("_bkt", "_sub").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = hist.select(
         "_bkt",
+        "_sub",
         F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_start"),
         F.sum("_cnt").over(w_all).alias("_n"),
     )
-    d = d.join(F.broadcast(cum), "_bkt")
-    w_cell = Window.partitionBy("_bkt").orderBy(F.asc("_v"), F.asc(tie_col))
+    d = d.join(F.broadcast(cum), ["_bkt", "_sub"])
+    w_cell = Window.partitionBy("_bkt", "_sub").orderBy(
+        F.asc("_v"), F.asc(tie_col)
+    )
     return (
         d.withColumn(
             "_rank",
             F.row_number().over(w_cell).cast("bigint") + F.col("_start"),
         )
-        .drop("_v", "_bkt", "_start")
+        .drop("_v", "_bkt", "_sub", "_start")
     )
 
 
@@ -1068,8 +1164,9 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile/percent_rank/cume_dist are pure arithmetic over the exact
     (rank, n) pair, reproducing the built-ins' SQL-standard
     definitions bit-for-bit (the r6 plan sorted all customers in ONE
-    task; this one's widest sequential step is the <= RANK_BUCKETS-row
-    histogram window)."""
+    task; this one's widest sequential step is the bounded composite
+    histogram window — tied values sub-split on the tie column, so
+    even a constant spend column would stay parallel)."""
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(s6("o_totalprice")).alias("sp6")
@@ -1325,12 +1422,16 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break, so quintile boundaries cannot drift between engines
     (customer_value_deciles' rule, three times over).
 
-    Scale: each quintile is the TWO-PHASE global rank (bucket
-    histogram -> bounded offsets -> per-bucket row_number) plus the
-    arithmetic ntile — three bounded-histogram passes chained on the
-    per-customer aggregate, zero single-partition sorts (the r6 plan
-    ran three global ntile windows in one task each). Descending
-    orders ride the same machinery with the value negated."""
+    Scale: each quintile is the TWO-PHASE global rank (composite
+    bucket histogram -> bounded offsets -> per-bucket row_number) plus
+    the arithmetic ntile — three bounded-histogram passes chained on
+    the per-customer aggregate, zero single-partition sorts (the r6
+    plan ran three global ntile windows in one task each). The
+    frequency quintile ranks a ~low-cardinality count column whose
+    tied values all land in one value bucket — the tie sub-split on
+    o_custkey keeps those buckets near n/RANK_BUCKETS rows instead of
+    one task per tied value (the r7 skew residual). Descending orders
+    ride the same machinery with the value negated."""
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),

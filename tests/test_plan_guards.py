@@ -96,27 +96,52 @@ def test_price_median_no_full_table_price_sort(spark, registry):
 
 
 def test_two_phase_rank_queries_have_no_global_window(spark, registry):
-    """VERDICT r6 #1: customer_value_deciles / customer_rfm must not
-    funnel their input through a single-partition WindowExec. The only
-    unpartitioned windows allowed in their plans are the cumulative
-    offsets over the bounded RANK_BUCKETS histogram — at most 1 per
-    two-phase rank (Spark fuses the two frame variants into one node).
+    """VERDICT r6 #1 / ADVICE r7 low: customer_value_deciles and
+    customer_rfm must not funnel their input through a single-partition
+    WindowExec. The only unpartitioned window allowed is the cumulative
+    offset over the bounded composite (_bkt, _sub) histogram — exactly
+    one in the final plan (Spark fuses the two frame variants; earlier
+    ranks in the rfm chain sit behind eager checkpoints), and its
+    subtree must contain the histogram aggregate keyed on _bkt, so a
+    regression that windows the raw input cannot pass.
+    tools/plan_audit.py's GLOBAL_WINDOW_WAIVERS carries the same max=1.
     """
-    from cs686_big_data_p1_spark.plans import unpartitioned_window_ids
+    import re
 
-    for name, max_hist_windows in (
-        ("customer_value_deciles", 1),
-        ("customer_rfm", 3),
-    ):
+    from cs686_big_data_p1_spark.plans import (
+        parse_tree,
+        unpartitioned_window_ids,
+    )
+
+    for name in ("customer_value_deciles", "customer_rfm"):
         plan = formatted_plan(registry.QUERIES[name](spark, SF_SMALL))
         ids = unpartitioned_window_ids(plan)
-        assert len(ids) <= max_hist_windows, (
+        assert len(ids) <= 1, (
             f"{name}: {len(ids)} unpartitioned Window nodes {ids} — "
             "the two-phase rank regressed to a global sort"
         )
-        # and the histogram windows must sit above a groupBy(_bkt)
+        # the histogram window must sit above a groupBy(_bkt[, _sub])
         # aggregate, never the raw input
-        assert "HashAggregate" in plan
+        keys: dict[int, str] = {}
+        cur = None
+        for line in plan.splitlines():
+            m = re.match(r"^\((\d+)\) ", line)
+            if m:
+                cur = int(m.group(1))
+                continue
+            if cur is not None and line.startswith("Keys"):
+                keys[cur] = line
+        nodes = {n.id: n for n in parse_tree(plan)}
+        for wid in ids:
+            sub, todo = [], [nodes[wid]]
+            while todo:
+                c = todo.pop()
+                sub.append(c)
+                todo.extend(c.children)
+            assert any(
+                "Aggregate" in s.name and "_bkt" in keys.get(s.id, "")
+                for s in sub
+            ), f"{name}: Window({wid}) does not sit above the _bkt histogram"
 
 
 def test_window_detector_flags_global_and_passes_partitioned(spark):

@@ -57,3 +57,116 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase global rank: tie-skew sub-bucketing + NULL semantics
+# (VERDICT r7 next-round #2, ADVICE r7 medium)
+# ---------------------------------------------------------------------------
+
+
+def _builtin_rank(df, value_col, tie_col, desc=False):
+    from pyspark.sql.window import Window
+
+    v = F.desc(value_col) if desc else F.asc(value_col)
+    w = Window.orderBy(v, F.asc(tie_col))
+    return df.withColumn("_want", F.row_number().over(w).cast("bigint"))
+
+
+def _rank_pairs(df, value_col, tie_col, desc):
+    from cs686_big_data_p1_spark.operators.analytics import (
+        _two_phase_global_rank,
+    )
+
+    got = {
+        r[tie_col]: r["_rank"]
+        for r in _two_phase_global_rank(
+            df, value_col, tie_col, desc=desc
+        ).collect()
+    }
+    want = {
+        r[tie_col]: r["_want"]
+        for r in _builtin_rank(df, value_col, tie_col, desc=desc).collect()
+    }
+    return got, want
+
+
+def test_two_phase_rank_splits_dominant_tied_value(spark):
+    """One value holds 90% of rows (the customer_rfm frequency shape,
+    exaggerated): the composite (_bkt, _sub) buckets must stay near the
+    proportional target — no bucket may hold more than a few n/B rows —
+    and the ranks must still be exactly the built-in's."""
+    from cs686_big_data_p1_spark.operators.analytics import (
+        RANK_BUCKETS,
+        _rank_bucketed,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("tie"),
+        F.when(F.col("id") % 10 != 0, F.lit(7))
+        .otherwise((F.col("id") % 40).cast("long"))
+        .alias("v"),
+    )
+    sizes = [
+        r["c"]
+        for r in _rank_bucketed(df, "v", "tie")
+        .groupBy("_bkt", "_sub")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    # proportional allocation: a single-value bucket with c rows gets
+    # ~c*B/n subs, so each composite bucket holds ~n/B rows; allow 4x
+    # slack for rounding
+    cap = 4 * (n // RANK_BUCKETS + 1)
+    assert max(sizes) <= cap, f"hot composite bucket: {max(sizes)} > {cap}"
+    assert sum(sizes) == n
+    for desc in (False, True):
+        got, want = _rank_pairs(df, "v", "tie", desc)
+        assert got == want, f"desc={desc}"
+
+
+def test_two_phase_rank_all_tied_single_value(spark):
+    """Degenerate extrema (_hi == _lo): one value bucket, which must
+    sub-split on the tie range instead of collapsing to the old
+    single-task plan."""
+    from cs686_big_data_p1_spark.operators.analytics import _rank_bucketed
+
+    n = 8_192
+    df = spark.range(n).select(
+        F.col("id").alias("tie"), F.lit(42).alias("v")
+    )
+    bucketed = _rank_bucketed(df, "v", "tie")
+    n_sub = bucketed.select("_bkt", "_sub").distinct().count()
+    assert n_sub > 1, "all-tied input was not sub-split"
+    got, want = _rank_pairs(df, "v", "tie", False)
+    assert got == want
+
+
+def test_two_phase_rank_keeps_and_orders_nulls(spark):
+    """ADVICE r7 medium: NULL values must not be dropped (the old inner
+    join on a NULL bucket discarded them) and must rank exactly where
+    Window.orderBy puts them — NULLS FIRST asc, NULLS LAST desc."""
+    df = spark.range(1_000).select(
+        F.col("id").alias("tie"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id") % 13)
+        .cast("long")
+        .alias("v"),
+    )
+    for desc in (False, True):
+        got, want = _rank_pairs(df, "v", "tie", desc)
+        assert len(got) == 1_000, "NULL-valued rows were dropped"
+        assert got == want, f"desc={desc}"
+
+
+def test_two_phase_rank_non_numeric_tie_still_exact(spark):
+    """String tie column: sub-splitting disengages (no exact numeric
+    cast) but ranks must still match the built-in, including on a
+    heavily tied value column."""
+    df = spark.range(2_000).select(
+        F.format_string("k%05d", F.col("id")).alias("tie"),
+        (F.col("id") % 3).alias("v"),
+    )
+    got, want = _rank_pairs(df, "v", "tie", False)
+    assert got == want

@@ -5,14 +5,26 @@ oracle over the same parquet, and compares row count, schema (column
 names), and an order-insensitive value comparison (exact for
 non-floats, exact-then-approx diagnostics for floats).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, writes a machine-readable result artifact. The per-round
+gate (VERDICT r7 #1) is:
+
+    python tools/check_oracle.py --json ORACLE_SWEEP.json /root/testdata/sf0.001
+
+committed at the repo root; tests/test_oracle_gate.py then asserts the
+artifact is failure-free AND its query/oracle name sets exactly match
+the live registry — so registering, renaming, or re-oracling a query
+without re-running the full sweep fails the pytest suite.
 """
 
 from __future__ import annotations
 
 import functools
+import json
 import math
 import sys
+import time
 
 print = functools.partial(print, flush=True)
 
@@ -81,8 +93,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from cs686_big_data_p1_spark import registry
     from cs686_big_data_p1_spark.session import get_spark
@@ -91,7 +109,9 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
 
-    failed = []
+    t0 = time.monotonic()
+    failed: list[str] = []
+    result: dict[str, dict] = {}
     for name, fn in sorted(registry.QUERIES.items()):
         if only and name not in only:
             continue
@@ -100,27 +120,52 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
+            result[name] = {"status": "fail", "error": f"spark error: {e}"}
             continue
         finally:
             registry.clear_caches()  # per-query scratch caches only
         osql = registry.ORACLES.get(name)
         if osql is None:
-            status = "ROWS-ONLY" if len(sdf) >= 0 else "??"
-            print(f"{status:5s} {name}: {len(sdf)} rows (no oracle)")
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows (no oracle)")
+            result[name] = {"status": "rows_only", "rows": len(sdf)}
             continue
         try:
             odf = con.execute(osql).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failed.append(name)
+            result[name] = {"status": "fail", "error": f"oracle error: {e}"}
             continue
         problems = compare(name, sdf, odf)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failed.append(name)
+            result[name] = {"status": "fail", "error": "; ".join(problems)}
         else:
             print(f"OK    {name}: {len(sdf)} rows")
+            result[name] = {"status": "ok", "rows": len(sdf)}
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    if json_out and not only:  # partial runs must not masquerade as the gate
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "elapsed_sec": round(time.monotonic() - t0, 1),
+                    "n_queries": len(result),
+                    "n_ok": sum(
+                        1 for r in result.values() if r["status"] == "ok"
+                    ),
+                    "n_rows_only": sum(
+                        1 for r in result.values() if r["status"] == "rows_only"
+                    ),
+                    "n_failed": len(failed),
+                    "queries": result,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 
