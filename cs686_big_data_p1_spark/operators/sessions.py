@@ -512,14 +512,29 @@ deltas AS (
   UNION ALL
   SELECT session_end, -1, date_trunc('day', session_end) FROM sess
 ),
+daytot AS (SELECT day, sum(delta) AS day_total FROM deltas GROUP BY day),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM deltas),
+cal AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+),
+offs AS (
+  SELECT c.day,
+         sum(COALESCE(t.day_total, 0)) OVER (ORDER BY c.day
+                                             ROWS UNBOUNDED PRECEDING)
+             - COALESCE(t.day_total, 0) AS carry_in
+  FROM cal c LEFT JOIN daytot t ON t.day = c.day
+),
 running AS (
   SELECT day, ts, delta,
          sum(delta) OVER (ORDER BY ts, delta DESC, day
                           ROWS UNBOUNDED PRECEDING) AS conc
   FROM deltas
-)
-SELECT day, CAST(max(conc) AS INT) AS peak_concurrency
-FROM running GROUP BY day
+),
+inner_max AS (SELECT day, max(conc) AS mx FROM running GROUP BY day)
+SELECT o.day,
+       CAST(greatest(o.carry_in, COALESCE(i.mx, o.carry_in)) AS INT)
+           AS peak_concurrency
+FROM offs o LEFT JOIN inner_max i ON i.day = o.day
 """
 
 
@@ -549,7 +564,14 @@ def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sessions spanning midnight need no special case: their +1 lives
     in an earlier day's total and reaches later days through the
-    carry-in offset.
+    carry-in offset. The output is DENSIFIED over the full calendar
+    between the first and last delta day (ADVICE r6/r7: a day fully
+    inside a spanning session used to emit no row, indistinguishable
+    from zero activity): deltaless days report their carry-in
+    concurrency, and midnight itself counts as a sweep point, so a
+    day whose only deltas are session ends still reports the
+    concurrency it woke up with. The calendar is O(#days) — same
+    bounded row set the carry-in window already rides.
     """
     sess = event_sessionize(spark, sf_dir)
     starts = sess.select(
@@ -567,27 +589,40 @@ def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"), F.col("delta").desc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     day_running = deltas.withColumn("run", F.sum("delta").over(in_day))
+    # full calendar between the extrema days (bounded, O(#days))
+    cal = deltas.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
     # carry-in: cumulative sum of day totals over the bounded day list
     day_order = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    daytot = deltas.groupBy("day").agg(F.sum("delta").alias("day_total"))
     offsets = (
-        deltas.groupBy("day")
-        .agg(F.sum("delta").alias("day_total"))
+        cal.join(daytot, "day", "left")
+        .na.fill({"day_total": 0})
         .withColumn(
             "carry_in",
             F.sum("day_total").over(day_order) - F.col("day_total"),
         )
         .select("day", "carry_in")
     )
-    return (
+    inner = (
         day_running.join(F.broadcast(offsets), "day")
         .groupBy("day")
-        .agg(
-            F.max(F.col("run") + F.col("carry_in"))
-            .cast("int")
-            .alias("peak_concurrency")
+        .agg(F.max(F.col("run") + F.col("carry_in")).alias("mx"))
+    )
+    return offsets.join(inner, "day", "left").select(
+        "day",
+        F.greatest(
+            F.col("carry_in"), F.coalesce(F.col("mx"), F.col("carry_in"))
         )
+        .cast("int")
+        .alias("peak_concurrency"),
     )
 
 
@@ -785,11 +820,19 @@ daytot AS (
          min(ts) AS first_ts, max(ts) AS last_ts
   FROM deltas GROUP BY day
 ),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM deltas),
+cal AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+),
 offs AS (
-  SELECT day, first_ts, last_ts, day_total,
-         sum(day_total) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-             - day_total AS carry_in
-  FROM daytot
+  SELECT c.day,
+         COALESCE(t.first_ts, c.day + INTERVAL 1 DAY) AS first_ts,
+         COALESCE(t.last_ts, c.day + INTERVAL 1 DAY) AS last_ts,
+         COALESCE(t.day_total, 0) AS day_total,
+         sum(COALESCE(t.day_total, 0)) OVER (ORDER BY c.day
+                                             ROWS UNBOUNDED PRECEDING)
+             - COALESCE(t.day_total, 0) AS carry_in
+  FROM cal c LEFT JOIN daytot t ON t.day = c.day
 ),
 running AS (
   SELECT day, ts,
@@ -806,14 +849,14 @@ inner_cov AS (
   FROM running GROUP BY day
 )
 SELECT o.day,
-       CAST(i.cov_us
+       CAST(COALESCE(i.cov_us, 0)
             + CASE WHEN o.carry_in > 0
                    THEN epoch_us(o.first_ts) - epoch_us(o.day)
                    ELSE 0 END
             + CASE WHEN o.carry_in + o.day_total > 0
                    THEN epoch_us(o.day + INTERVAL 1 DAY) - epoch_us(o.last_ts)
                    ELSE 0 END AS BIGINT) AS covered_us
-FROM offs o JOIN inner_cov i ON i.day = o.day
+FROM offs o LEFT JOIN inner_cov i ON i.day = o.day
 """
 
 
@@ -839,9 +882,13 @@ def coverage_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation-dependent across engines. Interior spans are safe:
     only the physically-last row of a tied group carries a next_ts
     beyond the tie, and its prefix is the full post-group concurrency
-    under any permutation. Days with zero deltas do not appear
-    (documented; the oracle scopes identically). All arithmetic is
-    exact epoch-microsecond int64.
+    under any permutation. The output is DENSIFIED over the full
+    calendar between the first and last delta day (ADVICE r6/r7): a
+    deltaless day inside a spanning session reports the full 86400 s
+    (its first_ts/last_ts coalesce to the next midnight, so the
+    opening-credit arm covers the whole day when carry_in > 0), and a
+    deltaless idle day reports 0. All arithmetic is exact
+    epoch-microsecond int64.
     """
     sess = event_sessionize(spark, sf_dir)
     starts = sess.select(
@@ -862,12 +909,27 @@ def coverage_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_order = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    cal = deltas.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daytot = deltas.groupBy("day").agg(
+        F.sum("delta").alias("day_total"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    next_midnight = F.col("day") + F.expr("INTERVAL 1 DAY")
     offs = (
-        deltas.groupBy("day")
-        .agg(
-            F.sum("delta").alias("day_total"),
-            F.min("ts").alias("first_ts"),
-            F.max("ts").alias("last_ts"),
+        cal.join(daytot, "day", "left")
+        .na.fill({"day_total": 0})
+        .select(
+            "day",
+            "day_total",
+            F.coalesce("first_ts", next_midnight).alias("first_ts"),
+            F.coalesce("last_ts", next_midnight).alias("last_ts"),
         )
         .withColumn(
             "carry_in",
@@ -888,17 +950,17 @@ def coverage_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("cov_us")
     )
-    return offs.join(inner, "day").select(
+    return offs.join(inner, "day", "left").select(
         "day",
         (
-            F.col("cov_us")
+            F.coalesce("cov_us", F.lit(0))
             + F.when(
                 F.col("carry_in") > 0,
                 F.unix_micros("first_ts") - F.unix_micros("day"),
             ).otherwise(F.lit(0))
             + F.when(
                 F.col("carry_in") + F.col("day_total") > 0,
-                F.unix_micros(F.col("day") + F.expr("INTERVAL 1 DAY"))
+                F.unix_micros(next_midnight)
                 - F.unix_micros("last_ts"),
             ).otherwise(F.lit(0))
         ).cast("long").alias("covered_us"),

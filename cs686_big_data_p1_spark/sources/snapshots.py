@@ -62,26 +62,25 @@ def snapshot_versions(spark: SparkSession, table_path: str) -> list[int]:
     return sorted(out)
 
 
-def write_snapshot(spark: SparkSession, df: DataFrame, table_path: str) -> int:
-    """Commit df as the next version; return its number.
+def _publish_stage(
+    spark: SparkSession, table_path: str, token: str
+) -> int:
+    """The verified-CAS loop: rename ``<table>/.stage-<token>`` (which
+    must already contain its ``_commit-<token>`` marker) onto the next
+    free version number until the marker is observed directly under the
+    final path. Shared by write_snapshot and recover_stranded_stages.
 
-    Verified-CAS publish: the snapshot is written ONCE to a
-    uuid-unique stage dir containing a unique ``_commit-<token>``
-    marker; each attempt renames the stage onto the next free version
-    and then verifies the marker sits directly under that version
-    path. ``FileSystem.rename`` onto an existing directory moves the
-    stage INSIDE it and still returns true (observed on local FS; HDFS
-    behaves the same), so the rename result alone proves nothing — the
-    marker check is what decides the race. A loser recovers its intact
-    stage dir from inside the winner's version and retries with the
-    next number, so no concurrent commit is ever silently lost."""
+    CRASH WINDOW (ADVICE r7): if this process dies after losing a race
+    (its stage renamed INTO the winner's version) but before the
+    pull-back rename below, the stage dir is stranded NESTED inside a
+    published version — dot-prefixed, so invisible to readers and to
+    snapshot_versions. The commit is not silently lost forever, but it
+    needs recover_stranded_stages() to surface/republish it; vacuum
+    also reports such dirs instead of deleting them blind."""
     fs, root, jvm = _fs(spark, table_path)
     jpath = jvm.org.apache.hadoop.fs.Path
-    token = uuid.uuid4().hex
     stage = f"{table_path}/.stage-{token}"
     marker = f"_commit-{token}"
-    df.write.mode("overwrite").parquet(stage)
-    fs.create(jpath(f"{stage}/{marker}")).close()
     fs.mkdirs(root)  # rename needs an existing destination parent
     while True:
         vs = snapshot_versions(spark, table_path)
@@ -103,6 +102,111 @@ def write_snapshot(spark: SparkSession, df: DataFrame, table_path: str) -> int:
                 )
         # renamed == False (e.g. dst appeared with rename semantics
         # that do fail on existing dst): stage is untouched; retry.
+
+
+def write_snapshot(spark: SparkSession, df: DataFrame, table_path: str) -> int:
+    """Commit df as the next version; return its number.
+
+    Verified-CAS publish: the snapshot is written ONCE to a
+    uuid-unique stage dir containing a unique ``_commit-<token>``
+    marker; each attempt renames the stage onto the next free version
+    and then verifies the marker sits directly under that version
+    path. ``FileSystem.rename`` onto an existing directory moves the
+    stage INSIDE it and still returns true (observed on local FS; HDFS
+    behaves the same), so the rename result alone proves nothing — the
+    marker check is what decides the race. A loser recovers its intact
+    stage dir from inside the winner's version and retries with the
+    next number, so no LIVE concurrent commit is ever silently lost
+    (for the crash window, see _publish_stage / recover_stranded_stages)."""
+    token = uuid.uuid4().hex
+    stage = f"{table_path}/.stage-{token}"
+    fs, _, jvm = _fs(spark, table_path)
+    df.write.mode("overwrite").parquet(stage)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{stage}/_commit-{token}")
+    ).close()
+    return _publish_stage(spark, table_path, token)
+
+
+def find_stranded_stages(
+    spark: SparkSession, table_path: str
+) -> list[dict]:
+    """Janitor scan (ADVICE r7 low): every ``.stage-<token>`` dir left
+    behind by a crashed committer, with enough metadata to decide its
+    fate. Two locations exist:
+
+      * at the TABLE ROOT — the committer died before winning a rename
+        (or right after a pull-back). ``complete`` iff its commit
+        marker exists (the marker is created only after the parquet
+        write finishes, so no marker ⇒ the snapshot data is partial);
+      * NESTED inside a published version — the committer died inside
+        the race-recovery window. Always complete (a stage only
+        reaches a rename with its marker in place) and represents a
+        fully-written commit that was never published.
+
+    Returns [{"path", "token", "nested_in" (version or None),
+    "complete", "mtime_ms"}], oldest first."""
+    fs, p, jvm = _fs(spark, table_path)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(p):
+        return []
+    found: list[dict] = []
+
+    def scan(dir_path: str, nested_in: int | None) -> None:
+        for st in fs.listStatus(jpath(dir_path)):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(".stage-"):
+                token = name[len(".stage-"):]
+                found.append(
+                    {
+                        "path": f"{dir_path}/{name}",
+                        "token": token,
+                        "nested_in": nested_in,
+                        "complete": fs.exists(
+                            jpath(f"{dir_path}/{name}/_commit-{token}")
+                        ),
+                        "mtime_ms": st.getModificationTime(),
+                    }
+                )
+
+    scan(table_path, None)
+    for v in snapshot_versions(spark, table_path):
+        scan(f"{table_path}/v={v:0{_WIDTH}d}", v)
+    return sorted(found, key=lambda d: d["mtime_ms"])
+
+
+def recover_stranded_stages(
+    spark: SparkSession, table_path: str, min_age_ms: int = 3_600_000
+) -> dict[str, int | None]:
+    """Republish or discard crashed committers' stage dirs. Only stages
+    older than ``min_age_ms`` (default 1 h) are touched — a younger one
+    may belong to a committer that is still running its CAS loop.
+
+    COMPLETE stages (marker present, whether nested or at the root) are
+    pulled back to the table root and re-driven through the same
+    verified-CAS publish, so the crashed commit finally lands as a real
+    version — upholding "no commit is silently dropped" across process
+    death. INCOMPLETE root stages (no marker: the parquet write itself
+    died) are deleted. Returns {stage_path: new_version | None
+    (deleted)}; untouched young stages are simply absent."""
+    fs, _, jvm = _fs(spark, table_path)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    now_ms = jvm.java.lang.System.currentTimeMillis()
+    out: dict[str, int | None] = {}
+    for s in find_stranded_stages(spark, table_path):
+        if now_ms - s["mtime_ms"] < min_age_ms:
+            continue
+        if not s["complete"]:
+            fs.delete(jpath(s["path"]), True)
+            out[s["path"]] = None
+            continue
+        root_stage = f"{table_path}/.stage-{s['token']}"
+        if s["nested_in"] is not None and not fs.rename(
+            jpath(s["path"]), jpath(root_stage)
+        ):
+            raise IOError(f"could not un-nest stranded stage {s['path']}")
+        out[s["path"]] = _publish_stage(spark, table_path, s["token"])
+    return out
 
 
 def read_snapshot(
@@ -131,6 +235,21 @@ def vacuum_snapshots(
     fs, _, jvm = _fs(spark, table_path)
     vs = snapshot_versions(spark, table_path)
     drop = vs[:-keep_last]
+    # Janitor guard (ADVICE r7 low): a version slated for deletion may
+    # hide a crashed committer's COMPLETE stage dir — an unpublished
+    # commit. Deleting it blind would turn the crash window into real
+    # data loss; surface it instead.
+    doomed = {
+        s["path"]
+        for s in find_stranded_stages(spark, table_path)
+        if s["complete"] and s["nested_in"] in set(drop)
+    }
+    if doomed:
+        raise IOError(
+            "vacuum would delete unpublished commit(s) stranded by a "
+            f"crashed committer: {sorted(doomed)} — run "
+            "recover_stranded_stages() first"
+        )
     for v in drop:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(f"{table_path}/v={v:0{_WIDTH}d}"),

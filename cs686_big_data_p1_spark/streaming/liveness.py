@@ -105,30 +105,45 @@ def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_STATE_PARTITIONS = 8
 
 
+def stream_clone(spark: SparkSession) -> SparkSession:
+    """Isolated session for one stream drain (ADVICE r7 low): same
+    SparkContext, but a cloned SQL conf/catalog, so sizing the stream's
+    state-partition width cannot race a concurrent batch query on the
+    caller's session (the old approach mutated session-global
+    spark.sql.shuffle.partitions around the drain, and overlapping
+    streams could restore each other's stale previous value).
+
+    newSession() does NOT inherit runtime-set confs, so the semantic
+    ones (UTC timezone, AQE, nanos flag) are re-applied via
+    configure_existing — the same contract the driver's foreign session
+    gets. Derived-view caching is unaffected: views._VIEW_CACHE keys by
+    applicationId, which clones share."""
+    from ..session import configure_existing
+
+    s2 = configure_existing(spark.newSession())
+    s2.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    return s2
+
+
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into a
-    memory sink; return the final result table. Runs under
-    STREAM_STATE_PARTITIONS (see above); the session's batch shuffle
-    width is restored before the drained table is returned, so
-    downstream batch stages (ranking the drained rows etc.) keep the
-    batch setting."""
-    spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    memory sink; return the final result table. The registry callables
+    build their streams on a stream_clone() session, so the
+    STREAM_STATE_PARTITIONS width set there is session-local for the
+    whole drain; this helper no longer touches any conf (a caller that
+    hands in a stream on a shared session simply drains at that
+    session's width)."""
     name = "s" + uuid.uuid4().hex[:12]
-    try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
-        )
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
@@ -149,6 +164,7 @@ def stream_node_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Complete-mode aggregation: state is one row per node — bounded by
     cluster size, the canonical streaming-agg shape."""
+    spark = stream_clone(spark)  # session-local drain conf
     with nanos_as_long(spark):
         hb = heartbeat_stream(spark, sf_dir)
         agg = hb.groupBy("host", "port").agg(F.max("ts").alias("last_ts"))
@@ -207,6 +223,7 @@ def stream_hb_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog of HeartbeatMonitor's timeout scan. Watermark bounds state;
     append mode emits each session exactly once when it finalizes
     (session_end <= final watermark; the oracle mirrors the predicate)."""
+    spark = stream_clone(spark)  # session-local drain conf
     with nanos_as_long(spark):
         hb = heartbeat_stream(spark, sf_dir)
         sess = (
@@ -235,6 +252,7 @@ def stream_corruption_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds: stream ⋈ static replicas (on node) ⋈ static stored-vs-computed
     checksums, keeping mismatches. Static sides are broadcast; the
     stream never shuffles."""
+    spark = stream_clone(spark)  # session-local drain conf
     from ..views import checksums_stored_df, chunks_df, replicas_df
 
     with nanos_as_long(spark):
@@ -274,6 +292,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-parity pytest checks the survivor set against dedup_exact's
     keeper rule (the fixture stream arrives in doc_id order, so
     first-seen == min doc_id)."""
+    spark = stream_clone(spark)  # session-local drain conf
     from ..tables import SCHEMAS
 
     docs = (
@@ -295,6 +314,7 @@ def stream_event_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     switch in controller/MessageProcessor.java:35-68 as a complete-mode
     streaming aggregation; state is one counter per message variant,
     bounded by the 18-variant wire IR). Batch analog: event_dispatch."""
+    spark = stream_clone(spark)  # session-local drain conf
     with nanos_as_long(spark):
         # ts-unit branch mirrors heartbeat_stream: on a
         # TIMESTAMP(NANOS) fixture generation the micros schema would

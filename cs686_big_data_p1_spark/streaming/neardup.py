@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from ..operators.llm import MAX_BUCKET_DOCS, band_signatures, shingles_of
 from ..registry import query
 from ..tables import SCHEMAS
+from .liveness import stream_clone
 
 STREAM_NEARDUP_MIN_JACCARD = 0.5  # same cut as dedup_clusters' edges
 
@@ -229,6 +230,7 @@ def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl-ingest form of dedup_near; see module docstring). Rows-only:
     the batch analog carries the oracle, and the multi-batch parity
     pytest pins stream-final == batch jaccard >= 0.5 pair set."""
+    spark = stream_clone(spark)  # session-local drain conf
     docs = (
         spark.readStream.schema(SCHEMAS["documents"])
         .option("pathGlobFilter", "documents.parquet")

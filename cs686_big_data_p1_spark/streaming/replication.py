@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..operators.dfs_meta import replication_orders
 from ..registry import query
 from ..views import MAX_HEARTBEAT_AGE_SQL
-from .liveness import heartbeat_stream, nanos_as_long
+from .liveness import heartbeat_stream, nanos_as_long, stream_clone
 
 
 @query("stream_replication_orders")
@@ -41,6 +41,7 @@ def stream_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream→join→window composition is not single-statement
     SQL-expressible; the batch analog replication_orders carries the
     oracle, and the parity pytest pins stream ≡ batch)."""
+    spark = stream_clone(spark)  # session-local drain conf
     result: dict[str, DataFrame] = {}
 
     def emit_orders(snapshot: DataFrame, batch_id: int) -> None:

@@ -52,7 +52,12 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..views import oracle
-from .liveness import _run_to_memory, heartbeat_stream, nanos_as_long
+from .liveness import (
+    _run_to_memory,
+    heartbeat_stream,
+    nanos_as_long,
+    stream_clone,
+)
 
 MAX_HEARTBEAT_AGE = datetime.timedelta(milliseconds=30000)  # dfs.properties:3
 MAX_HEARTBEAT_AGE_MS = 30000
@@ -167,6 +172,7 @@ def stream_liveness_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time timeout against the global watermark. The drained final
     state is a plain aggregation, so it carries a full DuckDB oracle;
     tests additionally assert batch parity and that silent nodes die."""
+    spark = stream_clone(spark)  # session-local drain conf
     with nanos_as_long(spark):
         hb = (
             heartbeat_stream(spark, sf_dir)

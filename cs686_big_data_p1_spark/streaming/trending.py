@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..tables import EVENTS_NANOS_SCHEMA, SCHEMAS, events_ts_unit
-from .liveness import _run_to_memory, nanos_as_long
+from .liveness import _run_to_memory, nanos_as_long, stream_clone
 
 TRENDING_K = 3
 TRENDING_DELAY = "90 minutes"  # watermark: late-event allowance
@@ -84,6 +84,7 @@ def stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregated (not raw) rows — window_start is a high-cardinality
     partitioning key and each partition holds at most #event_types
     rows, so the rank is trivially bounded at any scale."""
+    spark = stream_clone(spark)  # session-local drain conf
     with nanos_as_long(spark):
         ev = events_stream(spark, sf_dir).select("ts", "event_type")
         counts = (
@@ -137,6 +138,7 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compares against the batch range-join oracle with no
     finalization predicate. lag_s is exact integer microsecond math
     (the event_sessionize rationale)."""
+    spark = stream_clone(spark)  # session-local drain conf
     with nanos_as_long(spark):
         ev = events_stream(spark, sf_dir)
         views = (
@@ -237,6 +239,7 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     row set (parity pytest). State is O(#active (user,type) keys) x 8
     bytes — the bounded-state shape every stateful operator in this
     engine maintains."""
+    spark = stream_clone(spark)  # session-local drain conf
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     with nanos_as_long(spark):
@@ -277,6 +280,7 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-window duplicate suppressed, key evicted after the watermark —
     are pinned by tests/test_streaming.py on a purpose-built stream.
     """
+    spark = stream_clone(spark)  # session-local drain conf
     with nanos_as_long(spark):
         ev = events_stream(spark, sf_dir)
         out = (
@@ -299,6 +303,7 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct_customers_approx (same sketch, same rsd) and the
     tolerance pytest vs the exact per-window distinct.
     """
+    spark = stream_clone(spark)  # session-local drain conf
     with nanos_as_long(spark):
         ev = events_stream(spark, sf_dir).select("ts", "user_id")
         counts = (

@@ -259,18 +259,32 @@ def test_max_concurrency_matches_bruteforce_sweep(spark):
         max_concurrency,
     )
 
+    import datetime
+
     sess = event_sessionize(spark, SF_SMALL).collect()
     deltas = []
     for r in sess:
         deltas.append((r.session_start, 1))
         deltas.append((r.session_end, -1))
     deltas.sort(key=lambda d: (d[0], -d[1]))
+    day_of = lambda ts: ts.replace(  # noqa: E731
+        hour=0, minute=0, second=0, microsecond=0
+    )
     conc = 0
-    peak: dict = {}
+    day_max: dict = {}
     for ts, d in deltas:
         conc += d
-        day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
-        peak[day] = max(peak.get(day, conc), conc)
+        day = day_of(ts)
+        day_max[day] = max(day_max.get(day, conc), conc)
+    # densified semantics: every calendar day appears; its peak is the
+    # max concurrency at any instant, including midnight carry-in
+    days = sorted({day_of(ts) for ts, _ in deltas})
+    peak: dict = {}
+    d = days[0]
+    while d <= days[-1]:
+        carry_in = sum(dd for ts, dd in deltas if day_of(ts) < d)
+        peak[d] = max(carry_in, day_max.get(d, carry_in))
+        d += datetime.timedelta(days=1)
     got = {
         r.day: r.peak_concurrency
         for r in max_concurrency(spark, SF_SMALL).collect()

@@ -278,12 +278,68 @@ def test_coverage_time_matches_bruteforce_union(spark):
     got = {
         r.day: r.covered_us for r in coverage_time(spark, SF_SMALL).collect()
     }
-    # the query scopes to days that have deltas (a day whose only
-    # activity is zero-length single-beat sessions reports 0)
+    # densified output: every calendar day between the first and last
+    # delta day appears, deltaless covered days at the full 86400 s
     delta_days = {
         t.replace(hour=0, minute=0, second=0, microsecond=0)
         for pair in sess
         for t in pair
     }
-    want = {d: day_cov.get(d, 0) for d in delta_days}
+    d = min(delta_days)
+    want = {}
+    while d <= max(delta_days):
+        want[d] = day_cov.get(d, 0)
+        d += datetime.timedelta(days=1)
     assert got == want
+
+
+def test_sweepline_densify_spanned_and_idle_days(spark, tmp_path):
+    """ADVICE r6/r7 low: a session spanning whole calendar days must
+    surface those deltaless days as fully covered (86400 s, peak =
+    carry-in), and a deltaless idle gap day must surface as 0 — not
+    vanish from the output."""
+    import datetime
+
+    from cs686_big_data_p1_spark.operators.sessions import (
+        SESSION_GAP_S,
+        coverage_time,
+        max_concurrency,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    step = SESSION_GAP_S // 2
+    rows = []
+    # user 1: continuous beats Jan 1 12:00 -> Jan 4 12:00 (one session
+    # fully spanning Jan 2 and Jan 3)
+    n = (3 * 86400) // step + 1
+    for i in range(n):
+        rows.append((i, base + datetime.timedelta(seconds=i * step), 1,
+                     "view", 0.0, "{}"))
+    # user 2: one beat on Jan 7 (leaves Jan 5 + Jan 6 as idle gap days)
+    rows.append((n, base + datetime.timedelta(days=6), 2, "view", 0.0,
+                 "{}"))
+    sf = str(tmp_path)
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(f"{sf}/events.parquet", index=False)
+
+    day = lambda d: base.replace(hour=0) + datetime.timedelta(days=d)  # noqa: E731
+    cov = {r.day: r.covered_us for r in coverage_time(spark, sf).collect()}
+    assert sorted(cov) == [day(i) for i in range(7)]
+    assert cov[day(1)] == 86_400_000_000  # fully spanned, no deltas
+    assert cov[day(2)] == 86_400_000_000
+    assert cov[day(4)] == 0  # idle gap day
+    assert cov[day(5)] == 0
+    assert cov[day(0)] == 12 * 3600 * 1_000_000
+    assert cov[day(3)] == 12 * 3600 * 1_000_000
+
+    peak = {
+        r.day: r.peak_concurrency
+        for r in max_concurrency(spark, sf).collect()
+    }
+    assert sorted(peak) == [day(i) for i in range(7)]
+    assert peak[day(1)] == 1 and peak[day(2)] == 1  # carry-in only
+    assert peak[day(4)] == 0 and peak[day(5)] == 0
+    assert peak[day(3)] == 1  # ends mid-day: midnight carry counts
+    assert peak[day(6)] == 1

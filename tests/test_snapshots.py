@@ -113,3 +113,56 @@ def test_snapshot_publish_race_loser_retries(spark, tmp_path, monkeypatch):
     fs, p, jvm = real_fs_fn(spark, f"{tbl}/v=00000002")
     names = [st.getPath().getName() for st in fs.listStatus(p)]
     assert not any(n.startswith(".stage-") for n in names)
+
+
+def test_stranded_stage_janitor_recovers_lost_commit(spark, tmp_path):
+    """ADVICE r7 low: a committer that crashed between the nesting
+    rename and the pull-back leaves its complete stage inside the
+    winner's version. The janitor must (a) surface it, (b) refuse to
+    vacuum the hiding version, (c) republish it as a real version; an
+    INCOMPLETE root stage (crash mid-write, no marker) is deleted; a
+    young stage is left alone."""
+    import os
+
+    from cs686_big_data_p1_spark.sources.snapshots import (
+        find_stranded_stages,
+        recover_stranded_stages,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    for k in range(3):
+        write_snapshot(spark, spark.range(k + 1), tbl)  # v1..v3
+
+    # crash window artifact: complete stage (data + marker) nested in v1
+    token = "deadbeef"
+    nested = f"{tbl}/v=00000001/.stage-{token}"
+    spark.range(500, 504).write.parquet(nested)
+    open(os.path.join(nested, f"_commit-{token}"), "w").close()
+    # crash mid-write artifact: incomplete root stage, no marker
+    os.makedirs(f"{tbl}/.stage-aborted1")
+
+    found = {s["token"]: s for s in find_stranded_stages(spark, tbl)}
+    assert found[token]["nested_in"] == 1 and found[token]["complete"]
+    assert found["aborted1"]["nested_in"] is None
+    assert not found["aborted1"]["complete"]
+
+    # vacuum that would delete v1 must refuse while the commit hides there
+    with pytest.raises(IOError):
+        vacuum_snapshots(spark, tbl, keep_last=1)
+    assert snapshot_versions(spark, tbl) == [1, 2, 3]
+
+    # young stages are untouched
+    assert recover_stranded_stages(spark, tbl, min_age_ms=10**9) == {}
+    assert {s["token"] for s in find_stranded_stages(spark, tbl)} == {
+        token, "aborted1"
+    }
+
+    out = recover_stranded_stages(spark, tbl, min_age_ms=0)
+    assert out[f"{tbl}/v=00000001/.stage-{token}"] == 4  # republished
+    assert out[f"{tbl}/.stage-aborted1"] is None  # deleted
+    assert find_stranded_stages(spark, tbl) == []
+    assert {r.id for r in read_snapshot(spark, tbl, 4).collect()} == {
+        500, 501, 502, 503
+    }
+    # with the commit recovered, vacuum proceeds
+    assert vacuum_snapshots(spark, tbl, keep_last=2) == [1, 2]

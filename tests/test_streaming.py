@@ -654,3 +654,27 @@ def test_stream_distinct_users_tolerance_and_finalization(spark, registry):
         assert r.window_end <= final_wm  # finalized only
         n = exact[(r.window_start, r.window_end)]
         assert abs(r.approx_users - n) <= max(2, 0.05 * n), (r, n)
+
+
+def test_stream_drain_is_session_isolated(spark, registry):
+    """ADVICE r7 low: stream drains must run on a cloned session (their
+    own shuffle-partition width) and leave the caller's session conf
+    untouched — no mutate-and-restore window a concurrent batch query
+    could observe."""
+    from cs686_big_data_p1_spark.streaming.liveness import (
+        STREAM_STATE_PARTITIONS,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = registry.QUERIES["stream_node_last_seen"](spark, SF_SMALL)
+    assert out.sparkSession is not spark
+    assert out.sparkSession.conf.get("spark.sql.shuffle.partitions") == str(
+        STREAM_STATE_PARTITIONS
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    # semantic confs carried onto the clone (timezone drives oracle
+    # parity of drained timestamps)
+    assert (
+        out.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC"
+    )
+    assert len(out.collect()) > 0
