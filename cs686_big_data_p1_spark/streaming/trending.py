@@ -321,3 +321,75 @@ def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return _run_to_memory(counts, "append")
+
+
+SESSIONIZE_DELAY = "40 minutes"  # watermark: late-event allowance
+
+def _stream_sessionize_oracle() -> str:
+    from ..operators.sessions import SESSION_GAP_S, SESSIONIZE_ORACLE
+
+    return f"""
+WITH sess AS ({SESSIONIZE_ORACLE})
+SELECT user_id, session_start, session_end, n_events, n_purchases,
+       total_value
+FROM sess
+WHERE session_end + INTERVAL {SESSION_GAP_S} SECOND
+      <= (SELECT max(ts) FROM events) - INTERVAL {SESSIONIZE_DELAY}
+"""
+
+
+@query("stream_sessionize", oracle=_stream_sessionize_oracle())
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_sessionize's streaming sibling (VERDICT r6/r7 gap #4):
+    per-user session windows (30-minute gap) maintained IN-STREAM via
+    session_window() + watermark, append mode — each session is
+    emitted exactly once when the watermark passes its close, the
+    production shape for live sessionization (state = open sessions
+    only, bounded by active users x late-event allowance; batch
+    re-sessionizes the world every run).
+
+    Same rollup columns as the batch operator (exact fixed-point
+    total_value); session_end reports the LAST EVENT's ts
+    (session_window.end minus the gap), matching batch. No session_id:
+    an append stream cannot number a user's sessions without total
+    order over the unbounded past — consumers key on
+    (user_id, session_start), which is unique. The oracle is the batch
+    sessionize filtered by the same finalization predicate append mode
+    applies (stream_hb_session's empirically-pinned boundary rules:
+    exact-gap beats MERGE, session_end + gap == final watermark
+    EMITS) — so this registers ORACLE-EXACT, not rows-only; the pytest
+    additionally pins stream == filtered batch row-for-row."""
+    from ..operators.analytics import s6, unscale
+    from ..operators.sessions import SESSION_GAP_S
+
+    spark = stream_clone(spark)  # session-local drain conf
+    with nanos_as_long(spark):
+        ev = events_stream(spark, sf_dir).select(
+            "user_id", "ts", "event_type", "value"
+        )
+        sess = (
+            ev.withWatermark("ts", SESSIONIZE_DELAY)
+            .groupBy(
+                "user_id",
+                F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                    "n_purchases"
+                ),
+                F.sum(s6("value")).alias("tv_scaled"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                (
+                    F.col("w.end")
+                    - F.expr(f"INTERVAL {SESSION_GAP_S} SECOND")
+                ).alias("session_end"),
+                "n_events",
+                "n_purchases",
+                unscale("tv_scaled", 6).alias("total_value"),
+            )
+        )
+        return _run_to_memory(sess, "append")

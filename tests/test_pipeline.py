@@ -212,3 +212,85 @@ def test_domain_resample_temperature_mixture(spark, registry):
             exp = n * p
             tol = 4 * math.sqrt(n * p * (1 - p)) + 2
             assert abs(kept.get(lang, 0) - exp) <= tol, (lang, kept.get(lang), exp)
+
+
+def test_cap_domains_two_stage_exact_on_hot_domain(spark):
+    """The salted two-stage cap must return EXACTLY the rows and ranks
+    a single per-domain window would, including on a pathological hot
+    domain (10x everything else), and stage 1 must actually shard the
+    hot domain across salts."""
+    from pyspark.sql.window import Window
+
+    from cs686_big_data_p1_spark.operators.pipeline import (
+        DOMAIN_CAP_N,
+        DOMAIN_CAP_SALTS,
+        cap_domains,
+    )
+
+    rows = [(i, "hot") for i in range(2000)] + [
+        (10_000 + i, f"cold{i % 7}") for i in range(200)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        (r.doc_id, r.source): r.domain_rank
+        for r in cap_domains(d).collect()
+    }
+    key = F.md5(F.format_string("cap|%d", F.col("doc_id")))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    want = {
+        (r.doc_id, r.source): r.rank
+        for r in d.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= DOMAIN_CAP_N)
+        .collect()
+    }
+    assert got == want
+    assert sum(1 for (_, s) in got if s == "hot") == DOMAIN_CAP_N
+    # stage-1 sharding really spreads the hot domain
+    n_salts = (
+        d.where(F.col("source") == "hot")
+        .select(F.pmod(F.xxhash64("doc_id"), F.lit(DOMAIN_CAP_SALTS)))
+        .distinct()
+        .count()
+    )
+    assert n_salts == DOMAIN_CAP_SALTS
+
+
+def test_lm_score_orders_fluent_above_shuffled(spark, tmp_path):
+    """A document made of the corpus' dominant bigrams must outscore a
+    token-identical document with the adjacency scrambled (same
+    unigrams, broken bigrams -> backoff), and n_backoff must say why."""
+    import pandas as pd
+
+    from cs686_big_data_p1_spark.operators.pipeline import lm_score
+
+    from cs686_big_data_p1_spark.operators.pipeline import LM_BIGRAM_K
+
+    common = "the cat sat on the mat and the cat ran off the mat again"
+    docs = [common] * 20  # trains the bigram model
+    # filler docs overflow the pruned model with singleton bigrams that
+    # rank ahead of the scrambled doc's singletons in the (count desc,
+    # w1, w2) tie-break ('a...' sorts first), evicting them
+    n_fill = LM_BIGRAM_K // 100 + 5
+    for k in range(n_fill):
+        docs.append(" ".join(f"a{k:02d}w{i:03d}" for i in range(101)))
+    docs.append("the cat sat on the mat and the cat")       # fluent
+    docs.append("cat the mat sat the on and ran the off")   # scrambled
+    pd.DataFrame(
+        {
+            "doc_id": range(1, len(docs) + 1),
+            "text": docs,
+            "lang": "en",
+            "source": "src1",
+            "n_chars": [len(t) for t in docs],
+        }
+    ).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+    got = {r.doc_id: r for r in lm_score(spark, str(tmp_path)).collect()}
+    fluent, scrambled = got[len(docs) - 1], got[len(docs)]
+    assert fluent.lm_score > scrambled.lm_score
+    assert fluent.n_backoff == 0
+    assert scrambled.n_backoff > 0
+    # deterministic across runs (pruned model has a total-order rank)
+    again = {r.doc_id: r for r in lm_score(spark, str(tmp_path)).collect()}
+    assert {(k, v.lm_score) for k, v in got.items()} == {
+        (k, v.lm_score) for k, v in again.items()
+    }

@@ -678,3 +678,37 @@ def test_stream_drain_is_session_isolated(spark, registry):
         out.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC"
     )
     assert len(out.collect()) > 0
+
+
+def test_stream_sessionize_matches_finalized_batch(spark, registry):
+    """stream_sessionize (append, watermarked session_window) must
+    equal the batch event_sessionize rows whose sessions had finalized
+    at the drain's watermark — row-for-row, including the exact
+    fixed-point totals."""
+    import datetime
+
+    from cs686_big_data_p1_spark.operators.sessions import (
+        SESSION_GAP_S,
+        event_sessionize,
+    )
+
+    got = {
+        (r.user_id, r.session_start): (
+            r.session_end, r.n_events, r.n_purchases, r.total_value
+        )
+        for r in registry.QUERIES["stream_sessionize"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    batch = event_sessionize(spark, SF_SMALL).collect()
+    max_ts = max(r.session_end for r in batch)
+    horizon = max_ts - datetime.timedelta(minutes=40)
+    want = {
+        (r.user_id, r.session_start): (
+            r.session_end, r.n_events, r.n_purchases, r.total_value
+        )
+        for r in batch
+        if r.session_end + datetime.timedelta(seconds=SESSION_GAP_S)
+        <= horizon
+    }
+    assert got == want and len(got) > 0
