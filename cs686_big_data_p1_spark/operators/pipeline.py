@@ -1041,3 +1041,75 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("backoff").cast("int").alias("n_backoff"),
         (F.sum("p6").cast("double") / F.count(F.lit(1))).alias("lm_score"),
     )
+
+
+# --- Perplexity-style pruning bands over the LM score --------------------
+
+LM_BAND_LOW_PCT = 10   # drop the least-fluent 10% (noise / wrong language)
+LM_BAND_HIGH_PCT = 5   # drop the most-fluent 5% (boilerplate / templates)
+
+LM_BAND_ORACLE = f"""
+WITH scored AS ({LM_SCORE_ORACLE}),
+ranked AS (
+  SELECT doc_id, score6,
+         percent_rank() OVER (ORDER BY score6, doc_id) AS pr
+  FROM (SELECT doc_id, (sum6 * {LM_SCALE}) // n_pairs AS score6
+        FROM (SELECT doc_id, n_pairs,
+                     CAST(round(lm_score * n_pairs) AS HUGEINT) AS sum6
+              FROM scored))
+)
+SELECT doc_id, score6,
+       CASE WHEN pr < {LM_BAND_LOW_PCT} / 100.0 THEN 'low'
+            WHEN pr >= 1.0 - {LM_BAND_HIGH_PCT} / 100.0 THEN 'high'
+            ELSE 'keep' END AS band
+FROM ranked
+"""
+
+
+@query("lm_quality_band", oracle=LM_BAND_ORACLE)
+def lm_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter composition (the CCNet/Gopher recipe): rank
+    every document by its LM fluency and band the corpus — drop the
+    least-fluent {LM_BAND_LOW_PCT}% (noise, wrong language) AND the
+    most-fluent {LM_BAND_HIGH_PCT}% (boilerplate, templated text),
+    keep the middle. The banding signal is the exact integer
+    score6 = (sum_p6 * 1e6) div n_pairs (both already exact bigints
+    from lm_score's fixed-point pipeline), so band boundaries cannot
+    drift between engines.
+
+    Scale: this is the two-phase global rank's PRODUCTION shape — a
+    derived integer score with heavy ties (floor-division quantizes;
+    backoff-dominated docs pile onto identical scores), ranked with
+    _two_phase_global_rank: tied hot buckets sub-split on doc_id, no
+    single-partition window anywhere (the r8 tie-skew fix doing real
+    work, not just surviving a pytest). percent_rank is arithmetic
+    over the exact (rank, n) pair."""
+    from .analytics import (
+        _percent_rank_from_rank,
+        _two_phase_global_rank,
+    )
+
+    s = lm_score(spark, sf_dir)
+    # reconstruct the exact 1e6-scaled pair-sum (lm_score = sum/n in
+    # double; round() recovers the integer exactly because sum_p6 and
+    # n_pairs are both exact and the quotient is correctly rounded)
+    d = s.select(
+        "doc_id",
+        "n_pairs",
+        F.round(F.col("lm_score") * F.col("n_pairs"))
+        .cast("decimal(38,0)")
+        .alias("sum6"),
+    ).select(
+        "doc_id",
+        F.expr(f"(sum6 * {LM_SCALE}) div n_pairs").alias("score6"),
+    )
+    ranked = _two_phase_global_rank(d, "score6", "doc_id")
+    pr = _percent_rank_from_rank()
+    return ranked.select(
+        "doc_id",
+        "score6",
+        F.when(pr < LM_BAND_LOW_PCT / 100.0, "low")
+        .when(pr >= 1.0 - LM_BAND_HIGH_PCT / 100.0, "high")
+        .otherwise("keep")
+        .alias("band"),
+    )

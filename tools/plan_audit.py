@@ -371,6 +371,11 @@ GLOBAL_WINDOW_WAIVERS: dict[str, dict] = {
         "reason": "last of three two-phase ranks (earlier ranks are "
         "behind eager checkpoints); bounded composite histogram",
     },
+    "lm_quality_band": {
+        "max": 1,
+        "reason": "two-phase rank over the per-doc LM score: cumulative "
+        "offsets over the bounded composite (_bkt, _sub) histogram",
+    },
 }
 
 
