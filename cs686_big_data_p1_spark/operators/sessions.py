@@ -611,15 +611,18 @@ def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "carry_in")
     )
-    inner = (
-        day_running.join(F.broadcast(offsets), "day")
-        .groupBy("day")
-        .agg(F.max(F.col("run") + F.col("carry_in")).alias("mx"))
-    )
-    return offsets.join(inner, "day", "left").select(
+    # aggregate the in-day maxima BEFORE touching offsets (carry_in is
+    # constant per day, so max(run + carry) = carry + max(run)): offsets
+    # — and its bounded cumulative window — appears exactly ONCE in the
+    # plan, and the delta stream never joins the offset table at all
+    inner = day_running.groupBy("day").agg(F.max("run").alias("mx_run"))
+    return offsets.join(F.broadcast(inner), "day", "left").select(
         "day",
         F.greatest(
-            F.col("carry_in"), F.coalesce(F.col("mx"), F.col("carry_in"))
+            F.col("carry_in"),
+            F.coalesce(
+                F.col("carry_in") + F.col("mx_run"), F.col("carry_in")
+            ),
         )
         .cast("int")
         .alias("peak_concurrency"),
@@ -950,7 +953,7 @@ def coverage_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("cov_us")
     )
-    return offs.join(inner, "day", "left").select(
+    return offs.join(F.broadcast(inner), "day", "left").select(
         "day",
         (
             F.coalesce("cov_us", F.lit(0))
