@@ -959,19 +959,22 @@ def _rank_bucketed(
         where the replaced Window.orderBy put them: FIRST for asc
         (bucket -1), LAST for desc (bucket B) — Spark's asc/desc
         defaults.
-      * `_sub` — tie sub-bucket, non-zero only inside a bucket that (a)
-        holds a single distinct value (null-safe compare, so the
-        all-NULL sentinel bucket splits too — its rows also order
-        purely by tie), (b) is hot (> n/B rows), and (c) has a numeric
-        tie with a non-overflowing range. Such a bucket's rows order
-        purely by tie_col, so equal-width tie ranges are monotone;
-        sub-bucket counts are allocated proportionally
-        (m = min(B, count*B/n + 1)), keeping the composite histogram
-        <= ~2B rows total. NULL ties get sentinel sub -1 (tie asc =
-        NULLS FIRST). The residual skew case — a hot bucket spanning
-        MULTIPLE distinct values (possible only when the value range
-        exceeds B with mass piled on adjacent values) — is not split;
-        its row_number still runs in one task.
+      * `_sub` — second-level sub-bucket inside any HOT bucket
+        (> n/B rows), on whichever range still discriminates: a
+        SINGLE-value bucket (null-safe compare, so the all-NULL
+        sentinel bucket splits too) orders purely by tie and splits on
+        equal-width TIE ranges (requires a numeric tie with a
+        non-overflowing range); a MULTI-value bucket (possible only
+        when the value range exceeds B) splits on equal-width VALUE
+        ranges within the bucket. Both keys are monotone in the total
+        order (value asc, tie asc). Sub-bucket counts are allocated
+        proportionally (m = min(B, count*B/n + 1)), keeping the
+        composite histogram <= ~2B rows total. NULL sub-keys get
+        sentinel sub -1 (tie asc = NULLS FIRST). Residual: ONE level
+        of splitting — a single tied value holding > n/B rows of a
+        WIDE-range column lands in one value-sub whose row_number is
+        one task; closing that fully is the same tie-split machinery
+        recursed once more.
 
     The input is localCheckpoint'ed (the dedup_clusters/pagerank
     lineage-cut discipline): the plan references it several times
@@ -1022,27 +1025,50 @@ def _rank_bucketed(
         (F.max("_t") - F.min("_t")).alias("_tr"),
         F.first("_tot").alias("_tot"),
     )
+    # A hot bucket (> n/B rows) sub-splits on whichever range still
+    # discriminates: a SINGLE-value bucket (null-safe compare — the
+    # all-NULL sentinel bucket qualifies) orders purely by tie, so it
+    # splits on equal-width TIE ranges; a MULTI-value bucket (possible
+    # only when the value range exceeds B) splits on equal-width VALUE
+    # ranges within the bucket. Both are monotone in the total order
+    # (value asc, tie asc), so cumulative offsets stay exact.
+    single = F.expr("_bv_lo <=> _bv_hi")
+    hot = F.col("_c") * RANK_BUCKETS > F.col("_tot")
+    splittable = F.when(single, F.col("_tr").isNotNull()).otherwise(
+        F.lit(True)
+    )
     stats = stats.withColumn(
         "_m",
         F.when(
-            F.expr("_bv_lo <=> _bv_hi")
-            & (F.col("_c") * RANK_BUCKETS > F.col("_tot"))
-            & F.col("_tr").isNotNull(),
+            hot & splittable,
             F.least(
                 F.lit(RANK_BUCKETS).cast("bigint"),
                 (F.col("_c") * RANK_BUCKETS / F.col("_tot")).cast("bigint")
                 + 1,
             ),
         ).otherwise(F.lit(1).cast("bigint")),
-    ).withColumn("_sw", F.expr("_tr div _m + 1"))
-    stats = track_cache(stats.select("_bkt", "_m", "_sw", "_bt_lo"))
+    ).select(
+        "_bkt",
+        "_m",
+        single.alias("_single"),
+        F.when(single, F.expr("_tr div _m + 1"))
+        .otherwise(F.expr("(_bv_hi - _bv_lo) div _m + 1"))
+        .alias("_sw"),
+        F.when(single, F.col("_bt_lo")).otherwise(F.col("_bv_lo")).alias(
+            "_base"
+        ),
+    )
+    stats = track_cache(stats)
     d = d.drop("_tot").join(F.broadcast(stats), "_bkt")
+    d = d.withColumn(
+        "_sk", F.when(F.col("_single"), F.col("_t")).otherwise(F.col("_v"))
+    )
     d = d.withColumn(
         "_sub",
         F.when(F.col("_m") == 1, F.lit(0).cast("bigint"))
-        .when(F.col("_t").isNull(), F.lit(-1).cast("bigint"))
-        .otherwise(F.expr("(_t - _bt_lo) div _sw").cast("bigint")),
-    ).drop("_t", "_m", "_sw", "_bt_lo")
+        .when(F.col("_sk").isNull(), F.lit(-1).cast("bigint"))
+        .otherwise(F.expr("(_sk - _base) div _sw").cast("bigint")),
+    ).drop("_t", "_sk", "_m", "_single", "_sw", "_base")
     return d
 
 

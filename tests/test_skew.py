@@ -170,3 +170,41 @@ def test_two_phase_rank_non_numeric_tie_still_exact(spark):
     )
     got, want = _rank_pairs(df, "v", "tie", False)
     assert got == want
+
+
+def test_two_phase_rank_splits_multivalue_hot_bucket(spark):
+    """Wide value range (forces bucket width > 1) with 90% of the mass
+    on a narrow band of ADJACENT values: the hot bucket holds many
+    distinct values, so the tie split can't apply — it must sub-split
+    on VALUE ranges instead, and ranks stay exact."""
+    from cs686_big_data_p1_spark.operators.analytics import (
+        RANK_BUCKETS,
+        _rank_bucketed,
+    )
+
+    n = 20_000
+    # values: 90% in [0, 400) (well inside one width-~2500 bucket of
+    # the [0, 10^7] range), 10% spread over the full range
+    df = spark.range(n).select(
+        F.col("id").alias("tie"),
+        F.when(F.col("id") % 10 != 0, F.col("id") % 400)
+        .otherwise((F.col("id") * 499) % 10_000_000)
+        .alias("v"),
+    )
+    sizes = [
+        r["c"]
+        for r in _rank_bucketed(df, "v", "tie")
+        .groupBy("_bkt", "_sub")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    cap = 4 * (n // RANK_BUCKETS + 1)
+    # the dominant band spans 400 distinct values: a value-range split
+    # cannot go below per-value granularity (400/subs >= 1 value per
+    # sub, each ~45 rows here), but the old whole-bucket pileup
+    # (18k rows in one task) must be gone
+    assert max(sizes) <= max(cap, 2 * (18_000 // 400 + 1)), max(sizes)
+    assert sum(sizes) == n
+    for desc in (False, True):
+        got, want = _rank_pairs(df, "v", "tie", desc)
+        assert got == want, f"desc={desc}"
