@@ -41,15 +41,17 @@ SORT_SAMPLE_PER_PARTITION = 200  # boundary-sample rows per target part
 
 
 def _lex_less(cols: list[str], bound: tuple) -> Column:
-    """Lexicographic `bound < row-key` over the column tuple (NULLs in
-    the bound are not supported; data NULLs sort FIRST like Spark's
-    asc default, since NULL < literal is null -> falsy in the OR
-    chain only when guarded)."""
+    """Lexicographic `bound < row-key` over the column tuple, NULL-SAFE
+    for data NULLs (boundaries themselves are never NULL — see
+    range_boundaries): a NULL key component sorts BELOW every boundary
+    value (Spark's asc NULLS FIRST), which falls out of coalescing the
+    null comparison to false — `bound < NULL` is not-less, so the row
+    lands in the earliest partition its non-null prefix allows."""
     # bound < key  <=>  OR_i ( AND_{j<i} b_j = k_j ) AND b_i < k_i
     terms = []
     for i, c in enumerate(cols):
         eqs = [F.lit(bound[j]).eqNullSafe(F.col(cols[j])) for j in range(i)]
-        lt = F.lit(bound[i]) < F.col(c)
+        lt = F.coalesce(F.lit(bound[i]) < F.col(c), F.lit(False))
         terms.append(reduce(lambda a, b: a & b, eqs, F.lit(True)) & lt)
     return reduce(lambda a, b: a | b, terms)
 
@@ -67,14 +69,18 @@ def range_boundaries(
     before quantile selection). Bounded driver collect:
     <= sample_per_partition x num_partitions rows."""
     n_sample = sample_per_partition * num_partitions
-    total = df.count()
+    # NULL keys are excluded from boundary candidates (a NULL boundary
+    # has no defined lexicographic position); NULL-keyed DATA rows
+    # still sort correctly — _lex_less treats them as below every
+    # boundary, so they land in partition 0, Spark's asc NULLS FIRST.
+    keyed = df.select(*cols).na.drop(subset=list(cols))
+    total = keyed.count()
     if total == 0 or num_partitions <= 1:
         return []
     frac = min(1.0, float(n_sample) / total)
     sample = [
         tuple(r)
-        for r in df.select(*cols)
-        .sample(fraction=frac, seed=seed)
+        for r in keyed.sample(fraction=frac, seed=seed)
         .limit(n_sample)
         .collect()
     ]

@@ -132,3 +132,38 @@ def test_different_seeds_may_move_boundaries(spark, seed_a, seed_b):
     ba = range_boundaries(df, ["a", "id"], 8, seed=seed_a)
     bb = range_boundaries(df, ["a", "id"], 8, seed=seed_b)
     assert ba != bb, "distinct seeds on a dense key space should differ"
+
+
+def test_null_keys_place_first_and_never_become_boundaries(spark):
+    df = spark.range(2_000).select(
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id") % 101)
+        .cast("long")
+        .alias("a"),
+        F.col("id"),
+    )
+    bounds = range_boundaries(df, ["a", "id"], 8, seed=5)
+    assert all(all(v is not None for v in b) for b in bounds)
+    out = total_order_sort_pinned(df, ["a", "id"], bounds)
+    keys = [r.a for r in out.toLocalIterator()]
+    n_null = sum(1 for k in keys if k is None)
+    assert n_null == 2_000 // 7 + 1
+    assert all(k is None for k in keys[:n_null]), "NULLs must sort first"
+    nonnull = [k for k in keys if k is not None]
+    assert nonnull == sorted(nonnull)
+
+
+def test_null_in_secondary_key_keeps_global_order(spark):
+    """A NULL in a NON-leading key column must not derail placement:
+    (5, NULL) sorts before (5, 10) but after (3, 7) — the null-safe
+    comparison keeps the pid monotone."""
+    rows = [(5, None), (3, 7), (5, 10), (1, 1), (9, 2), (5, 3)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    bounds = [(5, 10)]  # hand-pinned: splits exactly at the tricky spot
+    got = [
+        (r.a, r.b)
+        for r in total_order_sort_pinned(df, ["a", "b"], bounds)
+        .toLocalIterator()
+    ]
+    key = lambda t: (t[0], t[1] is not None, t[1] or 0)  # noqa: E731
+    assert got == sorted(rows, key=key)
