@@ -966,8 +966,8 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model fluency score per document (VERDICT r6/r7
     gap #2 — the KenLM-shaped signal; oov_rate stays alongside as the
     cheaper stand-in): train a PRUNED bigram model on the corpus
-    itself (top-{LM_BIGRAM_K} bigrams with their exact conditional
-    ratios c12/c1, top-{LM_UNIGRAM_K} unigrams), then score every
+    itself (top-4096 bigrams with their exact conditional ratios
+    c12/c1, top-4096 unigrams — LM_BIGRAM_K / LM_UNIGRAM_K), then score every
     adjacent token pair with STUPID BACKOFF (Brants et al. 2007):
     the bigram ratio when the pair is in the model, else
     0.4 x unigram(w2)/T (0 for out-of-model w2). lm_score = mean pair
@@ -1070,8 +1070,8 @@ FROM ranked
 def lm_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-filter composition (the CCNet/Gopher recipe): rank
     every document by its LM fluency and band the corpus — drop the
-    least-fluent {LM_BAND_LOW_PCT}% (noise, wrong language) AND the
-    most-fluent {LM_BAND_HIGH_PCT}% (boilerplate, templated text),
+    least-fluent 10% (LM_BAND_LOW_PCT; noise, wrong language) AND the
+    most-fluent 5% (LM_BAND_HIGH_PCT; boilerplate, templated text),
     keep the middle. The banding signal is the exact integer
     score6 = (sum_p6 * 1e6) div n_pairs (both already exact bigints
     from lm_score's fixed-point pipeline), so band boundaries cannot

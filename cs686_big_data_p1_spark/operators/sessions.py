@@ -503,6 +503,57 @@ def event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Peak concurrency (sweep line over session intervals)
 # ---------------------------------------------------------------------------
 
+def _session_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line deltas from the session list: +1 at each start, -1 at
+    each end, tagged with the event's calendar day — the shared input
+    of max_concurrency and coverage_time."""
+    sess = event_sessionize(spark, sf_dir)
+    starts = sess.select(
+        F.col("session_start").alias("ts"),
+        F.lit(1).alias("delta"),
+        F.date_trunc("day", "session_start").alias("day"),
+    )
+    ends = sess.select(
+        F.col("session_end").alias("ts"),
+        F.lit(-1).alias("delta"),
+        F.date_trunc("day", "session_end").alias("day"),
+    )
+    return starts.unionAll(ends)
+
+
+def _calendar_offsets(deltas: DataFrame, *extra_aggs) -> DataFrame:
+    """Full-calendar per-day summary with cumulative carry-in — the
+    densify core both sweep-line queries share (review r8: previously
+    duplicated verbatim). Every day between the first and last delta
+    day appears (F.sequence explode — bounded, O(#days));
+    `day_total` is 0 on deltaless days; `carry_in` is the cumulative
+    sum of prior days' totals (the only unpartitioned window, over the
+    bounded day list). extra_aggs (e.g. min/max ts) ride the same
+    groupBy and stay NULL on deltaless days for the caller to
+    coalesce."""
+    cal = deltas.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    day_order = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    daytot = deltas.groupBy("day").agg(
+        F.sum("delta").alias("day_total"), *extra_aggs
+    )
+    return (
+        cal.join(daytot, "day", "left")
+        .na.fill({"day_total": 0})
+        .withColumn(
+            "carry_in",
+            F.sum("day_total").over(day_order) - F.col("day_total"),
+        )
+    )
+
+
 MAX_CONCURRENCY_ORACLE = f"""
 WITH sess AS ({SESSIONIZE_ORACLE}),
 deltas AS (
@@ -573,44 +624,12 @@ def max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrency it woke up with. The calendar is O(#days) — same
     bounded row set the carry-in window already rides.
     """
-    sess = event_sessionize(spark, sf_dir)
-    starts = sess.select(
-        F.col("session_start").alias("ts"),
-        F.lit(1).alias("delta"),
-        F.date_trunc("day", "session_start").alias("day"),
-    )
-    ends = sess.select(
-        F.col("session_end").alias("ts"),
-        F.lit(-1).alias("delta"),
-        F.date_trunc("day", "session_end").alias("day"),
-    )
-    deltas = starts.unionAll(ends)
+    deltas = _session_deltas(spark, sf_dir)
     in_day = Window.partitionBy("day").orderBy(
         F.col("ts"), F.col("delta").desc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     day_running = deltas.withColumn("run", F.sum("delta").over(in_day))
-    # full calendar between the extrema days (bounded, O(#days))
-    cal = deltas.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    ).select(
-        F.explode(
-            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
-        ).alias("day")
-    )
-    # carry-in: cumulative sum of day totals over the bounded day list
-    day_order = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    daytot = deltas.groupBy("day").agg(F.sum("delta").alias("day_total"))
-    offsets = (
-        cal.join(daytot, "day", "left")
-        .na.fill({"day_total": 0})
-        .withColumn(
-            "carry_in",
-            F.sum("day_total").over(day_order) - F.col("day_total"),
-        )
-        .select("day", "carry_in")
-    )
+    offsets = _calendar_offsets(deltas).select("day", "carry_in")
     # aggregate the in-day maxima BEFORE touching offsets (carry_in is
     # constant per day, so max(run + carry) = carry + max(run)): offsets
     # — and its bounded cumulative window — appears exactly ONCE in the
@@ -893,51 +912,22 @@ def coverage_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltaless idle day reports 0. All arithmetic is exact
     epoch-microsecond int64.
     """
-    sess = event_sessionize(spark, sf_dir)
-    starts = sess.select(
-        F.col("session_start").alias("ts"),
-        F.lit(1).alias("delta"),
-        F.date_trunc("day", "session_start").alias("day"),
-    )
-    ends = sess.select(
-        F.col("session_end").alias("ts"),
-        F.lit(-1).alias("delta"),
-        F.date_trunc("day", "session_end").alias("day"),
-    )
-    deltas = starts.unionAll(ends)
+    deltas = _session_deltas(spark, sf_dir)
     in_day = Window.partitionBy("day").orderBy(
         F.col("ts"), F.col("delta").desc()
     )
     run_f = in_day.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    day_order = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cal = deltas.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    ).select(
-        F.explode(
-            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
-        ).alias("day")
-    )
-    daytot = deltas.groupBy("day").agg(
-        F.sum("delta").alias("day_total"),
+    next_midnight = F.col("day") + F.expr("INTERVAL 1 DAY")
+    offs = _calendar_offsets(
+        deltas,
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
-    )
-    next_midnight = F.col("day") + F.expr("INTERVAL 1 DAY")
-    offs = (
-        cal.join(daytot, "day", "left")
-        .na.fill({"day_total": 0})
-        .select(
-            "day",
-            "day_total",
-            F.coalesce("first_ts", next_midnight).alias("first_ts"),
-            F.coalesce("last_ts", next_midnight).alias("last_ts"),
-        )
-        .withColumn(
-            "carry_in",
-            F.sum("day_total").over(day_order) - F.col("day_total"),
-        )
+    ).select(
+        "day",
+        "day_total",
+        "carry_in",
+        F.coalesce("first_ts", next_midnight).alias("first_ts"),
+        F.coalesce("last_ts", next_midnight).alias("last_ts"),
     )
     r = (
         deltas.withColumn("run_in_day", F.sum("delta").over(run_f))

@@ -100,8 +100,17 @@ def _publish_stage(
                     f"snapshot commit race: could not recover stage "
                     f"dir from {nested}"
                 )
-        # renamed == False (e.g. dst appeared with rename semantics
-        # that do fail on existing dst): stage is untouched; retry.
+        elif not fs.exists(jpath(stage)):
+            # The stage itself is gone (a concurrent
+            # recover_stranded_stages adopted it, or something deleted
+            # it): error out instead of retrying the rename of a
+            # nonexistent dir forever.
+            raise IOError(
+                f"snapshot commit: stage dir {stage} disappeared "
+                "mid-publish (adopted by a concurrent janitor?)"
+            )
+        # renamed == False with the stage intact (e.g. dst appeared
+        # with rename semantics that do fail on existing dst): retry.
 
 
 def write_snapshot(spark: SparkSession, df: DataFrame, table_path: str) -> int:
@@ -145,9 +154,22 @@ def find_stranded_stages(
         fully-written commit that was never published.
 
     Returns [{"path", "token", "nested_in" (version or None),
-    "complete", "mtime_ms"}], oldest first."""
+    "complete", "mtime_ms"}], oldest first. mtime_ms is the NEWEST
+    modification time anywhere in the stage TREE, not the stage dir's
+    own mtime: a parquet write in progress keeps touching files deep
+    under _temporary/ while the top dir's mtime stays at write start,
+    and an age check on the top dir alone would misread a slow live
+    write (> min_age) as a crashed stage and destroy it."""
     fs, p, jvm = _fs(spark, table_path)
     jpath = jvm.org.apache.hadoop.fs.Path
+
+    def tree_mtime(path: str, top_ms: int) -> int:
+        newest = top_ms
+        it = fs.listFiles(jpath(path), True)  # recursive file iterator
+        while it.hasNext():
+            newest = max(newest, it.next().getModificationTime())
+        return newest
+
     if not fs.exists(p):
         return []
     found: list[dict] = []
@@ -157,15 +179,18 @@ def find_stranded_stages(
             name = st.getPath().getName()
             if st.isDirectory() and name.startswith(".stage-"):
                 token = name[len(".stage-"):]
+                full = f"{dir_path}/{name}"
                 found.append(
                     {
-                        "path": f"{dir_path}/{name}",
+                        "path": full,
                         "token": token,
                         "nested_in": nested_in,
                         "complete": fs.exists(
-                            jpath(f"{dir_path}/{name}/_commit-{token}")
+                            jpath(f"{full}/_commit-{token}")
                         ),
-                        "mtime_ms": st.getModificationTime(),
+                        "mtime_ms": tree_mtime(
+                            full, st.getModificationTime()
+                        ),
                     }
                 )
 

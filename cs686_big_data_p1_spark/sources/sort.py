@@ -16,11 +16,15 @@ whatever the final stage inherited:
   * `range_boundaries` + `total_order_sort_pinned` — boundary values
     computed from an explicitly SEEDED sample and returned to the
     caller (bounded driver collect: sample_per_partition x
-    num_partitions rows, the PQ-train-cap discipline). Pinned
-    boundaries make the file layout reproducible across reruns AND
-    across different upstream partitionings — what an incremental
-    sorted-run compactor needs so yesterday's run boundaries still
-    mean something today. Row placement is a broadcast comparison
+    num_partitions rows, the PQ-train-cap discipline). What pinning
+    makes reproducible is the KEY -> partition-id mapping: a given key
+    lands in the same id across reruns and across different upstream
+    partitionings — so yesterday's compaction boundaries still mean
+    something today. The final id -> file PACKING still goes through
+    one range exchange whose own sampling may merge adjacent ids into
+    one file (global order is unaffected; a consumer needing strict
+    one-file-per-id alignment should write `partitionBy("_pid")`-style
+    directories instead). Row placement is a broadcast comparison
     against the <= num_partitions-1 boundary rows — O(#boundaries)
     JVM comparisons per row, no shuffle beyond the final range
     exchange, no UDFs.

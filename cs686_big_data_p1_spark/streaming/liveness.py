@@ -117,14 +117,30 @@ def stream_clone(spark: SparkSession) -> SparkSession:
     ones (UTC timezone, AQE, nanos flag) are re-applied via
     configure_existing — the same contract the driver's foreign session
     gets. Derived-view caching is unaffected: views._VIEW_CACHE keys by
-    applicationId, which clones share."""
+    applicationId, which clones share.
+
+    ONE clone is cached per SparkContext and reused by every stream
+    drain (review r8): a fresh session per call would accumulate
+    SessionStates — and their memory-sink tables — for the life of the
+    context across a 185-query bench run. Reuse keeps the isolation
+    property (the clone is still never the caller's session) while
+    bounding sessions at one."""
     from ..session import configure_existing
 
+    app_id = spark.sparkContext.applicationId
+    cached = _STREAM_SESSIONS.get(app_id)
+    if cached is not None:
+        return cached
     s2 = configure_existing(spark.newSession())
     s2.conf.set(
         "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
+    _STREAM_SESSIONS.clear()  # at most one live context per process
+    _STREAM_SESSIONS[app_id] = s2
     return s2
+
+
+_STREAM_SESSIONS: dict[str, SparkSession] = {}
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:

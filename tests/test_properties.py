@@ -254,3 +254,45 @@ def test_aqp_estimate_covers_truth(spark):
     for prio, (n, est, se) in got.items():
         assert n > 0 and se > 0 and math.isfinite(se)
         assert abs(est - true[prio]) <= 4 * se, (prio, est, true[prio], se)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-50, 50)),  # value (w/ NULLs)
+            st.integers(0, 10_000),                      # tie (unique-ified)
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    desc=st.booleans(),
+)
+@_SETTINGS
+def test_two_phase_rank_equals_builtin_under_hypothesis(spark, rows, desc):
+    """r8 rank rewrite, property form: for ANY value distribution —
+    heavy ties, NULLs, negatives, singletons — and both directions,
+    the distributed two-phase rank equals the single-window built-in
+    row-for-row."""
+    from pyspark.sql.window import Window
+
+    from cs686_big_data_p1_spark.operators.analytics import (
+        _two_phase_global_rank,
+    )
+
+    data = [(v, 1_000_000 * i + t) for i, (v, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "v long, tie long")
+    got = {
+        r.tie: r["_rank"]
+        for r in _two_phase_global_rank(df, "v", "tie", desc=desc).collect()
+    }
+    order = F.desc("v") if desc else F.asc("v")
+    want = {
+        r.tie: r.rn
+        for r in df.withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.orderBy(order, F.asc("tie")))
+            .cast("bigint"),
+        ).collect()
+    }
+    assert got == want

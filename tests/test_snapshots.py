@@ -166,3 +166,43 @@ def test_stranded_stage_janitor_recovers_lost_commit(spark, tmp_path):
     }
     # with the commit recovered, vacuum proceeds
     assert vacuum_snapshots(spark, tbl, keep_last=2) == [1, 2]
+
+
+def test_janitor_spares_live_slow_write(spark, tmp_path):
+    """Review r8: a parquet write running longer than min_age_ms keeps
+    its stage dir's TOP mtime at write start while fresh task files
+    appear deep under _temporary/ — the janitor must age the stage by
+    the newest file in the TREE and leave the live write alone."""
+    import os
+    import time
+
+    from cs686_big_data_p1_spark.sources.snapshots import (
+        find_stranded_stages,
+        recover_stranded_stages,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(3), tbl)  # v1
+    # incomplete stage that "started an hour ago" but is still writing
+    stage = f"{tbl}/.stage-livewrite"
+    deep = f"{stage}/_temporary/0/task_000"
+    os.makedirs(deep)
+    with open(f"{deep}/part-00000.parquet", "w") as fh:
+        fh.write("in-flight bytes")
+    old = time.time() - 7200
+    os.utime(deep, (old, old))
+    os.utime(f"{stage}/_temporary/0", (old, old))
+    os.utime(f"{stage}/_temporary", (old, old))
+    os.utime(stage, (old, old))  # top dir mtime: write start, 2 h ago
+
+    found = {s["token"]: s for s in find_stranded_stages(spark, tbl)}
+    assert not found["livewrite"]["complete"]
+    # tree mtime saw the fresh part file -> not old enough to touch
+    assert recover_stranded_stages(spark, tbl, min_age_ms=3_600_000) == {}
+    assert os.path.exists(f"{deep}/part-00000.parquet")
+
+    # once the WHOLE tree is old (writer truly dead), it is reclaimed
+    os.utime(f"{deep}/part-00000.parquet", (old, old))
+    out = recover_stranded_stages(spark, tbl, min_age_ms=3_600_000)
+    assert out == {stage: None}
+    assert not os.path.exists(stage)
