@@ -459,3 +459,58 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("dev") > 0, 1).otherwise(-1).cast("int").alias("direction"),
         (unscaled / F.col("n")).alias("cusum_dev"),
     )
+
+
+# --- OHLC downsampling (candlestick resample) ----------------------------
+
+OHLC_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, hour_ts,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_events
+FROM ranked
+GROUP BY event_type, hour_ts
+"""
+
+
+@query("ohlc_hourly", oracle=OHLC_ORACLE)
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick (OHLC) downsampling per (event_type, hour): open =
+    first value, close = last value in (ts, event_id) order, high/low
+    = extrema, n = bucket count — the financial/metrics resample every
+    dashboarding stack derives from raw ticks.
+
+    Determinism: open/close come from min_by/max_by keyed on the
+    STRUCT (ts, event_id) — a total order, so duplicate timestamps
+    cannot flap the edge values between runs or engines (the oracle
+    derives the same rows via tie-broken rank windows). Values are
+    copied, never combined: zero float arithmetic, exact hash compare.
+
+    Scale: ONE map-side-combinable aggregation — min_by/max_by fold
+    per partition carrying just (value, key) pairs, so raw ticks
+    never shuffle; the exchange carries one row per (type, hour)
+    cell. Compare gapfill_ffill, which needs per-row windows: OHLC is
+    the cheap path when only bucket edges/extrema matter."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+        ).agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -281,3 +281,75 @@ def vacuum_snapshots(
             True,
         )
     return drop
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two published versions: one
+    null-safe FULL OUTER join on the key, emitting one row per changed
+    key with `change_type` in {inserted, deleted, updated} and the
+    old_/new_ value columns side by side (unchanged keys are filtered
+    out). The lakehouse "table_changes()" surface, derived from plain
+    immutable snapshots — no change log needed because versions are
+    full copies (pair with `inventory_delta` for the aggregated-delta
+    shape).
+
+    Exactness: column comparison is null-safe equality on raw values —
+    no arithmetic, so the verdict is deterministic across engines and
+    retries. Scale: the join shuffles on the key (or broadcasts the
+    smaller snapshot under AQE); comparison is one codegen'd projection.
+    Fails fast if the two snapshots disagree on schema (a schema change
+    is not a row diff)."""
+    old = read_snapshot(spark, table_path, v_old)
+    new = read_snapshot(spark, table_path, v_new)
+    if old.schema != new.schema:
+        raise ValueError(
+            f"snapshot_diff: schema changed between v{v_old} and "
+            f"v{v_new}: {old.schema.simpleString()} vs "
+            f"{new.schema.simpleString()}"
+        )
+    from pyspark.sql import functions as F
+
+    val_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(k).alias(f"_ko_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in val_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_kn_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in val_cols],
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_ko_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_kn_{key_cols[0]}").isNotNull()
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(~in_new, "deleted")
+        .when(~in_old, "inserted")
+        .when(~same, "updated")
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(f"_ko_{k}", f"_kn_{k}").alias(k)
+                for k in key_cols
+            ],
+            "change_type",
+            *[c for pair in (
+                (f"old_{c}", f"new_{c}") for c in val_cols
+            ) for c in pair],
+        )
+    )

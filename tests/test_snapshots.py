@@ -206,3 +206,39 @@ def test_janitor_spares_live_slow_write(spark, tmp_path):
     out = recover_stranded_stages(spark, tbl, min_age_ms=3_600_000)
     assert out == {stage: None}
     assert not os.path.exists(stage)
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    """snapshot_diff emits exactly the inserted/deleted/updated keys
+    with old/new values side by side; unchanged keys are silent; NULL
+    keys and NULL-to-value transitions compare null-safely; a schema
+    change refuses instead of mis-diffing."""
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.sources.snapshots import snapshot_diff
+
+    tbl = str(tmp_path / "tbl")
+    v1_rows = [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)]
+    v2_rows = [(1, "a", 10.0), (2, "b", 2.5), (4, None, 40.0), (5, "e", 50.0)]
+    schema = "k long, name string, score double"
+    write_snapshot(spark, spark.createDataFrame(v1_rows, schema), tbl)
+    write_snapshot(spark, spark.createDataFrame(v2_rows, schema), tbl)
+
+    got = {
+        r.k: (r.change_type, r.old_name, r.new_name, r.old_score, r.new_score)
+        for r in snapshot_diff(spark, tbl, 1, 2, ["k"]).collect()
+    }
+    assert got == {
+        2: ("updated", "b", "b", None, 2.5),  # NULL -> value is a change
+        3: ("deleted", "c", None, 30.0, None),
+        5: ("inserted", None, "e", None, 50.0),
+    }  # 1 unchanged, 4 unchanged (NULL name compares null-safely)
+
+    # schema drift refuses
+    write_snapshot(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, name string"),
+        tbl,
+    )
+    with pytest.raises(ValueError):
+        snapshot_diff(spark, tbl, 2, 3, ["k"])
