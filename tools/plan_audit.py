@@ -317,6 +317,23 @@ AUDITS: dict[str, dict] = {
     # RDD, so no parquet scan is visible to assert pruning on (the
     # pruning happened upstream of the checkpoint, same as pagerank)
     "triangle_count": {"codegen": True},
+    # round-8 additions
+    "domain_caps": {"pruned": ["documents"], "codegen": True},
+    "ohlc_hourly": {"pruned": ["events"], "codegen": True},
+    "lm_score": {
+        "pruned": ["documents"],
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "LM model tables are top-K pruned "
+        "(orderBy+limit -> TakeOrdered) or 1-row aggregates before "
+        "broadcasting; the corpus itself never broadcasts",
+        "max_waived": 3,  # bimodel, unimodel, total-token count
+    },
+    # lm_quality_band's final plan reads the rank helper's eager
+    # checkpoint of the lm_score output, so no parquet scan is visible
+    # (lm_score's own pruning is audited above); the global-window
+    # sweep covers its bounded histogram window
+    "lm_quality_band": {"codegen": True},
     "event_debounce": {"pruned": ["events"], "codegen": True},
     "knn_label_eval": {
         "broadcast": True,
