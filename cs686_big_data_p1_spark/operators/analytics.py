@@ -1676,3 +1676,58 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function surface completion: rank / dense_rank / first_value /
+# nth_value (the window functions no other query exercises)
+# ---------------------------------------------------------------------------
+
+BALANCE_RANKS_ORACLE = """
+SELECT s_nationkey, s_suppkey,
+       CAST(floor(s_acctbal / 1000) AS BIGINT) AS bracket,
+       CAST(rank() OVER w1 AS INTEGER) AS rk,
+       CAST(dense_rank() OVER w1 AS INTEGER) AS drk,
+       first_value(s_suppkey) OVER w2 AS top_suppkey,
+       nth_value(s_suppkey, 2) OVER w2 AS second_suppkey
+FROM supplier
+WINDOW
+  w1 AS (PARTITION BY s_nationkey ORDER BY floor(s_acctbal / 1000) DESC),
+  w2 AS (PARTITION BY s_nationkey
+         ORDER BY floor(s_acctbal / 1000) DESC, s_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("supplier_balance_ranks", oracle=BALANCE_RANKS_ORACLE)
+def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier leaderboard over COARSE balance brackets
+    (floor(acctbal/1000) — coarse so ties actually occur), exercising
+    the last unexercised window functions: rank and dense_rank over
+    the TIED order (their whole point — rk gaps after tie groups, drk
+    does not), first_value and nth_value(2) over the tie-broken TOTAL
+    order (deterministic leaders; second_suppkey is NULL until the
+    frame reaches position 2 — identical default in both engines,
+    pinned with an explicit ROWS frame).
+
+    Exactness: the bracket is one shared IEEE divide+floor of the same
+    double; everything else is copied integers. Scale: two Window
+    nodes, both partitioned on s_nationkey and sharing one exchange —
+    rank brackets are per-nation bounded; no global windows."""
+    s = load_table(spark, sf_dir, "supplier")
+    bracket = F.floor(F.col("s_acctbal") / 1000)
+    w1 = Window.partitionBy("s_nationkey").orderBy(F.desc(bracket))
+    w2 = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.desc(bracket), F.asc("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        bracket.cast("bigint").alias("bracket"),
+        F.rank().over(w1).cast("int").alias("rk"),
+        F.dense_rank().over(w1).cast("int").alias("drk"),
+        F.first("s_suppkey").over(w2).alias("top_suppkey"),
+        F.nth_value("s_suppkey", 2).over(w2).alias("second_suppkey"),
+    )
