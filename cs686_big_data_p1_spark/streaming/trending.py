@@ -393,3 +393,70 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return _run_to_memory(sess, "append")
+
+
+OHLC_DELAY = "90 minutes"  # watermark: late-tick allowance
+
+OHLC_STREAM_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_ts, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+),
+wc AS (
+  SELECT event_type, hour_ts,
+         max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         count(*) AS n_events
+  FROM ranked GROUP BY event_type, hour_ts
+)
+SELECT * FROM wc
+WHERE hour_ts + INTERVAL 1 HOUR
+      <= (SELECT max(ts) FROM events) - INTERVAL 90 MINUTE
+"""
+
+
+@query("stream_ohlc", oracle=OHLC_STREAM_ORACLE)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ohlc_hourly live: watermarked tumbling-hour candlesticks over
+    the tick stream, append mode — each finalized hour's
+    open/high/low/close leaves state exactly once. State per open
+    (window, type) cell is four scalars + the two (value, key) edge
+    pairs min_by/max_by fold incrementally — O(windows-in-flight x
+    #types), never O(ticks). The struct-keyed edges make duplicate
+    timestamps deterministic in-stream exactly as in batch, so this
+    registers ORACLE-EXACT: the oracle is the batch OHLC filtered by
+    append's finalization predicate (window_end <= final watermark,
+    stream_trending's empirically-pinned boundary)."""
+    spark = stream_clone(spark)  # session-local drain conf
+    with nanos_as_long(spark):
+        ev = events_stream(spark, sf_dir).select(
+            "ts", "event_id", "event_type", "value"
+        )
+        key = F.struct("ts", "event_id")
+        ohlc = (
+            ev.withWatermark("ts", OHLC_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.min_by("value", key).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", key).alias("close"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                "event_type",
+                F.col("w.start").alias("hour_ts"),
+                "open",
+                "high",
+                "low",
+                "close",
+                "n_events",
+            )
+        )
+        return _run_to_memory(ohlc, "append")

@@ -712,3 +712,27 @@ def test_stream_sessionize_matches_finalized_batch(spark, registry):
         <= horizon
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_ohlc_matches_finalized_batch(spark, registry):
+    """stream_ohlc (append, watermarked tumbling hour) must equal the
+    batch ohlc_hourly rows whose windows had finalized at the drain's
+    watermark — including the struct-keyed open/close edges."""
+    import datetime
+
+    got = {
+        (r.event_type, r.hour_ts): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in registry.QUERIES["stream_ohlc"](spark, SF_SMALL).collect()
+    }
+    batch = registry.QUERIES["ohlc_hourly"](spark, SF_SMALL).collect()
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    import pyspark.sql.functions as F
+
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(minutes=90)
+    want = {
+        (r.event_type, r.hour_ts): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in batch
+        if r.hour_ts + datetime.timedelta(hours=1) <= horizon
+    }
+    assert got == want and len(got) > 0
