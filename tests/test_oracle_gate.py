@@ -60,3 +60,40 @@ def test_oracle_sweep_artifact_matches_registry(registry):
         n for n, r in data["queries"].items() if r["status"] == "rows_only"
     }
     assert rows_only == live - live_oracled
+
+
+def test_live_oracle_smoke(spark, registry):
+    """Per-commit live slice of the full sweep: ten representative
+    queries — one per operator family, biased toward the paths that
+    change most — re-verified against their DuckDB oracles at sf0.001
+    on every suite run. The committed-artifact test above catches
+    registry drift; this one catches behavior regressions in EXISTING
+    queries between full sweeps (the r7 verdict's residual caveat).
+    Reuses tools/check_oracle's exact compare."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from check_oracle import compare, duck_con
+
+    SMOKE = [
+        "tpch_q9_profit",       # derived-partsupp TPC-H
+        "corpus_curate",        # the full curation DAG
+        "customer_rfm",         # two-phase global rank x3
+        "heavy_hitters",        # two-pass Misra-Gries
+        "bm25_search",          # retrieval scoring
+        "pagerank_copurchase",  # bit-exact iterative graph
+        "lm_score",             # pruned bigram LM (r8)
+        "coverage_time",        # densified sweep line (r8)
+        "dedup_near",           # MinHash-LSH
+        "ohlc_hourly",          # struct-keyed edge aggregation (r8)
+    ]
+    con = duck_con("/root/testdata/sf0.001")
+    failures = []
+    for name in SMOKE:
+        sdf = registry.QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
+        registry.clear_caches()
+        odf = con.execute(registry.ORACLES[name]).fetchdf()
+        problems = compare(name, sdf, odf)
+        if problems:
+            failures.append(f"{name}: " + "; ".join(problems))
+    assert not failures, failures
