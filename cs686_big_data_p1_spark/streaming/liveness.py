@@ -43,9 +43,11 @@ def nanos_as_long(spark: SparkSession):
     """Scope the legacy nanos-as-long parquet flag to one streaming
     query's build+drain, restoring the prior value afterwards — so the
     global timestamp-interpretation change never leaks into subsequent
-    queries on a shared session (order-dependent behavior, r3 ADVICE).
-    heartbeat_stream still sets the flag unconditionally (required
-    while the stream executes); this wrapper is what un-sets it."""
+    queries on a SHARED session (order-dependent behavior, r3 ADVICE).
+    On a stream_clone() session this is a save/restore of the "true"
+    configure_existing already pinned — a deliberate no-op (review r8);
+    it still matters for direct callers (tests) that hand the stream
+    builders an arbitrary session whose flag state must survive."""
     old = spark.conf.get(_NANOS_KEY, None)
     spark.conf.set(_NANOS_KEY, "true")
     try:
@@ -60,28 +62,35 @@ def nanos_as_long(spark: SparkSession):
             spark.conf.set(_NANOS_KEY, old)
 
 
-def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: the heartbeat event stream (storageNode/HeartbeatRunnable.java:33-80)
-    as a file-source stream over the events fixture, mapped to
-    (host, port, ts, hb_id) exactly like views.heartbeats_df."""
-    # The fixture is a single file; the file stream source needs a directory
-    # basePath, so stream the sf dir filtered down to the events file.
-    # ts-unit branch mirrors tables.load_table (fixture generations
-    # have shipped both TIMESTAMP(MICROS) and TIMESTAMP(NANOS)).
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a file-source stream with a correct ts
+    column on BOTH fixture generations (TIMESTAMP(MICROS) and
+    TIMESTAMP(NANOS) — r5 ADVICE). THE single ts-unit branch: every
+    event/heartbeat stream builds on this (review r8: the branch used
+    to be written out three times, so a future unit fix could silently
+    miss a copy). The fixture is a single file; the file stream source
+    needs a directory basePath, so the sf dir is streamed filtered
+    down to the events file, mirroring tables.load_table."""
     if events_ts_unit(sf_dir) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
+        return (
             spark.readStream.schema(EVENTS_NANOS_SCHEMA)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
             .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         )
-    else:
-        raw = (
-            spark.readStream.schema(SCHEMAS["events"])
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the heartbeat event stream (storageNode/HeartbeatRunnable.java:33-80)
+    as a file-source stream over the events fixture, mapped to
+    (host, port, ts, hb_id) exactly like views.heartbeats_df."""
+    raw = events_stream(spark, sf_dir)
     idx = F.col("user_id") % N_NODES
     node_id = F.lit(14) + idx + F.when(idx >= 5, 1).otherwise(0)
     return raw.select(
@@ -143,6 +152,18 @@ def stream_clone(spark: SparkSession) -> SparkSession:
 _STREAM_SESSIONS: dict[str, SparkSession] = {}
 
 
+# Memory-sink tables from PRIOR drains, per session id. A memory sink
+# pins its full drained result in driver memory until its temp view is
+# dropped; the engine's drain contract is "the caller materializes the
+# returned table immediately" (the driver collects, the bench counts,
+# the parity pytests collect), so at the START of each drain all but
+# the most recent few sinks on the same session are dropped — bounding
+# retained results at four per session instead of one per invocation
+# (review r8: a min-of-2 bench over ~15 stream queries previously
+# accumulated ~30 full result copies for the life of the process).
+_PREV_SINKS: dict[str, list[str]] = {}
+
+
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into a
     memory sink; return the final result table. The registry callables
@@ -150,7 +171,18 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     STREAM_STATE_PARTITIONS width set there is session-local for the
     whole drain; this helper no longer touches any conf (a caller that
     hands in a stream on a shared session simply drains at that
-    session's width)."""
+    session's width). Prior drains' sink tables on this session are
+    dropped first — see _PREV_SINKS."""
+    session = stream_df.sparkSession
+    sid = str(id(session))
+    sinks = _PREV_SINKS.setdefault(sid, [])
+    # keep a small grace window (4 most recent) so a caller that
+    # interleaves two drains before collecting the first still works
+    while len(sinks) > 3:
+        try:
+            session.catalog.dropTempView(sinks.pop(0))
+        except Exception:  # noqa: BLE001 — already gone
+            pass
     name = "s" + uuid.uuid4().hex[:12]
     q = (
         stream_df.writeStream.format("memory")
@@ -160,7 +192,8 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    sinks.append(name)
+    return session.table(name)
 
 
 NODE_LAST_SEEN_ORACLE = oracle(
@@ -297,17 +330,27 @@ def stream_corruption_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory(alerts, "append")
 
 
-@query("stream_dedup_exact")
+DEDUP_EXACT_STREAM_ORACLE = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@query("stream_dedup_exact", oracle=DEDUP_EXACT_STREAM_ORACLE)
 def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over a document STREAM: dropDuplicates on the
-    content hash, state = one 32-byte digest per distinct document —
-    the streaming form of dedup_exact (E1) and the document-side
-    analog of T6's idempotent publish (late/duplicate arrivals are
-    absorbed by state, exactly like FileTable.publishChunk's set
-    semantics). Emits each distinct content's FIRST-seen row; the
-    batch-parity pytest checks the survivor set against dedup_exact's
-    keeper rule (the fixture stream arrives in doc_id order, so
-    first-seen == min doc_id)."""
+    """Exact dedup over a document STREAM: an incrementally-maintained
+    (min keeper, copy count) per content hash — the streaming form of
+    dedup_exact (E1) and the document-side analog of T6's idempotent
+    publish (late/duplicate arrivals are absorbed by state, exactly
+    like FileTable.publishChunk's set semantics). State = one row per
+    distinct digest, same as the old dropDuplicates shape, but the
+    keeper is min(doc_id) — DETERMINISTIC at any parallelism (review
+    r8: dropDuplicates kept the shuffle-fetch-first row, which equals
+    min doc_id only while the fixture is one input split; this form
+    registers ORACLE-EXACT against the batch oracle instead of
+    relying on arrival order)."""
     spark = stream_clone(spark)  # session-local drain conf
     from ..tables import SCHEMAS
 
@@ -319,8 +362,11 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
         )
     )
-    survivors = docs.dropDuplicates(["text_hash"])
-    return _run_to_memory(survivors, "append")
+    survivors = docs.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return _run_to_memory(survivors, "complete")
 
 
 @query("stream_event_dispatch")
@@ -332,20 +378,7 @@ def stream_event_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the 18-variant wire IR). Batch analog: event_dispatch."""
     spark = stream_clone(spark)  # session-local drain conf
     with nanos_as_long(spark):
-        # ts-unit branch mirrors heartbeat_stream: on a
-        # TIMESTAMP(NANOS) fixture generation the micros schema would
-        # misdeclare ts (r5 ADVICE) — declare the matching schema even
-        # though only event_type is projected.
-        schema = (
-            EVENTS_NANOS_SCHEMA
-            if events_ts_unit(sf_dir) == "ns"
-            else SCHEMAS["events"]
-        )
-        ev = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        ev = events_stream(spark, sf_dir)
         counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
         return _run_to_memory(counts, "complete")
 

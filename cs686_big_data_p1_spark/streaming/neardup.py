@@ -69,28 +69,62 @@ def load_neardup_store(
     spark: SparkSession, path: str | None
 ) -> dict[str, DataFrame]:
     """Load a persisted near-dup store (or fresh empties): one parquet
-    directory per state table. At 100 TB the shingle store would be
-    written bucketed on doc_id (sources/bucketing.py) so the per-batch
-    candidate joins co-locate; plain parquet keeps the test-scale
-    round-trip dependency-free while the layout stays the same."""
+    directory per state table. Only a MISSING table reads as "fresh"
+    (review r8: the old catch-everything branch turned a transient
+    read failure — permissions, partial previous write — into a silent
+    reset of the whole dedup history, which the end-of-drain write
+    then made permanent); any other error propagates to the caller.
+    At 100 TB the shingle store would be written bucketed on doc_id
+    (sources/bucketing.py) so the per-batch candidate joins co-locate;
+    plain parquet keeps the test-scale round-trip dependency-free
+    while the layout stays the same."""
+    from ..sources.snapshots import _fs
+
     store = {}
     for name, schema in _STORE_SCHEMAS.items():
         sub = f"{path}/{name}" if path else None
-        try:
-            store[name] = spark.read.schema(schema).parquet(sub)
-            store[name].first()  # force existence check now, not mid-batch
-        except Exception:  # noqa: BLE001 — fresh store
+        if sub is None:
             store[name] = spark.createDataFrame([], schema)
+            continue
+        fs, p, _ = _fs(spark, sub)
+        if not fs.exists(p):
+            store[name] = spark.createDataFrame([], schema)
+            continue
+        store[name] = spark.read.schema(schema).parquet(sub)
+        store[name].first()  # surface read errors now, not mid-batch
     return store
 
 
 def write_neardup_store(store: dict[str, DataFrame], path: str) -> None:
-    """Persist the accumulated state tables. Safe to call after a
-    drain: every store frame has been localCheckpoint-materialized by
-    the last micro-batch, so the overwrite never reads its own
-    output."""
+    """Persist the accumulated state tables with a STAGE-AND-SWAP so a
+    crash can never leave the four tables internally inconsistent
+    (review r8: sequential in-place overwrites could persist 'hashes'
+    without 'sigs'/'shingles' — a doc marked seen whose signatures are
+    gone can never match a future near-duplicate). All four tables are
+    written to a staging sibling first; the live store is then swapped
+    in two renames. The crash window is between the two renames and
+    yields a MISSING store (a correct, loud cold start — the previous
+    state survives at <path>.old-* for manual recovery), never a
+    half-updated one. Safe to call after a drain: every store frame
+    has been localCheckpoint-materialized by the last micro-batch, so
+    the staging write never reads its own output."""
+    import uuid as _uuid
+
+    from ..sources.snapshots import _fs
+
+    spark = next(iter(store.values())).sparkSession
+    tag = _uuid.uuid4().hex[:8]
+    staging = f"{path}.staging-{tag}"
     for name in _STORE_SCHEMAS:
-        store[name].write.mode("overwrite").parquet(f"{path}/{name}")
+        store[name].write.mode("overwrite").parquet(f"{staging}/{name}")
+    fs, p, jvm = _fs(spark, path)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    old = f"{path}.old-{tag}"
+    if fs.exists(p):
+        fs.rename(p, jpath(old))
+    fs.rename(jpath(staging), p)
+    if fs.exists(jpath(old)):
+        fs.delete(jpath(old), True)
 
 
 def neardup_stream_pairs(
@@ -199,24 +233,18 @@ def neardup_stream_pairs(
         orig_process(batch, batch_id)
         n_batches["n"] += 1
 
-    from .liveness import STREAM_STATE_PARTITIONS
-
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        # state-partition sizing, not cores (liveness.py rationale) —
-        # also right for the per-micro-batch signature joins here
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
-        )
-        q = (
-            docs.writeStream.foreachBatch(process_counting)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # State-partition sizing comes from the stream_clone() session the
+    # registry entry builds on (liveness.py rationale) — no
+    # mutate-and-restore here: that pattern on a shared session was
+    # exactly the race stream_clone removed (review r8). A direct
+    # caller that wants the stream width passes a clone.
+    q = (
+        docs.writeStream.foreachBatch(process_counting)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     if store_path and n_batches["n"] > 0:
         # no-batch drains skip the write: the store frames would still
         # be lazy readers of the very parquet the overwrite truncates

@@ -65,25 +65,17 @@ def stream_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_seen = hb.groupBy("host", "port").agg(
             F.max("ts").alias("last_ts")
         )
-        from .liveness import STREAM_STATE_PARTITIONS
-
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            # state-partition sizing (liveness.py rationale); the
-            # in-batch order derivation is control-plane-sized too
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(STREAM_STATE_PARTITIONS),
-            )
-            q = (
-                last_seen.writeStream.outputMode("complete")
-                .foreachBatch(emit_orders)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # state-partition sizing comes from the stream_clone() session
+        # (liveness.py rationale) — no session-global mutate-and-restore
+        # (review r8); the in-batch order derivation is
+        # control-plane-sized too
+        q = (
+            last_seen.writeStream.outputMode("complete")
+            .foreachBatch(emit_orders)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if "orders" not in result:
         # No micro-batch fired (empty/missing heartbeat fixture):
         # fail descriptively instead of a bare KeyError.

@@ -22,8 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..tables import EVENTS_NANOS_SCHEMA, SCHEMAS, events_ts_unit
-from .liveness import _run_to_memory, nanos_as_long, stream_clone
+from .liveness import (
+    _run_to_memory,
+    events_stream,
+    nanos_as_long,
+    stream_clone,
+)
 
 TRENDING_K = 3
 TRENDING_DELAY = "90 minutes"  # watermark: late-event allowance
@@ -54,23 +58,9 @@ WHERE rnk <= {TRENDING_K}
 """
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture as a file-source stream with a correct ts
-    column on BOTH fixture generations (TIMESTAMP(MICROS) and
-    TIMESTAMP(NANOS) — the heartbeat_stream branch, r5 ADVICE)."""
-    if events_ts_unit(sf_dir) == "ns":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.readStream.schema(EVENTS_NANOS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
-    return (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+# events_stream now lives in liveness.py beside heartbeat_stream — the
+# ONE ts-unit branch every stream builds on (review r8; imported above
+# and re-exported here for existing callers/tests).
 
 
 @query("stream_trending", oracle=TRENDING_ORACLE)
@@ -195,7 +185,17 @@ def _throttle_state_fn(key, pdfs, state):
     is final at decision time (append semantics): a kept event can
     never be retracted by later IN-ORDER data, which the file stream
     delivers (same single-source ordering contract the batch operator
-    sorts into existence)."""
+    sorts into existence).
+
+    The group's rows arrive as an ITERATOR of Arrow chunks in
+    shuffle-fetch order — applyInPandasWithState sorts the partition
+    by grouping key only, NOT within the group — so all chunks are
+    concatenated and sorted ONCE before the recurrence runs (review
+    r8: per-chunk sorting let a group spanning multiple chunks — more
+    rows than arrow.maxRecordsPerBatch, or a multi-split source —
+    advance the anchor past timestamps still waiting in a later
+    chunk, silently diverging from the batch operator). The concat is
+    bounded by one group's rows in one micro-batch."""
     import pandas as pd
 
     from cs686_big_data_p1_spark.operators.sessions import THROTTLE_GAP_S
@@ -203,10 +203,11 @@ def _throttle_state_fn(key, pdfs, state):
     user_id, event_type = key
     last_us = state.get[0] if state.exists else None
     gap_us = THROTTLE_GAP_S * 1_000_000
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    chunks = [pdf for pdf in pdfs if len(pdf) > 0]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
         keep_rows = []
         for ts, eid in zip(pdf["ts"], pdf["event_id"]):
             t = pd.Timestamp(ts)

@@ -282,17 +282,18 @@ def test_stream_corruption_alerts_match_batch(spark, registry):
 
 
 def test_stream_dedup_exact_matches_batch(spark, registry):
-    """Streaming dropDuplicates state must reproduce the batch exact-
-    dedup survivor set: same distinct hashes, and first-seen == the
-    batch keeper (fixture arrives in doc_id order)."""
+    """The incrementally-maintained (keeper, copies) state must equal
+    the batch exact-dedup row-for-row — the min-keeper rule makes the
+    parity hold at ANY parallelism, not just single-split arrival
+    order (review r8)."""
     got = {
-        r.text_hash: r.doc_id
+        r.text_hash: (r.keeper_doc_id, r.n_copies)
         for r in registry.QUERIES["stream_dedup_exact"](
             spark, SF_SMALL
         ).collect()
     }
     want = {
-        r.text_hash: r.keeper_doc_id
+        r.text_hash: (r.keeper_doc_id, r.n_copies)
         for r in registry.QUERIES["dedup_exact"](spark, SF_SMALL).collect()
     }
     assert got == want and got
