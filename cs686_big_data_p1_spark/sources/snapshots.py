@@ -96,10 +96,30 @@ def _publish_stage(
                 pdir = f"{table_path}/v={pv:0{_WIDTH}d}"
                 if fs.exists(jpath(f"{pdir}/{marker}")):
                     return pv
+            # Not yet published — but maybe not deleted either
+            # (ADVICE r8): a janitor that ADOPTED this stage can
+            # itself lose a publish race, leaving the stage
+            # momentarily NESTED inside another committer's version
+            # awaiting pull-back. Raising here would make the caller
+            # retry write_snapshot and double-commit once the
+            # janitor's republish lands. We own the token, so pull
+            # the nested stage back to the root ourselves (the same
+            # recovery the race loser below performs) and keep
+            # driving the CAS; a failed pull-back means the janitor
+            # moved it concurrently — re-enter the loop and re-look.
+            nested_stage = None
+            for s in find_stranded_stages(spark, table_path):
+                if s["token"] == token and s["nested_in"] is not None:
+                    nested_stage = s["path"]
+                    break
+            if nested_stage is not None:
+                fs.rename(jpath(nested_stage), jpath(stage))
+                continue
             raise IOError(
                 f"snapshot commit: stage dir {stage} disappeared "
                 "mid-publish and its marker is under no published "
-                "version — the stage was deleted, not adopted"
+                "version nor any nested stage — the stage was "
+                "deleted, not adopted"
             )
         vs = snapshot_versions(spark, table_path)
         v = (vs[-1] if vs else 0) + 1

@@ -80,6 +80,8 @@ def load_neardup_store(
     while the layout stays the same."""
     from ..sources.snapshots import _fs
 
+    if path is not None:
+        _recover_orphan_store(spark, path)
     store = {}
     for name, schema in _STORE_SCHEMAS.items():
         sub = f"{path}/{name}" if path else None
@@ -95,6 +97,54 @@ def load_neardup_store(
     return store
 
 
+def _recover_orphan_store(spark: SparkSession, path: str) -> None:
+    """Guard the stage-and-swap crash window at LOAD time (ADVICE r8):
+    a crash between write_neardup_store's two renames leaves the live
+    store MISSING while the entire previous state sits at
+    ``<path>.old-<tag>`` — and the old load path would silently treat
+    that as a fresh store, permanently resetting the dedup history the
+    moment the next drain writes. Detect the orphan and ROLL BACK:
+    rename the single ``.old-*`` sibling into place (completing the
+    interrupted swap in the safe direction — the staging data was never
+    published, so the pre-swap state is the last consistent one).
+    Multiple ``.old-*`` siblings mean two interleaved writers crashed;
+    no automatic choice is safe, so raise for the operator. Orphan
+    ``.staging-*`` siblings with the store missing and no ``.old-*``
+    mean the crash happened before the first rename of a FIRST-ever
+    write — the prior state was empty, so a fresh store is correct
+    (and a live concurrent first write looks identical; raising would
+    break it)."""
+    from ..sources.snapshots import _fs
+
+    fs, p, jvm = _fs(spark, path)
+    if fs.exists(p):
+        return
+    jpath = jvm.org.apache.hadoop.fs.Path
+    parent = p.getParent()
+    if parent is None or not fs.exists(parent):
+        return
+    base = p.getName()
+    olds = []
+    for st in fs.listStatus(parent):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{base}.old-"):
+            olds.append(name)
+    if not olds:
+        return
+    if len(olds) > 1:
+        raise IOError(
+            f"neardup store {path} is missing but multiple crash "
+            f"leftovers exist: {sorted(olds)} — interleaved writers; "
+            "recover the correct .old-* directory manually"
+        )
+    old = f"{path}.old-{olds[0].split('.old-', 1)[1]}"
+    if not fs.rename(jpath(old), p):
+        raise IOError(
+            f"neardup store {path} is missing; rollback rename of "
+            f"crash leftover {old} failed"
+        )
+
+
 def write_neardup_store(store: dict[str, DataFrame], path: str) -> None:
     """Persist the accumulated state tables with a STAGE-AND-SWAP so a
     crash can never leave the four tables internally inconsistent
@@ -103,9 +153,10 @@ def write_neardup_store(store: dict[str, DataFrame], path: str) -> None:
     gone can never match a future near-duplicate). All four tables are
     written to a staging sibling first; the live store is then swapped
     in two renames. The crash window is between the two renames and
-    yields a MISSING store (a correct, loud cold start — the previous
-    state survives at <path>.old-* for manual recovery), never a
-    half-updated one. Safe to call after a drain: every store frame
+    yields a MISSING store whose previous state survives at
+    <path>.old-*; load_neardup_store detects that shape and ROLLS the
+    .old dir back into place (ADVICE r8 — never a silent fresh start,
+    never a half-updated store). Safe to call after a drain: every store frame
     has been localCheckpoint-materialized by the last micro-batch, so
     the staging write never reads its own output."""
     import uuid as _uuid
@@ -120,9 +171,32 @@ def write_neardup_store(store: dict[str, DataFrame], path: str) -> None:
     fs, p, jvm = _fs(spark, path)
     jpath = jvm.org.apache.hadoop.fs.Path
     old = f"{path}.old-{tag}"
-    if fs.exists(p):
-        fs.rename(p, jpath(old))
-    fs.rename(jpath(staging), p)
+    # Verified renames (ADVICE r8): Hadoop rename returns false instead
+    # of throwing on several failure shapes, and renaming onto an
+    # EXISTING directory nests the source inside it while returning
+    # true (snapshots.py documents the semantics). An unchecked false
+    # on the first rename would leave the live store in place and land
+    # the staging dir INSIDE it on the second rename — "success" with
+    # the drain's state update silently lost. Check both results, and
+    # verify a known child sits directly under the live path after the
+    # swap (the nesting failure mode puts it one level deeper).
+    if fs.exists(p) and not fs.rename(p, jpath(old)):
+        raise IOError(
+            f"neardup store swap: rename {path} -> {old} failed "
+            "(leftover .old dir or concurrent drain?) — state not "
+            "updated; staging left at " + staging
+        )
+    if not fs.rename(jpath(staging), p):
+        raise IOError(
+            f"neardup store swap: rename {staging} -> {path} failed — "
+            f"previous state preserved at {old}"
+        )
+    if not fs.exists(jpath(f"{path}/hashes")):
+        raise IOError(
+            f"neardup store swap: {path} exists but holds no 'hashes' "
+            "table after the swap — staging was nested inside a "
+            "concurrent writer's store; state update lost"
+        )
     if fs.exists(jpath(old)):
         fs.delete(jpath(old), True)
 

@@ -304,3 +304,41 @@ def test_publish_stage_returns_janitor_adopted_version(spark, tmp_path):
 
     with _pytest.raises(IOError):
         _publish_stage(spark, tbl, "neverexisted")
+
+
+def test_publish_stage_recovers_janitor_nested_stage(spark, tmp_path):
+    """ADVICE r8: the committer's stage can be NESTED inside another
+    committer's published version (the janitor adopted it, then itself
+    lost a publish race and hasn't pulled it back yet). The original
+    committer — whose root stage is gone and whose marker is under no
+    published version — must not raise 'deleted, not adopted': it owns
+    the token, so it pulls the nested stage back out and finishes the
+    publish itself. Raising here would make the caller retry
+    write_snapshot and double-commit once the janitor's republish
+    lands."""
+    import os
+
+    from cs686_big_data_p1_spark.sources.snapshots import _publish_stage
+
+    tbl = str(tmp_path / "tbl")
+    write_snapshot(spark, spark.range(2), tbl)  # v1
+    write_snapshot(spark, spark.range(3), tbl)  # v2
+    # Simulate the janitor's lost-race window: the committer's complete
+    # stage (data + marker) sits nested inside v2, its root stage gone.
+    token = "nestedrace1"
+    nested = f"{tbl}/v=00000002/.stage-{token}"
+    spark.range(70, 74).write.parquet(nested)
+    open(os.path.join(nested, f"_commit-{token}"), "w").close()
+
+    v = _publish_stage(spark, tbl, token)
+    assert v == 3  # pulled back and published, not raised
+    assert snapshot_versions(spark, tbl) == [1, 2, 3]
+    assert {r.id for r in read_snapshot(spark, tbl, 3).collect()} == {
+        70, 71, 72, 73
+    }
+    # v2 is clean again — no stage dir left nested inside it
+    import cs686_big_data_p1_spark.sources.snapshots as snap
+
+    fs, p, _ = snap._fs(spark, f"{tbl}/v=00000002")
+    names = [st.getPath().getName() for st in fs.listStatus(p)]
+    assert not any(n.startswith(".stage-") for n in names)

@@ -737,3 +737,117 @@ def test_stream_ohlc_matches_finalized_batch(spark, registry):
         if r.hour_ts + datetime.timedelta(hours=1) <= horizon
     }
     assert got == want and len(got) > 0
+
+
+def test_neardup_store_crash_between_renames_rolls_back(spark, tmp_path):
+    """ADVICE r8: a crash between write_neardup_store's two renames
+    leaves the live store MISSING with the whole previous state at
+    <path>.old-<tag>. load_neardup_store must roll the .old dir back
+    into place (not silently start fresh — that would permanently
+    reset the dedup history on the next write); two .old siblings
+    (interleaved crashed writers) must raise instead of guessing."""
+    import os
+
+    from cs686_big_data_p1_spark.sources.snapshots import _fs
+    from cs686_big_data_p1_spark.streaming.neardup import (
+        _STORE_SCHEMAS,
+        load_neardup_store,
+        write_neardup_store,
+    )
+
+    store_path = str(tmp_path / "store")
+    store = load_neardup_store(spark, None)
+    store["hashes"] = spark.createDataFrame(
+        [("aaa",), ("bbb",)], _STORE_SCHEMAS["hashes"]
+    )
+    write_neardup_store(store, store_path)
+
+    # simulate the crash window: live store renamed away, second rename
+    # never happened
+    fs, p, jvm = _fs(spark, store_path)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    assert fs.rename(p, jpath(f"{store_path}.old-crash1"))
+    assert not os.path.isdir(store_path)
+
+    loaded = load_neardup_store(spark, store_path)
+    assert {r.th for r in loaded["hashes"].collect()} == {"aaa", "bbb"}
+    assert os.path.isdir(store_path)  # rolled back into place
+    assert not os.path.isdir(f"{store_path}.old-crash1")
+
+    # two interleaved crash leftovers: no safe automatic choice
+    assert fs.rename(p, jpath(f"{store_path}.old-crash2"))
+    os.makedirs(f"{store_path}.old-crash3/hashes")
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        load_neardup_store(spark, store_path)
+
+    # orphan .staging with NO .old and store missing = crashed FIRST
+    # write (prior state was empty): fresh store is correct
+    for leftover in (f"{store_path}.old-crash2", f"{store_path}.old-crash3"):
+        fs.delete(jpath(leftover), True)
+    os.makedirs(f"{store_path}.staging-x/hashes")
+    fresh = load_neardup_store(spark, store_path)
+    assert fresh["hashes"].count() == 0
+
+
+def test_neardup_store_write_verifies_swap(spark, tmp_path):
+    """ADVICE r8: write_neardup_store must check both rename results —
+    an unchecked false on the first rename would nest the staging dir
+    INSIDE the still-live store ('success' with the update lost). With
+    a live store whose rename-away is forced to fail, the write must
+    raise, and the live store must keep serving its old tables."""
+    from cs686_big_data_p1_spark.streaming.neardup import (
+        _STORE_SCHEMAS,
+        load_neardup_store,
+        write_neardup_store,
+    )
+
+    store_path = str(tmp_path / "store")
+    store = load_neardup_store(spark, None)
+    store["hashes"] = spark.createDataFrame([("old1",)], _STORE_SCHEMAS["hashes"])
+    write_neardup_store(store, store_path)
+
+    # Force the first rename to report false (Hadoop-style failure)
+    import cs686_big_data_p1_spark.streaming.neardup as nd
+
+    real_fs = __import__(
+        "cs686_big_data_p1_spark.sources.snapshots", fromlist=["_fs"]
+    )._fs
+
+    class StubbornFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, src, dst):
+            if src.getName() == "store" and ".old-" in dst.getName():
+                return False  # live store refuses to move
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    import cs686_big_data_p1_spark.sources.snapshots as snap
+
+    orig = snap._fs
+
+    def stubborn(s, path):
+        fs, p, jvm = orig(s, path)
+        return StubbornFS(fs), p, jvm
+
+    snap._fs = stubborn
+    try:
+        store2 = load_neardup_store(spark, store_path)
+        store2["hashes"] = spark.createDataFrame(
+            [("new1",)], _STORE_SCHEMAS["hashes"]
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(IOError):
+            write_neardup_store(store2, store_path)
+    finally:
+        snap._fs = orig
+
+    # live store unharmed, still serving the OLD state, not nested-into
+    survived = load_neardup_store(spark, store_path)
+    assert {r.th for r in survived["hashes"].collect()} == {"old1"}
