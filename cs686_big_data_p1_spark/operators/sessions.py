@@ -468,7 +468,36 @@ def _throttle_partition(batches):
     yield pdf.loc[keep, ["user_id", "event_type", "ts", "event_id"]]
 
 
-@query("event_throttle")
+# The kept-anchor recurrence IS SQL-expressible after all — as a
+# recursive CTE (the corpus_curate closure precedent): the working
+# table holds each (user, type) group's CURRENT anchor; one iteration
+# advances every group to its next kept row = the (ts, event_id)-min
+# event strictly more than the gap after the anchor. Iterations =
+# max kept-per-group; each is one hash join (events x one-anchor-per-
+# group) + a per-group argmin window. Strict `>` mirrors the
+# recurrence's `t_us - last_us > gap_us`.
+THROTTLE_ORACLE = f"""
+WITH RECURSIVE kept AS (
+  (SELECT user_id, event_type, ts, event_id FROM (
+     SELECT user_id, event_type, ts, event_id,
+            row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+     FROM events) WHERE rn = 1)
+  UNION ALL
+  SELECT user_id, event_type, ts, event_id FROM (
+    SELECT e.user_id, e.event_type, e.ts, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id, e.event_type
+                              ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN kept k
+      ON e.user_id = k.user_id AND e.event_type = k.event_type
+     AND e.ts > k.ts + INTERVAL {THROTTLE_GAP_S} SECOND
+  ) WHERE rn = 1
+)
+SELECT user_id, event_type, ts, event_id FROM kept
+"""
+
+
+@query("event_throttle", oracle=THROTTLE_ORACLE)
 def event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEPT-ANCHOR throttle (rate limiting): within each (user,
     event_type) stream, keep an event iff it is > {THROTTLE_GAP_S} s
@@ -486,10 +515,11 @@ def event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group applyInPandas was 10x slower on small groups). A hot
     user bounds at its own event count (the sequence_pack
     (key, time-bucket) sharding applies if one key degenerates, at
-    the cost of approximate anchors at shard edges). Registered
-    rows-only: the recurrence is not single-statement SQL;
-    tests/test_search_graph.py pins it against an independent
-    pure-Python recompute and the consecutive-gap invariant."""
+    the cost of approximate anchors at shard edges). ORACLE-EXACT
+    since r9 via the recursive-CTE anchor walk (THROTTLE_ORACLE);
+    tests/test_search_graph.py additionally pins it against an
+    independent pure-Python recompute and the consecutive-gap
+    invariant."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.select("user_id", "event_type", "ts", "event_id")

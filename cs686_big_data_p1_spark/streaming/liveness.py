@@ -292,7 +292,26 @@ def stream_hb_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory(sess, "append")
 
 
-@query("stream_corruption_alerts")
+# The drained alert set is deterministic — every node that beat at
+# least once, crossed with the corrupt chunks it holds (the first-beat
+# dedup only decides WHEN the alert fires, not WHETHER) — so it is
+# exactly corruption_scan's join restricted to heartbeat-active nodes.
+CORRUPTION_ALERTS_STREAM_ORACLE = oracle(
+    """
+SELECT DISTINCT r.host, r.port, r.filename, r.sequence_no
+FROM replicas r
+JOIN (SELECT DISTINCT host, port FROM heartbeats) h
+  ON h.host = r.host AND h.port = r.port
+JOIN chunks c
+  ON c.filename = r.filename AND c.sequence_no = r.sequence_no
+JOIN checksums_stored s
+  ON s.filename = r.filename AND s.sequence_no = r.sequence_no
+WHERE c.checksum <> s.checksum
+"""
+)
+
+
+@query("stream_corruption_alerts", oracle=CORRUPTION_ALERTS_STREAM_ORACLE)
 def stream_corruption_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: corruption monitor as a stream-static join
     (storageNode/ChunkCorruptionMonitor.java:32-93).
@@ -300,7 +319,10 @@ def stream_corruption_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each heartbeat triggers a re-verification of the chunks its node
     holds: stream ⋈ static replicas (on node) ⋈ static stored-vs-computed
     checksums, keeping mismatches. Static sides are broadcast; the
-    stream never shuffles."""
+    stream never shuffles. ORACLE-EXACT (r9): the first-beat dedup
+    decides only when each alert fires; the drained SET is
+    corruption_scan's mismatch join restricted to nodes with >= 1
+    heartbeat, which is single-statement SQL."""
     spark = stream_clone(spark)  # session-local drain conf
     from ..views import checksums_stored_df, chunks_df, replicas_df
 
@@ -369,13 +391,21 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(survivors, "complete")
 
 
-@query("stream_event_dispatch")
+EVENT_DISPATCH_STREAM_ORACLE = (
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+)
+
+
+@query("stream_event_dispatch", oracle=EVENT_DISPATCH_STREAM_ORACLE)
 def stream_event_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 live: the message-dispatch table maintained incrementally —
     running count per event_type over the event stream (the oneof
     switch in controller/MessageProcessor.java:35-68 as a complete-mode
     streaming aggregation; state is one counter per message variant,
-    bounded by the 18-variant wire IR). Batch analog: event_dispatch."""
+    bounded by the 18-variant wire IR). ORACLE-EXACT (r9): a
+    complete-mode drain over the whole fixture IS the batch aggregate,
+    so this shares event_dispatch's oracle verbatim — no finalization
+    predicate needed (complete mode withholds nothing)."""
     spark = stream_clone(spark)  # session-local drain conf
     with nanos_as_long(spark):
         ev = events_stream(spark, sf_dir)

@@ -29,18 +29,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dfs_meta import replication_orders
+from ..operators.dfs_meta import REPLICATION_ORDERS_ORACLE, replication_orders
 from ..registry import query
 from ..views import MAX_HEARTBEAT_AGE_SQL
 from .liveness import heartbeat_stream, nanos_as_long, stream_clone
 
 
-@query("stream_replication_orders")
+@query("stream_replication_orders", oracle=REPLICATION_ORDERS_ORACLE)
 def stream_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4 as a standing streaming query (rows-only: the stateful
-    stream→join→window composition is not single-statement
-    SQL-expressible; the batch analog replication_orders carries the
-    oracle, and the parity pytest pins stream ≡ batch)."""
+    """T4 as a standing streaming query. ORACLE-EXACT (r9): an
+    AvailableNow drain's FINAL micro-batch sees the complete-mode
+    liveness snapshot over every heartbeat in the fixture, and its
+    online cutoff (max last_ts - {MAX_HEARTBEAT_AGE}) is precisely the
+    rule views.online_nodes_df / the oracle prelude's online_nodes CTE
+    apply to the batch table — so the returned order book equals batch
+    replication_orders' and shares REPLICATION_ORDERS_ORACLE verbatim
+    (every intermediate batch's book is superseded, the reference's
+    stale-order semantics). The parity pytest additionally pins
+    stream ≡ batch row-for-row."""
     spark = stream_clone(spark)  # session-local drain conf
     result: dict[str, DataFrame] = {}
 

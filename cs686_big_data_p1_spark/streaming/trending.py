@@ -230,16 +230,25 @@ def _throttle_state_fn(key, pdfs, state):
         state.update((last_us,))
 
 
-@query("stream_throttle")
+def _stream_throttle_oracle() -> str:
+    from ..operators.sessions import THROTTLE_ORACLE
+
+    return THROTTLE_ORACLE
+
+
+@query("stream_throttle", oracle=_stream_throttle_oracle())
 def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """event_throttle LIVE: the kept-anchor rate limit as an
     applyInPandasWithState machine — state is ONE long (last kept
     timestamp) per (user, event_type), folded across micro-batches;
     kept events emit in append mode at decision time. On the in-order
     fixture stream the drained output is exactly the batch operator's
-    row set (parity pytest). State is O(#active (user,type) keys) x 8
-    bytes — the bounded-state shape every stateful operator in this
-    engine maintains."""
+    row set (parity pytest), so it shares the batch operator's
+    recursive-CTE oracle (sessions.THROTTLE_ORACLE) and registers
+    ORACLE-EXACT (r9 — the kept-anchor recurrence is expressible as a
+    recursive anchor walk after all). State is O(#active (user,type)
+    keys) x 8 bytes — the bounded-state shape every stateful operator
+    in this engine maintains."""
     spark = stream_clone(spark)  # session-local drain conf
     from pyspark.sql.streaming.state import GroupStateTimeout
 
