@@ -208,3 +208,73 @@ def test_two_phase_rank_splits_multivalue_hot_bucket(spark):
     for desc in (False, True):
         got, want = _rank_pairs(df, "v", "tie", desc)
         assert got == want, f"desc={desc}"
+
+
+def test_two_phase_rank_fixpoint_splits_nested_skew(spark):
+    """r8 verdict #2 pathology: ONE dominant tied value (90% of rows,
+    tie range >> RANK_BUCKETS) hiding inside a WIDE multi-value bucket.
+    One split level isolates the value (value-range split) but leaves
+    all its rows in one cell; the fixpoint must then tie-split that
+    cell — no composite bucket may hold more than ~2n/B rows — and the
+    ranks must still be exactly the built-in's."""
+    from cs686_big_data_p1_spark.operators.analytics import (
+        RANK_BUCKETS,
+        _rank_bucketed,
+    )
+
+    n = 40_000  # tie range = n ~ 10x RANK_BUCKETS
+    df = spark.range(n).select(
+        F.col("id").alias("tie"),
+        F.when(F.col("id") % 10 != 0, F.lit(7))
+        .otherwise((F.col("id") * 499) % 10_000_000)
+        .alias("v"),
+    )
+    sizes = [
+        r["c"]
+        for r in _rank_bucketed(df, "v", "tie")
+        .groupBy("_bkt", "_sub")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    cap = 4 * (n // RANK_BUCKETS + 1)
+    assert max(sizes) <= cap, f"hot composite bucket: {max(sizes)} > {cap}"
+    assert sum(sizes) == n
+    for desc in (False, True):
+        got, want = _rank_pairs(df, "v", "tie", desc)
+        assert got == want, f"desc={desc}"
+
+
+def test_two_phase_rank_full_tie_group_terminates(spark):
+    """A pure full-tie group (identical value AND tie for 90% of rows)
+    is unsplittable by any deterministic monotone key: the fixpoint
+    must TERMINATE (not spin to the level cap) and still rank exactly;
+    the full-tie cell legitimately stays hot."""
+    from cs686_big_data_p1_spark.operators.analytics import _rank_bucketed
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 10 != 0, F.lit(5)).otherwise(
+            F.col("id") % 100
+        ).alias("tie"),
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(
+            F.col("id") % 40
+        ).alias("v"),
+    )
+    bucketed = _rank_bucketed(df, "v", "tie")
+    assert bucketed.count() == n  # no rows lost, loop terminated
+    # rank exactness on the deduplicated total order: full-tie rows
+    # share (v, tie) so compare RANK SETS per (v, tie) group instead
+    from cs686_big_data_p1_spark.operators.analytics import (
+        _two_phase_global_rank,
+    )
+
+    got = _two_phase_global_rank(df, "v", "tie").collect()
+    want = _builtin_rank(df, "v", "tie").collect()
+    by_key_got: dict = {}
+    by_key_want: dict = {}
+    for r in got:
+        by_key_got.setdefault((r.v, r.tie), set()).add(r._rank)
+    for r in want:
+        by_key_want.setdefault((r.v, r.tie), set()).add(r._want)
+    assert by_key_got == by_key_want
