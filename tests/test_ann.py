@@ -320,3 +320,51 @@ def test_ivfpq_planted_duplicate_rank1(spark):
     out = {r.query_id: r for r in ivfpq_topk(e).where("rank = 1").collect()}
     assert out[2].neighbor_id == planted
     assert out[2].cosine > 0.999
+
+
+def test_semantic_dedup_keeps_centroid_nearest(spark):
+    """SemDeDup contract on a planted corpus: an exact copy of a
+    centroid vector and a slightly-perturbed near-copy land in that
+    centroid's cell; the copy (cosine 1.0 to centroid) outranks the
+    perturbed one, which must be DROPPED (cosine to the copy >>
+    SEM_TAU) while the copy stays kept; far-apart random vectors all
+    stay kept; every vector appears exactly once with a verdict."""
+    import random
+
+    from cs686_big_data_p1_spark.operators.ann import (
+        ANN_N_QUERIES,
+        EMB_DIM,
+        IVF_NLIST,
+        semantic_dedup,
+    )
+
+    rng = random.Random(99)
+    n = ANN_N_QUERIES + IVF_NLIST + 30
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(EMB_DIM)])
+        for i in range(n)
+    ]
+    cent0 = ANN_N_QUERIES  # first centroid's vec_id
+    copy_id = n - 2
+    near_id = n - 1
+    rows[copy_id] = (copy_id, list(rows[cent0][1]))
+    rows[near_id] = (
+        near_id,
+        [x * 1.001 + 0.001 for x in rows[cent0][1]],
+    )
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_dedup(e).collect()}
+    assert len(out) == n  # every vector has a verdict
+    assert out[cent0].cid == cent0 and out[cent0].kept
+    assert out[copy_id].cid == cent0
+    assert out[near_id].cid == cent0
+    # the centroid vector itself (cosine 1.0, lowest vec_id) is the
+    # representative; both planted near-copies must be dropped
+    assert not out[copy_id].kept
+    assert not out[near_id].kept
+    # random 64-dim vectors are near-orthogonal in expectation (cosine
+    # std ~ 1/8, threshold 0.35 ~ 2.8 sigma): a handful of chance
+    # near-threshold pairs may drop, but the corpus must stay mostly
+    # kept — only the planted structure is a guaranteed duplicate
+    n_dropped = sum(1 for r in out.values() if not r.kept)
+    assert 2 <= n_dropped <= n // 4
