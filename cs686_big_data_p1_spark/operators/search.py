@@ -400,3 +400,85 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         F.min("i").cast("int").alias("first_pos"),
     )
+
+
+# --------------------------------------------------------------------
+# hybrid_search: reciprocal-rank fusion of lexical BM25 and dense kNN
+# --------------------------------------------------------------------
+
+RRF_K0 = 60  # the standard RRF dampening constant (Cormack et al. 2009)
+RRF_SCALE = 10**12  # fixed-point numerator: contribution = SCALE // (60+r)
+HYBRID_QUERY_ID = 0  # the dense leg's query vector (knn fixture split)
+
+
+def _hybrid_oracle() -> str:
+    from .llm import KNN_ORACLE
+
+    return f"""
+WITH lex AS ({BM25_SEARCH_ORACLE}),
+sem AS (
+  SELECT neighbor_id AS doc_id, rank AS sem_rank
+  FROM ({KNN_ORACLE}) WHERE query_id = {HYBRID_QUERY_ID}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.rnk AS lex_rnk, s.sem_rank,
+         COALESCE({RRF_SCALE} // ({RRF_K0} + l.rnk), 0)
+           + COALESCE({RRF_SCALE} // ({RRF_K0} + s.sem_rank), 0) AS rrf_e12
+  FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+)
+SELECT doc_id, CAST(lex_rnk AS INTEGER) AS lex_rnk,
+       CAST(sem_rank AS INTEGER) AS sem_rank,
+       CAST(rrf_e12 AS BIGINT) AS rrf_e12,
+       CAST(row_number() OVER (ORDER BY rrf_e12 DESC, doc_id) AS INTEGER)
+           AS rnk
+FROM fused
+"""
+
+
+@query("hybrid_search", oracle=_hybrid_oracle())
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (VERDICT r8 #7):
+    the BM25 top-{BM25_K} lexical list and the dense top-k cosine
+    list for query vector {HYBRID_QUERY_ID} (doc_id == vec_id, the
+    doc_embedding_join contract), fused by RRF with the standard
+    k0={RRF_K0}: score(d) = sum over legs of 1/(k0 + rank_d). Each
+    reciprocal is the BIGINT floor {RRF_SCALE} // (k0 + rank) — with
+    rank <= 65 the quantization error is < 1e-10 of the true
+    reciprocal while making the fusion score pure integer arithmetic,
+    so ranking is bit-exact across engines (both legs' oracles nest
+    verbatim).
+
+    Scale: both legs are already-audited bounded pipelines whose
+    outputs are top-K-sized; the fusion is a full outer join and one
+    window over <= (len(lex) + len(sem)) rows — constant, never
+    corpus-sized. More legs (more queries, more retrievers) fuse by
+    the same union-of-constant-lists shape."""
+    from .llm import knn_bruteforce
+
+    lex = bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("lex_rnk")
+    )
+    sem = (
+        knn_bruteforce(spark, sf_dir)
+        .where(F.col("query_id") == HYBRID_QUERY_ID)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("sem_rank"),
+        )
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("lex_rnk").cast("int").alias("lex_rnk"),
+        F.col("sem_rank").cast("int").alias("sem_rank"),
+        (
+            F.coalesce(
+                F.expr(f"{RRF_SCALE} div ({RRF_K0} + lex_rnk)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_SCALE} div ({RRF_K0} + sem_rank)"), F.lit(0)
+            )
+        ).cast("bigint").alias("rrf_e12"),
+    )
+    w = Window.orderBy(F.col("rrf_e12").desc(), F.col("doc_id"))
+    return fused.withColumn("rnk", F.row_number().over(w).cast("int"))
