@@ -342,3 +342,71 @@ def test_publish_stage_recovers_janitor_nested_stage(spark, tmp_path):
     fs, p, _ = snap._fs(spark, f"{tbl}/v=00000002")
     names = [st.getPath().getName() for st in fs.listStatus(p)]
     assert not any(n.startswith(".stage-") for n in names)
+
+
+def test_cdc_apply_stream_reconstructs_table(spark, tmp_path):
+    """VERDICT r8 #9: replaying a source table's snapshot_diff stream
+    through cdc_apply_stream must reconstruct the table on the replica
+    version-for-version — final replica content == final source
+    content, one replica version per replayed transition, with
+    deletes, updates, inserts, and a NULL-keyed row all exercised."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cs686_big_data_p1_spark.sources.snapshots import snapshot_diff
+    from cs686_big_data_p1_spark.streaming.cdc import cdc_apply_stream
+
+    src = str(tmp_path / "src")
+    schema = "k long, name string, score double"
+    versions = [
+        [(1, "a", 1.0), (2, "b", 2.0), (None, "z", 0.0)],
+        [(1, "a", 1.5), (2, "b", 2.0), (3, "c", 3.0), (None, "z", 0.0)],
+        [(2, "b", 2.0), (3, "c2", 3.5), (None, "z", 9.0)],
+    ]
+    for rows in versions:
+        from cs686_big_data_p1_spark.sources.snapshots import write_snapshot
+
+        write_snapshot(spark, spark.createDataFrame(rows, schema), src)
+
+    # replica seeded with v1 (a bootstrap copy), diffs replayed 1->2->3
+    replica = str(tmp_path / "replica")
+    from cs686_big_data_p1_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    write_snapshot(spark, read_snapshot(spark, src, 1), replica)
+
+    stream_dir = tmp_path / "diffs"
+    stream_dir.mkdir()
+    for i, (vo, vn) in enumerate([(1, 2), (2, 3)]):
+        diff = snapshot_diff(spark, src, vo, vn, ["k"])
+        pdf = diff.toPandas()
+        pdf["k"] = pdf["k"].astype("Int64")  # keep NULL-able bigint key
+        import pyarrow as pa
+
+        path = stream_dir / f"diff_{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    diff_schema = snapshot_diff(spark, src, 1, 2, ["k"]).schema
+    diffs = (
+        spark.readStream.schema(diff_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    cdc_apply_stream(diffs, replica, ["k"])
+
+    assert snapshot_versions(spark, replica) == [1, 2, 3]
+    for v in (2, 3):
+        got = {
+            (r.k, r.name, r.score)
+            for r in read_snapshot(spark, replica, v).collect()
+        }
+        want = {
+            (r.k, r.name, r.score)
+            for r in read_snapshot(spark, src, v).collect()
+        }
+        assert got == want, f"replica v{v} diverged"
