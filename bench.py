@@ -99,6 +99,40 @@ def main() -> None:
     load_after = os.getloadavg()[0]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # SF series guard (VERDICT r8 #8): if this run's SF differs from
+    # the newest driver-recorded BENCH_r*.json, tag the artifact and
+    # warn — a local sf0.01 iteration run is legitimate, but its
+    # numbers must never be readable as an extension of the official
+    # series without this flag shouting otherwise.
+    series_sf = None
+    try:
+        import glob
+
+        rounds = sorted(
+            glob.glob(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_r*.json",
+                )
+            )
+        )
+        if rounds:
+            series_sf = json.load(open(rounds[-1])).get("sf")
+    except Exception:  # noqa: BLE001 — guard is advisory, never fatal
+        pass
+    sf_val = float(sf) if sf else None
+    sf_mismatch = (
+        series_sf is not None
+        and sf_val is not None
+        and sf_val != series_sf
+    )
+    if sf_mismatch:
+        print(
+            f"bench: WARNING this run is sf={sf_val} but the recorded "
+            f"series is sf={series_sf} — artifact tagged "
+            "sf_mismatch_with_series; do not append to the series",
+            file=sys.stderr,
+        )
     detail = {
         "metric": "total_query_seconds",
         "value": round(sum(t for t in times.values() if t > 0), 4),
@@ -107,7 +141,9 @@ def main() -> None:
         "timing": "min of 2 passes per query",
         "loadavg_1m": [round(load_before, 2), round(load_after, 2)],
         "queries": times,
-        "sf": float(sf) if sf else None,
+        "sf": sf_val,
+        "series_sf": series_sf,
+        "sf_mismatch_with_series": sf_mismatch,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -133,6 +169,7 @@ def main() -> None:
         "loadavg_1m": detail["loadavg_1m"],
         "n_queries": len(times),
         "n_errors": sum(1 for t in times.values() if t < 0),
+        "sf_mismatch_with_series": sf_mismatch,
         "queries": slowest,
         "detail": "BENCH_DETAIL.json",
     }

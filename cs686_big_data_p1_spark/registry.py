@@ -83,13 +83,23 @@ PRIORITY_ORDER = [
     # §2.F batch analogs + windows
     "corruption_scan", "replication_orders", "hb_tumbling", "hb_sliding",
     "hb_session",
-    # §2.I extensions (survey-required)
+    # §2.I extensions (survey-required): one driver-checked
+    # representative per E-row (E1..E6) stays pinned in slots 38-43
     "dedup_exact", "dedup_near", "knn_bruteforce", "text_stats",
-    "doc_embedding_join", "tpch_q1_pricing", "tpch_q3_shipping",
-    "tpch_q5_localsupp", "topk_orders_per_customer", "priority_rollup",
-    # high-value extras filling the remaining driver slots
-    "ann_lsh", "dedup_simhash", "dedup_embedding",
-    # extras past the driver window (judge self-checks these)
+    "doc_embedding_join", "tpch_q1_pricing",
+    # ROTATING WINDOW, slots 44-50 (VERDICT r8 #10): these seven slots
+    # change every round across the extension surface so queries past
+    # the driver's 50-row window eventually earn a driver-grade
+    # correctness row. Round 9: the four queries new or newly
+    # oracle-exact this round plus three heavyweights never
+    # driver-checked before (all seven: first driver check ever).
+    # Displaced occupants move to the head of the post-window list.
+    "dedup_semantic", "hybrid_search", "corpus_curate_semantic",
+    "corpus_curate", "customer_rfm", "bm25_search", "lm_score",
+    # extras past the driver window (judge self-checks these via the
+    # committed full-sweep artifacts)
+    "tpch_q3_shipping", "tpch_q5_localsupp", "topk_orders_per_customer",
+    "priority_rollup", "ann_lsh", "dedup_simhash", "dedup_embedding",
     "knn_ivf", "dedup_ngram",
     "tpch_q4_priority", "price_outliers", "customer_year_setops",
     "order_date_cube", "priority_pivot", "price_median", "asof_join", "range_join_views",

@@ -48,3 +48,35 @@ def test_bench_run_timed_takes_min_of_passes(spark):
     assert got == 1.0  # min, not first or mean
     assert calls == ["sfX", "sfX"]  # both passes really ran
     assert reg.TRACKED_CACHES == []  # clear_caches ran between passes
+
+
+def test_bench_compare_refuses_sf_mismatch(tmp_path):
+    """VERDICT r8 #8: comparing bench artifacts from different scale
+    factors (the r7 mislabeling) must exit 2 with a loud message, not
+    print meaningless ratios; same-SF artifacts compare normally."""
+    import json
+    import subprocess
+    import sys
+
+    a = tmp_path / "old.json"
+    b = tmp_path / "new.json"
+    a.write_text(json.dumps({"sf": 0.1, "queries": {"q": 1.0}}))
+    b.write_text(json.dumps({"sf": 0.01, "queries": {"q": 0.1}}))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(a), str(b)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 2
+    assert "SF MISMATCH" in r.stdout
+
+    b.write_text(json.dumps({"sf": 0.1, "queries": {"q": 0.9}}))
+    r = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(a), str(b)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0
+    assert "SF MISMATCH" not in r.stdout

@@ -1,49 +1,62 @@
-"""The full-oracle correctness gate (VERDICT r7 next-round #1).
+"""The full-oracle correctness gate (VERDICT r7 #1; hardened r9).
 
 The driver's CORRECTNESS_r*.json only covers the first 50 registered
-queries; the other ~130 are verified by the full DuckDB sweep
-`tools/check_oracle.py --json ORACLE_SWEEP.json /root/testdata/sf0.001`,
-whose committed artifact this test pins against the LIVE registry:
+queries; the rest are verified by the full DuckDB sweeps
 
-  * the artifact must exist, parse, and contain zero failures;
+  python tools/check_oracle.py --json ORACLE_SWEEP.json /root/testdata/sf0.001
+  python tools/check_oracle.py --json ORACLE_SWEEP_SF0.01.json /root/testdata/sf0.01
+
+whose committed artifacts this test pins against the LIVE tree:
+
+  * each artifact must exist, parse, contain zero failures, and come
+    from its declared SF dir (VERDICT r8 #3: the sf0.01 sweep is now a
+    machine-checked artifact, not a commit-message claim);
   * its query-name set must EXACTLY equal the registry's — registering,
     removing, or renaming a query without re-running the sweep fails
     here;
   * its ok/rows-only split must match the registry's oracle set — adding
-    or dropping an oracle_sql() entry without re-sweeping fails here.
-
-So the artifact cannot silently go stale with respect to the code that
-matters (the registry surface). A behavior change to an EXISTING query
-still requires re-running the sweep to be caught at sf0.001 — that is
-the per-round gate the builder runs before committing (recorded in
-SCALING.md); this test makes forgetting it loud whenever the registry
-moves, which every round does.
+    or dropping an oracle_sql() entry without re-sweeping fails here;
+  * its recorded engine-source sha256 must match the current tree
+    (VERDICT r8 #5) — so EDITING any engine source without re-running
+    both sweeps fails here too. The hash function is imported from
+    tools/check_oracle.py, so gate and sweep can't diverge on scope.
 """
 
 from __future__ import annotations
 
 import json
 import pathlib
+import sys
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
-ARTIFACT = REPO / "ORACLE_SWEEP.json"
+ARTIFACTS = {
+    REPO / "ORACLE_SWEEP.json": "/root/testdata/sf0.001",
+    REPO / "ORACLE_SWEEP_SF0.01.json": "/root/testdata/sf0.01",
+}
 
 
-def test_oracle_sweep_artifact_matches_registry(registry):
-    assert ARTIFACT.exists(), (
-        "ORACLE_SWEEP.json missing — run "
-        "`python tools/check_oracle.py --json ORACLE_SWEEP.json "
-        "/root/testdata/sf0.001` and commit the result"
+def _check_artifact(path, want_sf_dir, registry, want_sha):
+    assert path.exists(), (
+        f"{path.name} missing — run `python tools/check_oracle.py "
+        f"--json {path.name} {want_sf_dir}` and commit the result"
     )
-    data = json.loads(ARTIFACT.read_text())
+    data = json.loads(path.read_text())
     assert data["n_failed"] == 0, {
         n: r for n, r in data["queries"].items() if r["status"] == "fail"
     }
+    assert data["sf_dir"].rstrip("/") == want_sf_dir, (
+        f"{path.name} was generated at {data['sf_dir']}, expected "
+        f"{want_sf_dir}"
+    )
+    assert data.get("source_sha") == want_sha, (
+        f"{path.name} was swept against different engine sources — "
+        "re-run both full sweeps and commit the artifacts"
+    )
 
     swept = set(data["queries"])
     live = set(registry.QUERIES)
     assert swept == live, (
-        f"registry changed since last sweep: "
+        f"registry changed since last sweep of {path.name}: "
         f"new={sorted(live - swept)} removed={sorted(swept - live)} — "
         "re-run the full oracle sweep"
     )
@@ -51,7 +64,7 @@ def test_oracle_sweep_artifact_matches_registry(registry):
     swept_ok = {n for n, r in data["queries"].items() if r["status"] == "ok"}
     live_oracled = set(registry.ORACLES)
     assert swept_ok == live_oracled, (
-        f"oracle set changed since last sweep: "
+        f"oracle set changed since last sweep of {path.name}: "
         f"new={sorted(live_oracled - swept_ok)} "
         f"dropped={sorted(swept_ok - live_oracled)} — re-run the sweep"
     )
@@ -60,6 +73,15 @@ def test_oracle_sweep_artifact_matches_registry(registry):
         n for n, r in data["queries"].items() if r["status"] == "rows_only"
     }
     assert rows_only == live - live_oracled
+
+
+def test_oracle_sweep_artifacts_match_registry_and_sources(registry):
+    sys.path.insert(0, str(REPO / "tools"))
+    from check_oracle import engine_source_sha
+
+    want_sha = engine_source_sha()
+    for path, sf_dir in ARTIFACTS.items():
+        _check_artifact(path, sf_dir, registry, want_sha)
 
 
 def test_live_oracle_smoke(spark, registry):

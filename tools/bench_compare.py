@@ -5,10 +5,13 @@ Usage: python tools/bench_compare.py OLD_DETAIL.json [NEW_DETAIL.json]
 NEW defaults to the repo's current BENCH_DETAIL.json. Prints queries
 whose min-of-2 time grew by more than THRESHOLD vs the old artifact
 (plus new/removed queries), so a plan regression is distinguishable
-from fixture or corpus growth at a glance. Informational — always
-exits 0; the per-round judge call is a human one (r5's lesson: a 3x
-"regression" was machine contention, which min-of-2 timing now
-defends against at the source).
+from fixture or corpus growth at a glance. Regression output is
+informational (exit 0; the per-round judge call is a human one —
+r5's lesson: a 3x "regression" was machine contention, which min-of-2
+timing now defends against at the source) — EXCEPT a scale-factor
+mismatch between the two artifacts, which exits 2: comparing across
+SFs is the exact mislabeling that poisoned the r7 series (VERDICT r8
+#8), and no number printed from it would mean anything.
 """
 
 from __future__ import annotations
@@ -23,8 +26,23 @@ MIN_SECONDS = 0.3  # ignore ratio noise on sub-300ms queries
 def main() -> int:
     old_path = sys.argv[1]
     new_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_DETAIL.json"
-    old = json.load(open(old_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+    old_doc = json.load(open(old_path))
+    new_doc = json.load(open(new_path))
+    # SF guard (VERDICT r8 #8): r7's "idle 97.2 s" was an sf0.01 run
+    # mislabeled into the sf0.1 series. A comparison across scale
+    # factors is not a regression check at all — refuse it loudly
+    # (exit 2) rather than print ratios that poison the series.
+    old_sf, new_sf = old_doc.get("sf"), new_doc.get("sf")
+    if old_sf is not None and new_sf is not None and old_sf != new_sf:
+        print(
+            f"SF MISMATCH: {old_path} is sf={old_sf} but {new_path} is "
+            f"sf={new_sf} — these are different series; refusing to "
+            "compare (re-run bench.py with the matching "
+            "SPARK_GRAFT_SF_DIR)"
+        )
+        return 2
+    old = old_doc["queries"]
+    new = new_doc["queries"]
     common = sorted(set(old) & set(new))
     old_t = sum(v for q, v in old.items() if q in common and v > 0)
     new_t = sum(v for q, v in new.items() if q in common and v > 0)

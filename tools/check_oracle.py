@@ -8,14 +8,18 @@ non-floats, exact-then-approx diagnostics for floats).
 Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
 
 With --json, writes a machine-readable result artifact. The per-round
-gate (VERDICT r7 #1) is:
+gate (VERDICT r7 #1; two SFs + source pinning since r9) is:
 
     python tools/check_oracle.py --json ORACLE_SWEEP.json /root/testdata/sf0.001
+    python tools/check_oracle.py --json ORACLE_SWEEP_SF0.01.json /root/testdata/sf0.01
 
-committed at the repo root; tests/test_oracle_gate.py then asserts the
-artifact is failure-free AND its query/oracle name sets exactly match
-the live registry — so registering, renaming, or re-oracling a query
-without re-running the full sweep fails the pytest suite.
+committed at the repo root; tests/test_oracle_gate.py then asserts each
+artifact is failure-free, its query/oracle name sets exactly match the
+live registry, AND its recorded engine-source sha256 matches the
+current tree — so registering, renaming, re-oracling, or EDITING the
+semantics of any query without re-running the full sweep fails the
+pytest suite (VERDICT r8 #5: the name-set pin alone let edits to
+existing queries ride on a stale sweep).
 """
 
 from __future__ import annotations
@@ -34,6 +38,31 @@ import duckdb
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+ENGINE_ROOT = "/root/repo/cs686_big_data_p1_spark"
+
+
+def engine_source_sha() -> str:
+    """sha256 over every engine source file (relpath + contents, sorted)
+    — the artifact pin that makes editing an existing query's semantics
+    without a re-sweep loud (VERDICT r8 #5). Tests import this so the
+    gate and the sweep can never disagree on what 'the sources' are."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    paths = []
+    for root, _dirs, files in os.walk(ENGINE_ROOT):
+        for f in files:
+            if f.endswith(".py"):
+                paths.append(os.path.join(root, f))
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, ENGINE_ROOT).encode())
+        h.update(b"\0")
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+        h.update(b"\0")
+    return h.hexdigest()
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -153,6 +182,7 @@ def main() -> int:
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    "source_sha": engine_source_sha(),
                     "elapsed_sec": round(time.monotonic() - t0, 1),
                     "n_queries": len(result),
                     "n_ok": sum(

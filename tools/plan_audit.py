@@ -393,6 +393,12 @@ GLOBAL_WINDOW_WAIVERS: dict[str, dict] = {
         "reason": "two-phase rank over the per-doc LM score: cumulative "
         "offsets over the bounded composite (_bkt, _sub) histogram",
     },
+    "hybrid_search": {
+        "max": 2,
+        "reason": "the nested bm25 leg's rank over its post-LIMIT "
+        "top-K plus the RRF rank over the fused union of two top-K "
+        "lists (<= BM25_K + ANN_K rows, both legs LIMIT-bounded)",
+    },
 }
 
 
