@@ -26,11 +26,24 @@ FACT_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
 def no_auto_broadcast(spark):
     """At test SFs every table is tiny, so Catalyst auto-broadcasts
     plans it never would at 100 TB; with the threshold off, only
-    explicit broadcast() hints survive — the set the guard audits."""
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    explicit broadcast() hints survive — the set the guard audits.
+
+    The threshold is disabled on the cached stream_clone session too:
+    views._VIEW_CACHE is applicationId-keyed, so if a streaming test
+    ran first, the cached DFS-view frames belong to the CLONE and a
+    plan built from them resolves under the clone's conf — leaving the
+    threshold on there reintroduced the tiny-SF auto-broadcasts this
+    fixture exists to suppress (test-order flake, r9)."""
+    from cs686_big_data_p1_spark.streaming.liveness import _STREAM_SESSIONS
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    sessions = [spark, *_STREAM_SESSIONS.values()]
+    olds = [(s, s.conf.get(key)) for s in sessions]
+    for s in sessions:
+        s.conf.set(key, "-1")
     yield
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for s, old in olds:
+        s.conf.set(key, old)
 
 
 def test_tpch_joins_never_broadcast_facts(spark, registry, no_auto_broadcast):
