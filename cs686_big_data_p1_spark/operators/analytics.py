@@ -946,6 +946,17 @@ RANK_BUCKETS = 4096
 # see _rank_bucketed's docstring for the (adversarial-only) residual.
 _MAX_SPLIT_LEVELS = 10
 
+# Absolute hot floor: a composite cell only sub-splits when it holds
+# more rows than this, IN ADDITION to exceeding its proportional n/B
+# share. A cell a single task row_numbers in microseconds is not a
+# straggler whatever its share — without the floor, at fixture scale
+# (n ~ 15k, B = 4096) every 4-row cell counts as "hot" and the
+# fixpoint grinds through split levels that cannot matter. At cluster
+# scale n/B >> the floor, so the floor never weakens the skew
+# guarantee where it matters; the worst residual cell is
+# max(n/B, this) rows in one task.
+_MIN_SPLIT_ROWS = RANK_BUCKETS
+
 
 def _rank_bucketed(
     df: DataFrame, value_col: str, tie_col: str, desc: bool = False
@@ -969,7 +980,9 @@ def _rank_bucketed(
       * `_sub` — the FIXPOINT sub-split (r8 verdict #2: the old single
         level left a dominant tied value inside a wide multi-value
         bucket in one task). Each iteration splits every cell that is
-        still HOT (> n/B rows) and SPLITTABLE, on whichever range
+        still HOT (> n/B rows AND > _MIN_SPLIT_ROWS — the absolute
+        floor below which one task cannot straggle) and SPLITTABLE,
+        on whichever range
         still discriminates: a SINGLE-value cell (null-safe compare,
         so the all-NULL sentinel bucket splits too) orders purely by
         tie and splits on equal-width TIE ranges (requires a numeric
@@ -1034,21 +1047,35 @@ def _rank_bucketed(
             )
         ),
     ).drop("_lo", "_hi")
-    # Fixpoint sub-split. Each level: bounded per-cell stats (cached —
-    # the convergence probe below materializes them, so the split
-    # parameters reuse the same scan), split every hot splittable
-    # cell, append a per-level sub key; stop when none remain. A hot
-    # cell (> n/B rows) sub-splits on whichever range still
-    # discriminates: a SINGLE-value cell (null-safe compare — the
-    # all-NULL sentinel bucket qualifies) orders purely by tie, so it
-    # splits on equal-width TIE ranges; a MULTI-value cell splits on
-    # equal-width VALUE ranges. Both are monotone in the total order
-    # (value asc, tie asc), so cumulative offsets stay exact.
+    # Fixpoint sub-split. Each level: ONE bounded per-cell stats job
+    # collected to the driver, which both decides convergence and
+    # yields the split parameters (so the level costs exactly one
+    # checkpoint-scan aggregate — the r9.0 version's cache+count pair
+    # re-ran the growing join chain per level and regressed the bench
+    # 6x at fixture scale). Split every HOT SPLITTABLE cell; stop when
+    # none remain. Hot = more rows than BOTH the proportional share
+    # (> n/B) AND the absolute floor _MIN_SPLIT_ROWS — without the
+    # floor, at small n every 4-row cell is "hot" (4*B > 15k) and the
+    # loop grinds through levels that cannot matter: a cell a single
+    # task sorts in microseconds is not a straggler, whatever its
+    # share. At 100 TB n/B dwarfs the floor and behavior is unchanged.
+    # A hot cell sub-splits on whichever range still discriminates: a
+    # SINGLE-value cell (null-safe compare — the all-NULL sentinel
+    # bucket qualifies) orders purely by tie, so it splits on
+    # equal-width TIE ranges; a MULTI-value cell splits on equal-width
+    # VALUE ranges. Both are monotone in the total order (value asc,
+    # tie asc), so cumulative offsets stay exact. Params go back in as
+    # a driver-built literal broadcast frame — the final plan carries
+    # no stats subtree at all.
+    from pyspark.sql import types as T
+
     keys = ["_bkt"]
     sub_cols: list[str] = []
+    spark = df.sparkSession
     for level in range(1, _MAX_SPLIT_LEVELS + 1):
-        stats = track_cache(
-            d.groupBy(*keys).agg(
+        rows = (
+            d.groupBy(*keys)
+            .agg(
                 F.count(F.lit(1)).alias("_c"),
                 F.min("_v").alias("_bv_lo"),
                 F.max("_v").alias("_bv_hi"),
@@ -1056,52 +1083,68 @@ def _rank_bucketed(
                 (F.max("_t") - F.min("_t")).alias("_tr"),
                 F.first("_tot").alias("_btot"),
             )
+            .collect()
         )
-        single = F.expr("_bv_lo <=> _bv_hi")
-        hot = F.col("_c") * RANK_BUCKETS > F.col("_btot")
-        # a pure full-tie cell (tie range NULL or 0) cannot split
-        # further — without the `> 0` guard the loop would spin on it
-        splittable = F.when(
-            single, F.col("_tr").isNotNull() & (F.col("_tr") > 0)
-        ).otherwise(F.lit(True))
-        # convergence probe: bounded (<= #cells) and materializes the
-        # cached stats the split parameters below reuse
-        if stats.where(hot & splittable).count() == 0:
+        params = []
+        for r in rows:
+            single = (r["_bv_lo"] is None and r["_bv_hi"] is None) or (
+                r["_bv_lo"] is not None and r["_bv_lo"] == r["_bv_hi"]
+            )
+            hot = (
+                r["_c"] * RANK_BUCKETS > r["_btot"]
+                and r["_c"] > _MIN_SPLIT_ROWS
+            )
+            # a pure full-tie cell (tie range NULL or 0) cannot split
+            # further — without the guard the loop would spin on it
+            splittable = (
+                (r["_tr"] is not None and r["_tr"] > 0) if single else True
+            )
+            if not (hot and splittable):
+                continue
+            m = min(RANK_BUCKETS, int(r["_c"]) * RANK_BUCKETS // int(r["_btot"]) + 1)
+            rng = r["_tr"] if single else (r["_bv_hi"] - r["_bv_lo"])
+            sw = int(rng) // m + 1
+            base = r["_bt_lo"] if single else r["_bv_lo"]
+            params.append(
+                tuple(r[k] for k in keys) + (single, int(sw), int(base))
+            )
+        if not params:
             break
-        params = stats.withColumn(
-            "_m",
-            F.when(
-                hot & splittable,
-                F.least(
-                    F.lit(RANK_BUCKETS).cast("bigint"),
-                    (F.col("_c") * RANK_BUCKETS / F.col("_btot")).cast(
-                        "bigint"
-                    )
-                    + 1,
-                ),
-            ).otherwise(F.lit(1).cast("bigint")),
-        ).select(
-            *keys,
-            "_m",
-            single.alias("_single"),
-            F.when(single, F.expr("_tr div _m + 1"))
-            .otherwise(F.expr("(_bv_hi - _bv_lo) div _m + 1"))
-            .alias("_sw"),
-            F.when(single, F.col("_bt_lo")).otherwise(F.col("_bv_lo")).alias(
-                "_base"
-            ),
+        schema = T.StructType(
+            [T.StructField(k, T.LongType()) for k in keys]
+            + [
+                T.StructField("_single", T.BooleanType()),
+                T.StructField("_sw", T.LongType()),
+                T.StructField("_base", T.LongType()),
+            ]
         )
-        d = d.join(F.broadcast(params), keys)
+        # sub-key arithmetic stays in decimal(38,0): _sw/_base are
+        # exact integers but can exceed int64 for extreme ranges —
+        # guard rather than truncate (the level-0 bucket already
+        # raised on >38-digit ranges, so this is the same envelope)
+        for p in params:
+            if abs(p[-1]) > 2**62 or p[-2] > 2**62:
+                raise ValueError(
+                    "_rank_bucketed: sub-split range exceeds int64 "
+                    "packing envelope"
+                )
+        pdf = spark.createDataFrame(params, schema)
+        d = d.join(F.broadcast(pdf), keys, "left")
         d = d.withColumn(
             "_sk", F.when(F.col("_single"), F.col("_t")).otherwise(F.col("_v"))
         )
         sub = f"_sub{level}"
         d = d.withColumn(
             sub,
-            F.when(F.col("_m") == 1, F.lit(0).cast("bigint"))
+            F.when(F.col("_single").isNull(), F.lit(0).cast("bigint"))
             .when(F.col("_sk").isNull(), F.lit(-1).cast("bigint"))
-            .otherwise(F.expr("(_sk - _base) div _sw").cast("bigint")),
-        ).drop("_sk", "_m", "_single", "_sw", "_base")
+            .otherwise(
+                F.expr(
+                    "(_sk - CAST(_base AS DECIMAL(38,0)))"
+                    " div CAST(_sw AS DECIMAL(38,0))"
+                ).cast("bigint")
+            ),
+        ).drop("_sk", "_single", "_sw", "_base")
         keys.append(sub)
         sub_cols.append(sub)
     # Pack the per-level sub keys into ONE decimal(38,0) by fixed-radix

@@ -91,15 +91,21 @@ def _rank_pairs(df, value_col, tie_col, desc):
     return got, want
 
 
-def test_two_phase_rank_splits_dominant_tied_value(spark):
+def test_two_phase_rank_splits_dominant_tied_value(spark, monkeypatch):
     """One value holds 90% of rows (the customer_rfm frequency shape,
     exaggerated): the composite (_bkt, _sub) buckets must stay near the
     proportional target — no bucket may hold more than a few n/B rows —
-    and the ranks must still be exactly the built-in's."""
+    and the ranks must still be exactly the built-in's. The absolute
+    hot floor is zeroed so the proportional machinery engages at
+    fixture scale (production keeps the floor; see
+    test_two_phase_rank_hot_floor_skips_small_cells)."""
+    import cs686_big_data_p1_spark.operators.analytics as A
     from cs686_big_data_p1_spark.operators.analytics import (
         RANK_BUCKETS,
         _rank_bucketed,
     )
+
+    monkeypatch.setattr(A, "_MIN_SPLIT_ROWS", 0)
 
     n = 20_000
     df = spark.range(n).select(
@@ -126,11 +132,14 @@ def test_two_phase_rank_splits_dominant_tied_value(spark):
         assert got == want, f"desc={desc}"
 
 
-def test_two_phase_rank_all_tied_single_value(spark):
+def test_two_phase_rank_all_tied_single_value(spark, monkeypatch):
     """Degenerate extrema (_hi == _lo): one value bucket, which must
     sub-split on the tie range instead of collapsing to the old
     single-task plan."""
+    import cs686_big_data_p1_spark.operators.analytics as A
     from cs686_big_data_p1_spark.operators.analytics import _rank_bucketed
+
+    monkeypatch.setattr(A, "_MIN_SPLIT_ROWS", 0)
 
     n = 8_192
     df = spark.range(n).select(
@@ -172,15 +181,18 @@ def test_two_phase_rank_non_numeric_tie_still_exact(spark):
     assert got == want
 
 
-def test_two_phase_rank_splits_multivalue_hot_bucket(spark):
+def test_two_phase_rank_splits_multivalue_hot_bucket(spark, monkeypatch):
     """Wide value range (forces bucket width > 1) with 90% of the mass
     on a narrow band of ADJACENT values: the hot bucket holds many
     distinct values, so the tie split can't apply — it must sub-split
     on VALUE ranges instead, and ranks stay exact."""
+    import cs686_big_data_p1_spark.operators.analytics as A
     from cs686_big_data_p1_spark.operators.analytics import (
         RANK_BUCKETS,
         _rank_bucketed,
     )
+
+    monkeypatch.setattr(A, "_MIN_SPLIT_ROWS", 0)
 
     n = 20_000
     # values: 90% in [0, 400) (well inside one width-~2500 bucket of
@@ -210,17 +222,20 @@ def test_two_phase_rank_splits_multivalue_hot_bucket(spark):
         assert got == want, f"desc={desc}"
 
 
-def test_two_phase_rank_fixpoint_splits_nested_skew(spark):
+def test_two_phase_rank_fixpoint_splits_nested_skew(spark, monkeypatch):
     """r8 verdict #2 pathology: ONE dominant tied value (90% of rows,
     tie range >> RANK_BUCKETS) hiding inside a WIDE multi-value bucket.
     One split level isolates the value (value-range split) but leaves
     all its rows in one cell; the fixpoint must then tie-split that
     cell — no composite bucket may hold more than ~2n/B rows — and the
     ranks must still be exactly the built-in's."""
+    import cs686_big_data_p1_spark.operators.analytics as A
     from cs686_big_data_p1_spark.operators.analytics import (
         RANK_BUCKETS,
         _rank_bucketed,
     )
+
+    monkeypatch.setattr(A, "_MIN_SPLIT_ROWS", 0)
 
     n = 40_000  # tie range = n ~ 10x RANK_BUCKETS
     df = spark.range(n).select(
@@ -278,3 +293,28 @@ def test_two_phase_rank_full_tie_group_terminates(spark):
     for r in want:
         by_key_want.setdefault((r.v, r.tie), set()).add(r._want)
     assert by_key_got == by_key_want
+
+
+def test_two_phase_rank_hot_floor_skips_small_cells(spark):
+    """Production behavior of the absolute hot floor: a tied cell
+    BELOW _MIN_SPLIT_ROWS must not sub-split (one task handles it
+    trivially; splitting would only add driver round-trips — the r9
+    bench regression), while ranks stay exactly the built-in's."""
+    from cs686_big_data_p1_spark.operators.analytics import (
+        _MIN_SPLIT_ROWS,
+        _rank_bucketed,
+    )
+
+    n = 8_000  # dominant cell 3000 rows < _MIN_SPLIT_ROWS = 4096
+    assert n // 2 < _MIN_SPLIT_ROWS
+    df = spark.range(n).select(
+        F.col("id").alias("tie"),
+        F.when(F.col("id") % 8 < 3, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("v"),
+    )
+    b = _rank_bucketed(df, "v", "tie")
+    subs = {r["_sub"] for r in b.select("_sub").distinct().collect()}
+    assert subs == {0}, "sub-split engaged below the hot floor"
+    got, want = _rank_pairs(df, "v", "tie", False)
+    assert got == want
