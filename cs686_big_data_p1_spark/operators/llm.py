@@ -1163,6 +1163,111 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Distributed Bloom prefilter over the ingested digest set -----------
+
+BLOOM_M = 131072  # filter bits (2^17)
+BLOOM_K = 3  # hash functions per digest
+
+BLOOM_PREFILTER_ORACLE = f"""
+WITH ref AS (
+  SELECT DISTINCT md5(text) AS th FROM documents
+  WHERE doc_id < {INCR_SPLIT_DOC_ID}
+),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(printf('bloom%d|%s', g.k, ref.th)), 1, 8))
+              AS BIGINT) % {BLOOM_M} AS pos
+  FROM ref CROSS JOIN (VALUES (0),(1),(2)) g(k)
+),
+batch AS (
+  SELECT doc_id, md5(text) AS th FROM documents
+  WHERE doc_id >= {INCR_SPLIT_DOC_ID}
+),
+probe AS (
+  SELECT b.doc_id, b.th,
+         CAST(('0x' || substr(md5(printf('bloom%d|%s', g.k, b.th)), 1, 8))
+              AS BIGINT) % {BLOOM_M} AS pos
+  FROM batch b CROSS JOIN (VALUES (0),(1),(2)) g(k)
+)
+SELECT p.doc_id, p.th AS text_hash,
+       (count(bits.pos) = {BLOOM_K}) AS maybe_seen
+FROM probe p LEFT JOIN bits ON bits.pos = p.pos
+GROUP BY p.doc_id, p.th
+"""
+
+
+@query("bloom_prefilter", oracle=BLOOM_PREFILTER_ORACLE)
+def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom-filter prefilter for incremental dedup: build
+    a {BLOOM_M}-bit / {BLOOM_K}-hash Bloom filter over the ingested
+    reference digest set (dedup_incremental's split), probe every
+    batch document, and emit its `maybe_seen` verdict. maybe_seen =
+    false is a GUARANTEE the digest is new (Bloom filters have no
+    false negatives — pinned by pytest), so the expensive reference
+    anti-join only needs to run on the maybe_seen sliver; at the
+    design fill ratio the sliver is duplicates + ~(fill)^k false
+    positives.
+
+    Why this matters at 100 TB: the reference digest set is
+    O(corpus-distinct) rows and must be shuffled or bucketed to
+    anti-join against, but its Bloom filter is {BLOOM_M} BITS —
+    broadcastable to every executor regardless of corpus size (M
+    grows with ln(1/fpr) * n, still ~1.8 GB for 1e10 digests at 1%
+    fpr, a feasible broadcast where the digest set is not). The bit
+    set is represented relationally (distinct set positions) so the
+    build is one map-side explode + distinct and the probe is a
+    broadcast join — and the whole structure stays oracle-exact: the
+    seeded md5 positions are bit-identical in DuckDB.
+    """
+    return bloom_prefilter_frame(load_table(spark, sf_dir, "documents"))
+
+
+def bloom_prefilter_frame(d: DataFrame) -> DataFrame:
+    """Core of bloom_prefilter over any (doc_id, text) frame (the query
+    wrapper binds the fixture; the no-false-negative pytest feeds a
+    planted cross-split duplicate corpus)."""
+    th = F.md5(F.col("text").cast("binary")).alias("th")
+    ks = F.explode(
+        F.array(*[F.lit(i) for i in range(BLOOM_K)])
+    ).alias("k")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.format_string("bloom%d|%s", F.col("k"), F.col("th"))
+                    .cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % BLOOM_M
+    ).alias("pos")
+    bits = (
+        d.where(F.col("doc_id") < INCR_SPLIT_DOC_ID)
+        .select(th)
+        .distinct()
+        .select("th", ks)
+        .select(pos)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probe = (
+        d.where(F.col("doc_id") >= INCR_SPLIT_DOC_ID)
+        .select("doc_id", th)
+        .select("doc_id", "th", ks)
+        .select("doc_id", "th", pos)
+    )
+    return (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "th")
+        .agg((F.count("_hit") == BLOOM_K).alias("maybe_seen"))
+        .withColumnRenamed("th", "text_hash")
+    )
+
+
 _N_MH_SLOTS = N_MINHASH_BANDS * N_MINHASH_ROWS
 
 MINHASH_EST_ORACLE = f"""

@@ -470,3 +470,43 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return _run_to_memory(ohlc, "append")
+
+
+HOT_KEYS_K = 10  # hot keys reported
+
+HOT_KEYS_ORACLE = f"""
+SELECT user_id, n_events, rnk FROM (
+  SELECT user_id, count(*) AS n_events,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, user_id)
+              AS INTEGER) AS rnk
+  FROM events GROUP BY user_id)
+WHERE rnk <= {HOT_KEYS_K}
+"""
+
+
+@query("stream_hot_keys", oracle=HOT_KEYS_ORACLE)
+def stream_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection over the live event stream: per-user event
+    counts maintained in-stream (complete mode — state is one counter
+    per active key, the same bounded shape as stream_node_last_seen),
+    top-{HOT_KEYS_K} ranked DOWNSTREAM of the drain over the
+    users-sized aggregated rows, never the raw stream — the
+    aggregate-in-stream / rank-downstream split stream_trending
+    established. This is the operational signal the engine's own skew
+    guards key off (salting, AQE skew-join): at 100 TB the same query
+    watches shuffle-key distributions live and feeds the salting
+    decision. ORACLE-EXACT: a complete-mode drain sees every event,
+    so the counts equal the batch aggregate and the rank is the same
+    deterministic (n DESC, user ASC) order in both engines."""
+    spark = stream_clone(spark)  # session-local drain conf
+    with nanos_as_long(spark):
+        ev = events_stream(spark, sf_dir).select("user_id")
+        counts = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        drained = _run_to_memory(counts, "complete")
+    top = drained.orderBy(
+        F.col("n_events").desc(), F.col("user_id")
+    ).limit(HOT_KEYS_K)
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -205,3 +205,45 @@ def test_allpairs_cosine_prefix_filter_invisible(spark, tmp_path):
     for k, (n, c) in got.items():
         assert n == want[k][0]
         assert abs(c - want[k][1]) < 1e-15
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """The Bloom guarantee that makes the prefilter safe: every batch
+    document whose digest IS in the reference set must report
+    maybe_seen (no false negatives, ever — planted cross-split
+    duplicates); false positives among truly-new digests must stay
+    near the design rate (essentially 0 at fixture fill ratio)."""
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.operators.llm import (
+        INCR_SPLIT_DOC_ID,
+        bloom_prefilter_frame,
+    )
+
+    split = INCR_SPLIT_DOC_ID
+    rows = [(i, f"ref doc number {i} with unique words w{i}") for i in range(50)]
+    # batch: 10 exact duplicates of reference docs + 40 new docs
+    rows += [(split + i, rows[i * 3][1]) for i in range(10)]
+    rows += [
+        (split + 100 + i, f"new doc {i} never ingested n{i}")
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bloom_prefilter_frame(d).collect()
+    assert len(out) == 50  # every batch doc gets a verdict
+    ref_digests = {
+        r.th
+        for r in d.where(F.col("doc_id") < split)
+        .select(F.md5(F.col("text").cast("binary")).alias("th"))
+        .collect()
+    }
+    fp = 0
+    seen_in_ref = 0
+    for r in out:
+        if r.text_hash in ref_digests:
+            seen_in_ref += 1
+            assert r.maybe_seen, f"FALSE NEGATIVE for {r.text_hash}"
+        elif r.maybe_seen:
+            fp += 1
+    assert seen_in_ref == 10  # all planted duplicates flagged
+    assert fp <= 2, f"false-positive burst: {fp}"
