@@ -114,7 +114,24 @@ def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_STATE_PARTITIONS = 8
 
 
-def stream_clone(spark: SparkSession) -> SparkSession:
+def python_state_partitions(spark: SparkSession) -> int:
+    """State width for ARROW-PYTHON stateful streams
+    (applyInPandasWithState): the per-row Python work dominates the
+    per-partition state-store fixed cost, so these want one state
+    partition per core (measured on stream_throttle at sf0.1:
+    5.9 s at 8 -> 2.4 s at 32 on local[32]) — the opposite trade from
+    JVM-agg streams, whose stores' commit overhead dominates and which
+    stay at STREAM_STATE_PARTITIONS. On a cluster defaultParallelism
+    is total executor cores, which is still the right denominator:
+    the Python fold is embarrassingly parallel across keys."""
+    return max(
+        STREAM_STATE_PARTITIONS, spark.sparkContext.defaultParallelism
+    )
+
+
+def stream_clone(
+    spark: SparkSession, state_partitions: int | None = None
+) -> SparkSession:
     """Isolated session for one stream drain (ADVICE r7 low): same
     SparkContext, but a cloned SQL conf/catalog, so sizing the stream's
     state-partition width cannot race a concurrent batch query on the
@@ -128,28 +145,35 @@ def stream_clone(spark: SparkSession) -> SparkSession:
     gets. Derived-view caching is unaffected: views._VIEW_CACHE keys by
     applicationId, which clones share.
 
-    ONE clone is cached per SparkContext and reused by every stream
-    drain (review r8): a fresh session per call would accumulate
-    SessionStates — and their memory-sink tables — for the life of the
-    context across a 185-query bench run. Reuse keeps the isolation
-    property (the clone is still never the caller's session) while
-    bounding sessions at one."""
+    ONE clone per requested state width is cached per SparkContext and
+    reused by every stream drain (review r8): a fresh session per call
+    would accumulate SessionStates — and their memory-sink tables —
+    for the life of the context across a 190-query bench run. Reuse
+    keeps the isolation property (the clone is still never the
+    caller's session) while bounding sessions at the number of
+    distinct widths (two in practice: STREAM_STATE_PARTITIONS for
+    JVM-agg streams, python_state_partitions for Arrow-Python
+    stateful ones)."""
     from ..session import configure_existing
 
+    width = (
+        STREAM_STATE_PARTITIONS
+        if state_partitions is None
+        else state_partitions
+    )
     app_id = spark.sparkContext.applicationId
-    cached = _STREAM_SESSIONS.get(app_id)
+    cached = _STREAM_SESSIONS.get((app_id, width))
     if cached is not None:
         return cached
     s2 = configure_existing(spark.newSession())
-    s2.conf.set(
-        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
-    )
-    _STREAM_SESSIONS.clear()  # at most one live context per process
-    _STREAM_SESSIONS[app_id] = s2
+    s2.conf.set("spark.sql.shuffle.partitions", str(width))
+    if any(k[0] != app_id for k in _STREAM_SESSIONS):
+        _STREAM_SESSIONS.clear()  # at most one live context per process
+    _STREAM_SESSIONS[(app_id, width)] = s2
     return s2
 
 
-_STREAM_SESSIONS: dict[str, SparkSession] = {}
+_STREAM_SESSIONS: dict[tuple[str, int], SparkSession] = {}
 
 
 # Memory-sink tables from PRIOR drains, per session id. A memory sink

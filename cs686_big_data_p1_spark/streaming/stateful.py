@@ -177,7 +177,12 @@ def stream_liveness_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time timeout against the global watermark. The drained final
     state is a plain aggregation, so it carries a full DuckDB oracle;
     tests additionally assert batch parity and that silent nodes die."""
-    spark = stream_clone(spark)  # session-local drain conf
+    # default (narrow) state width: this machine has one state key per
+    # NODE (ten keys) and microseconds of Python per batch — the
+    # per-partition store overhead dominates, unlike stream_throttle's
+    # hot per-(user,type) fold (python_state_partitions' measured
+    # trade only pays past ~hundreds of keys with real per-row work)
+    spark = stream_clone(spark)
     with nanos_as_long(spark):
         hb = (
             heartbeat_stream(spark, sf_dir)

@@ -248,8 +248,13 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE-EXACT (r9 — the kept-anchor recurrence is expressible as a
     recursive anchor walk after all). State is O(#active (user,type)
     keys) x 8 bytes — the bounded-state shape every stateful operator
-    in this engine maintains."""
-    spark = stream_clone(spark)  # session-local drain conf
+    in this engine maintains. State width = one partition per core
+    (python_state_partitions): the Arrow-Python fold dominates the
+    state stores' fixed cost, the opposite trade from JVM-agg
+    streams."""
+    from .liveness import python_state_partitions
+
+    spark = stream_clone(spark, python_state_partitions(spark))
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     with nanos_as_long(spark):
