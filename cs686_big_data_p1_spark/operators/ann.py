@@ -813,6 +813,138 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
+# --- Fixed-point Lloyd k-means (oracle-exact clustering) ---------------
+
+LLOYD_ITERS = 2  # Lloyd rounds (each = assign + recenter), unrolled in SQL
+_LQ = 1_000_000  # component quantum: q = floor(x * 1e6) bigint
+
+
+def _lloyd_oracle() -> str:
+    lo, hi = ANN_N_QUERIES, ANN_N_QUERIES + IVF_NLIST
+    parts = [
+        f"""
+ex AS (
+  SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * {_LQ}) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+c0 AS (
+  SELECT vec_id - {lo} AS cid, i, q FROM ex
+  WHERE vec_id >= {lo} AND vec_id < {hi}
+)"""
+    ]
+    prev = "c0"
+    for it in range(1, LLOYD_ITERS + 1):
+        parts.append(f"""
+d{it} AS (
+  SELECT e.vec_id, c.cid,
+         sum((e.q - c.q) * (e.q - c.q)) AS dist
+  FROM ex e JOIN {prev} c ON c.i = e.i
+  GROUP BY e.vec_id, c.cid
+),
+a{it} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cid ASC) AS rk
+    FROM d{it})
+  WHERE rk = 1
+)""")
+        if it < LLOYD_ITERS:
+            parts.append(f"""
+c{it} AS (
+  SELECT a.cid, e.i, sum(e.q) // count(*) AS q
+  FROM a{it} a JOIN ex e ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.i
+)""")
+            prev = f"c{it}"
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT vec_id, CAST(cid AS INTEGER) AS cell, dist AS dist_q
+FROM a{LLOYD_ITERS}
+"""
+    )
+
+
+@query("kmeans_lloyd", oracle=_lloyd_oracle())
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means in pure FIXED-POINT integer arithmetic — the
+    oracle-EXACT clustering kmeans_cells (MLlib, rows-only by design)
+    cannot be: components quantize to 1e6-scaled bigints, distances
+    are exact integer sums of squares, recentering is component-wise
+    integer floor-division means, ties break (dist ASC, cid ASC) —
+    every assignment in every round is bit-identical in DuckDB, which
+    replays the {LLOYD_ITERS} unrolled rounds as CTEs (the pagerank
+    idiom applied to clustering). Seeds are the IVF data-vector
+    centroids, so the whole trajectory is deterministic.
+
+    Scale (the distributed Lloyd shape): centroids are k x d rows
+    BROADCAST into the assignment join; per-round shuffles are the
+    (vec, cid) distance rollup and the (cid, i) recenter rollup — both
+    map-side combinable; the corpus is never shuffled on a data key.
+    One localCheckpoint per round cuts lineage exactly like
+    dedup_clusters' loop. Quantization is the determinism price: at
+    1e-6 resolution the assignment differs from float Lloyd only for
+    points near-equidistant at that scale — and in exchange retries,
+    partitionings, and engines can never disagree."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = track_cache(
+        e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i0", "x"
+            ),
+        ).select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("x") * _LQ).cast("bigint").alias("q"),
+        )
+    )
+    cents = ex.where(
+        (F.col("vec_id") >= ANN_N_QUERIES)
+        & (F.col("vec_id") < ANN_N_QUERIES + IVF_NLIST)
+    ).select(
+        (F.col("vec_id") - ANN_N_QUERIES).alias("cid"),
+        "i",
+        F.col("q").alias("cq"),
+    )
+    assigned = None
+    for it in range(1, LLOYD_ITERS + 1):
+        dists = (
+            ex.join(F.broadcast(cents), "i")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc("dist"), F.asc("cid")
+        )
+        assigned = (
+            dists.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "cid", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if it < LLOYD_ITERS:
+            cents = (
+                assigned.join(ex, "vec_id")
+                .groupBy("cid", "i")
+                .agg(
+                    F.expr("sum(q) div count(*)").alias("cq")
+                )
+            )
+    return assigned.select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cell"),
+        F.col("dist").alias("dist_q"),
+    )
+
+
 @query("kmeans_cells")
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained coarse quantizer for IVF: k-means|| (MLlib built-in,

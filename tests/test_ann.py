@@ -368,3 +368,51 @@ def test_semantic_dedup_keeps_centroid_nearest(spark):
     # kept — only the planted structure is a guaranteed duplicate
     n_dropped = sum(1 for r in out.values() if not r.kept)
     assert 2 <= n_dropped <= n // 4
+
+
+def test_kmeans_lloyd_matches_numpy_recurrence(spark, registry):
+    """kmeans_lloyd's distributed fixed-point rounds must equal an
+    independent pure-numpy replay of the identical quantized
+    recurrence (seeded centroids, integer distances, truncating-
+    division recenters, dist/cid tie-break) — the pagerank-style
+    proof that the distributed plan computes the DECLARED iteration,
+    not merely "a" k-means."""
+    import numpy as np
+
+    from cs686_big_data_p1_spark.operators.ann import (
+        ANN_N_QUERIES,
+        IVF_NLIST,
+        LLOYD_ITERS,
+        _LQ,
+    )
+    from tests.conftest import SF_SMALL
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").orderBy("vec_id")
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array(
+        [[float(x) for x in r.embedding] for r in rows], dtype=np.float64
+    )
+    Q = np.floor(X * _LQ).astype(np.int64)
+    cents = Q[(ids >= ANN_N_QUERIES) & (ids < ANN_N_QUERIES + IVF_NLIST)]
+    for it in range(1, LLOYD_ITERS + 1):
+        # exact integer distances; argmin ties break on cid asc (np
+        # argmin already returns the first minimum)
+        d = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        dist = d[np.arange(len(Q)), assign]
+        if it < LLOYD_ITERS:
+            new = np.empty_like(cents)
+            for c in range(len(cents)):
+                members = Q[assign == c]
+                s = members.sum(axis=0)
+                n = len(members)
+                # truncating integer division (Spark div / DuckDB //)
+                new[c] = np.trunc(s / n).astype(np.int64)
+            cents = new
+    want = {int(v): (int(a), int(dd)) for v, a, dd in zip(ids, assign, dist)}
+    got = {
+        r.vec_id: (r.cell, r.dist_q)
+        for r in registry.QUERIES["kmeans_lloyd"](spark, SF_SMALL).collect()
+    }
+    assert got == want
