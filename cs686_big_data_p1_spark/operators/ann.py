@@ -1026,6 +1026,269 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Oracle-exact PQ: fixed-point per-subspace Lloyd train/encode/search --
+#
+# pq_encode (above) is rows-only because MLlib's k-means|| fit is not
+# SQL-replayable. This section is the same FAISS train()->encode()->
+# search() pipeline built on kmeans_lloyd's fixed-point arithmetic
+# instead, so every codebook component, code assignment, and ADC
+# distance is a bigint both engines compute identically: PQ becomes
+# oracle-EXACT end to end. Reference anchor: the checksum pipeline's
+# determinism contract (storage/StorageNode.java:171-208) applied to
+# vector compression.
+
+PQ_SUB = EMB_DIM // PQ_M  # dims per subspace (64 -> 4 x 16)
+
+
+def _pq_lloyd_ctes() -> str:
+    """Shared oracle CTE chain for the fixed-point PQ train: quantized
+    subspace explode `pex` (point key = (vec_id, s), component j), the
+    seeded codebooks `pc0` (sub-slices of the first PQ_K candidate
+    vectors), LLOYD_ITERS unrolled assign/recenter rounds over ALL
+    PQ_M subspaces at once, ending at pa{LLOYD_ITERS} =
+    (vec_id, s, cid, dist) plus `cb` = the codebook the final
+    assignment used (the one ADC must score with)."""
+    lo, hi = ANN_N_QUERIES, ANN_N_QUERIES + PQ_K
+    parts = [
+        f"""
+pex AS (
+  SELECT vec_id, (i - 1) // {PQ_SUB} AS s, (i - 1) % {PQ_SUB} + 1 AS j,
+         CAST(floor(CAST(x AS DOUBLE) * {_LQ}) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+pc0 AS (
+  SELECT vec_id - {lo} AS cid, s, j, q FROM pex
+  WHERE vec_id >= {lo} AND vec_id < {hi}
+)"""
+    ]
+    prev = "pc0"
+    for it in range(1, LLOYD_ITERS + 1):
+        parts.append(f"""
+pd{it} AS (
+  SELECT e.vec_id, e.s, c.cid,
+         sum((e.q - c.q) * (e.q - c.q)) AS dist
+  FROM pex e JOIN {prev} c ON c.s = e.s AND c.j = e.j
+  GROUP BY e.vec_id, e.s, c.cid
+),
+pa{it} AS (
+  SELECT vec_id, s, cid, dist FROM (
+    SELECT vec_id, s, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, cid ASC) AS rk
+    FROM pd{it})
+  WHERE rk = 1
+)""")
+        if it < LLOYD_ITERS:
+            parts.append(f"""
+pc{it} AS (
+  SELECT a.s, a.cid, e.j, sum(e.q) // count(*) AS q
+  FROM pa{it} a JOIN pex e ON e.vec_id = a.vec_id AND e.s = a.s
+  GROUP BY a.s, a.cid, e.j
+)""")
+            prev = f"pc{it}"
+    parts.append(f"""
+cb AS (SELECT s, cid, j, q FROM {prev})""")
+    return ",".join(parts)
+
+
+def _pq_encode_lloyd_oracle() -> str:
+    codes = ",\n       ".join(
+        f"CAST(max(CASE WHEN s = {m} THEN cid END) AS INTEGER) AS code_{m}"
+        for m in range(PQ_M)
+    )
+    return (
+        "WITH "
+        + _pq_lloyd_ctes()
+        + f"""
+SELECT vec_id,
+       {codes}
+FROM pa{LLOYD_ITERS}
+GROUP BY vec_id
+"""
+    )
+
+
+def _knn_pq_adc_oracle() -> str:
+    return (
+        "WITH "
+        + _pq_lloyd_ctes()
+        + f""",
+dt AS (
+  SELECT e.vec_id AS query_id, c.s, c.cid,
+         sum((e.q - c.q) * (e.q - c.q)) AS d
+  FROM pex e JOIN cb c ON c.s = e.s AND c.j = e.j
+  WHERE e.vec_id < {ANN_N_QUERIES}
+  GROUP BY e.vec_id, c.s, c.cid
+),
+adc AS (
+  SELECT t.query_id, a.vec_id AS neighbor_id, sum(t.d) AS adc_q
+  FROM pa{LLOYD_ITERS} a
+  JOIN dt t ON t.s = a.s AND t.cid = a.cid
+  WHERE a.vec_id >= {ANN_N_QUERIES}
+  GROUP BY t.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id, adc_q, rank FROM (
+  SELECT query_id, neighbor_id, adc_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_q ASC, neighbor_id ASC) AS rank
+  FROM adc)
+WHERE rank <= {ANN_K}
+"""
+    )
+
+
+def _pq_lloyd(e: DataFrame):
+    """Distributed fixed-point PQ train shared by pq_encode_lloyd and
+    knn_pq_adc: returns (assigned, codebook) after LLOYD_ITERS rounds —
+    assigned = (vec_id, s, cid, dist) final subspace assignments,
+    codebook = (s, cid, j, cq) the centroids that produced them.
+
+    Scale: all PQ_M subspaces train in ONE job per round (subspace id
+    s is just another key), the codebook is PQ_M x PQ_K x PQ_SUB rows
+    BROADCAST into every assignment join, and both per-round shuffles
+    ((vec,s,cid) distances and (s,cid,j) recenters) are map-side
+    combinable rollups of bigints — the raw embedding column is never
+    shuffled. localCheckpoint per round cuts lineage as in
+    kmeans_lloyd."""
+    ex = track_cache(
+        e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i0", "x"
+            ),
+        ).select(
+            "vec_id",
+            F.expr(f"i0 div {PQ_SUB}").cast("int").alias("s"),
+            (F.col("i0") % PQ_SUB + 1).alias("j"),
+            F.floor(F.col("x") * _LQ).cast("bigint").alias("q"),
+        )
+    )
+    cents = ex.where(
+        (F.col("vec_id") >= ANN_N_QUERIES)
+        & (F.col("vec_id") < ANN_N_QUERIES + PQ_K)
+    ).select(
+        (F.col("vec_id") - ANN_N_QUERIES).alias("cid"),
+        "s",
+        "j",
+        F.col("q").alias("cq"),
+    )
+    assigned = None
+    for it in range(1, LLOYD_ITERS + 1):
+        dists = (
+            ex.join(F.broadcast(cents), ["s", "j"])
+            .groupBy("vec_id", "s", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy(
+            F.asc("dist"), F.asc("cid")
+        )
+        assigned = (
+            dists.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "s", "cid", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if it < LLOYD_ITERS:
+            cents = (
+                assigned.join(ex, ["vec_id", "s"])
+                .groupBy("s", "cid", "j")
+                .agg(F.expr("sum(q) div count(*)").alias("cq"))
+            )
+    codebook = cents.localCheckpoint(eager=True)
+    return assigned, codebook
+
+
+@query("pq_encode_lloyd", oracle=_pq_encode_lloyd_oracle())
+def pq_encode_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode with ORACLE-EXACT training: the
+    same per-subspace codebook layout as pq_encode, but the codebooks
+    come from the fixed-point Lloyd recurrence (kmeans_lloyd's
+    arithmetic applied per 16-dim slice), so DuckDB replays the whole
+    train+assign trajectory via unrolled CTEs and the emitted codes
+    hash-match bit for bit — the FAISS train()->encode() contract with
+    a provable answer instead of a seeded-run determinism pytest.
+
+    Scale: see _pq_lloyd — one job per Lloyd round for all subspaces,
+    broadcast codebooks, bigint-only shuffles; the encode output
+    shuffles PQ_M small ints per vector (16x compression of a 64-dim
+    float vector into 4 codes)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = _pq_lloyd(e)
+    return assigned.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == m, F.col("cid")))
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+
+@query("knn_pq_adc", oracle=_knn_pq_adc_oracle())
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k search (FAISS IndexPQ, METRIC_L2)
+    over the fixed-point Lloyd codebooks — the search half of
+    pq_encode_lloyd, and the first *trained* ANN query in the repo
+    whose whole pipeline (codebook training included) is oracle-exact:
+    each query builds a PQ_M x PQ_K table of exact integer squared
+    distances to every codebook centroid once; a candidate's distance
+    is then the sum of PQ_M table lookups over its stored codes (ADC,
+    Jegou et al. 2011) — never touching the candidate's raw floats.
+
+    Scale: the distance table is O(n_queries x PQ_M x PQ_K) rows and
+    BROADCAST; candidates flow as (vec_id, s, code) ints, so the
+    scoring join + rollup shuffles only code-width data. The final
+    top-k window partitions by query_id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, codebook = _pq_lloyd(e)
+    qex = (
+        e.where(F.col("vec_id") < ANN_N_QUERIES)
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i0", "x"
+            ),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(f"i0 div {PQ_SUB}").cast("int").alias("s"),
+            (F.col("i0") % PQ_SUB + 1).alias("j"),
+            F.floor(F.col("x") * _LQ).cast("bigint").alias("q"),
+        )
+    )
+    dt = (
+        qex.join(F.broadcast(codebook), ["s", "j"])
+        .groupBy("query_id", "s", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("d")
+        )
+    )
+    codes = assigned.where(F.col("vec_id") >= ANN_N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "s", "cid"
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["s", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_q"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "adc_q", "rank")
+    )
+
+
 def _trained_cells(e: DataFrame):
     """Trained-quantizer analog of _ivf_cells: fit the seeded MLlib
     k-means|| coarse quantizer (kmeans_cells' exact configuration),

@@ -563,6 +563,71 @@ def placement_pick(
     )
 
 
+RENDEZVOUS_ORACLE = oracle(
+    f"""
+SELECT filename, sequence_no, host, port,
+       CAST(rk AS INTEGER) AS replica_rank
+FROM (
+  SELECT c.filename, c.sequence_no, n.host, n.port,
+         row_number() OVER (
+           PARTITION BY c.filename, c.sequence_no
+           ORDER BY md5(printf('hrw|%s|%d|%s|%d',
+                               c.filename, c.sequence_no, n.host, n.port)),
+                    n.host, n.port
+         ) AS rk
+  FROM chunks c CROSS JOIN online_nodes n)
+WHERE rk <= {MIN_REPLICAS}
+"""
+)
+
+
+@query("rendezvous_placement", oracle=RENDEZVOUS_ORACLE)
+def rendezvous_placement(
+    spark: SparkSession, sf_dir: str, online: DataFrame | None = None
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) placement: each chunk's
+    MIN_REPLICAS targets are the online nodes with the largest keyed
+    hash md5('hrw|chunk|node') — the industry-standard decentralized
+    placement the reference's chooseNrandomOrMin (Utils.java:15-22)
+    approximates with an unseeded shuffle. HRW's defining property
+    (pinned by the churn pytest): when a node leaves, ONLY the chunks
+    that ranked it re-place — every other assignment is bit-stable, so
+    a node failure at 100 TB moves 1/N of the data instead of
+    reshuffling the cluster.
+
+    Scale: node list is broadcast (O(cluster) rows); per-chunk work is
+    a bounded candidate ranking partitioned by chunk key; no
+    coordinator state — any worker recomputes the same placement from
+    the membership view alone."""
+    c = chunks_df(spark, sf_dir).select("filename", "sequence_no")
+    if online is None:
+        online = online_nodes_df(spark, sf_dir)
+    weight = F.md5(
+        F.format_string(
+            "hrw|%s|%d|%s|%d",
+            F.col("filename"),
+            F.col("sequence_no"),
+            F.col("host"),
+            F.col("port"),
+        )
+    )
+    w = Window.partitionBy("filename", "sequence_no").orderBy(
+        weight, F.col("host"), F.col("port")
+    )
+    return (
+        c.crossJoin(F.broadcast(online.select("host", "port")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MIN_REPLICAS)
+        .select(
+            "filename",
+            "sequence_no",
+            "host",
+            "port",
+            F.col("rk").cast("int").alias("replica_rank"),
+        )
+    )
+
+
 @query(
     "round_robin_assign",
     oracle=oracle(

@@ -416,3 +416,91 @@ def test_kmeans_lloyd_matches_numpy_recurrence(spark, registry):
         for r in registry.QUERIES["kmeans_lloyd"](spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_pq_lloyd_matches_numpy_recurrence(spark, registry):
+    """pq_encode_lloyd's codes AND knn_pq_adc's top-k must equal an
+    independent pure-numpy replay of the per-subspace fixed-point
+    Lloyd recurrence plus ADC table lookups — pinning the distributed
+    train/encode/search pipeline to the declared iteration."""
+    import numpy as np
+
+    from cs686_big_data_p1_spark.operators.ann import (
+        ANN_K,
+        ANN_N_QUERIES,
+        LLOYD_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        _LQ,
+    )
+    from tests.conftest import SF_SMALL
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").orderBy("vec_id")
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array(
+        [[float(x) for x in r.embedding] for r in rows], dtype=np.float64
+    )
+    Q = np.floor(X * _LQ).astype(np.int64)
+    # per-subspace Lloyd: subspace m covers columns [m*PQ_SUB, (m+1)*PQ_SUB)
+    codes = np.empty((len(ids), PQ_M), dtype=np.int64)
+    cbs = []
+    seed_mask = (ids >= ANN_N_QUERIES) & (ids < ANN_N_QUERIES + PQ_K)
+    for m in range(PQ_M):
+        S = Q[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        cents = S[seed_mask]
+        for it in range(1, LLOYD_ITERS + 1):
+            d = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            if it < LLOYD_ITERS:
+                new = np.empty_like(cents)
+                for c in range(len(cents)):
+                    mem = S[assign == c]
+                    new[c] = np.trunc(mem.sum(axis=0) / len(mem)).astype(
+                        np.int64
+                    )
+                cents = new
+        codes[:, m] = assign
+        cbs.append(cents)
+    want_codes = {
+        int(v): tuple(int(c) for c in codes[k]) for k, v in enumerate(ids)
+    }
+    got_codes = {
+        r.vec_id: tuple(r[f"code_{m}"] for m in range(PQ_M))
+        for r in registry.QUERIES["pq_encode_lloyd"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got_codes == want_codes
+    # ADC: per-query distance tables over the final codebooks, summed
+    # over the candidates' stored codes; top-k (adc asc, id asc)
+    want_topk = {}
+    qmask = ids < ANN_N_QUERIES
+    for qi in np.nonzero(qmask)[0]:
+        dts = [
+            ((Q[qi, m * PQ_SUB : (m + 1) * PQ_SUB][None, :] - cbs[m]) ** 2)
+            .sum(axis=1)
+            for m in range(PQ_M)
+        ]
+        cand = [
+            (
+                sum(int(dts[m][codes[k, m]]) for m in range(PQ_M)),
+                int(ids[k]),
+            )
+            for k in np.nonzero(ids >= ANN_N_QUERIES)[0]
+        ]
+        cand.sort()
+        want_topk[int(ids[qi])] = [
+            (nid, d, rk + 1) for rk, (d, nid) in enumerate(cand[:ANN_K])
+        ]
+    got_topk = {}
+    for r in (
+        registry.QUERIES["knn_pq_adc"](spark, SF_SMALL)
+        .orderBy("query_id", "rank")
+        .collect()
+    ):
+        got_topk.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.adc_q, r.rank)
+        )
+    assert got_topk == want_topk

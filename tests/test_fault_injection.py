@@ -71,3 +71,46 @@ def test_node_kill_triggers_re_replication(spark):
     for r in orders:
         assert (r.from_host, r.from_port) != (victim.host, victim.port)
         assert (r.to_host, r.to_port) != (victim.host, victim.port)
+
+
+def test_rendezvous_placement_minimal_churn(spark):
+    """HRW's defining guarantee: removing one node re-places ONLY the
+    chunks that had ranked that node in their top MIN_REPLICAS — every
+    other (chunk -> node, rank) assignment survives bit-identically.
+    This is the property that makes the strategy deployable at 100 TB
+    (a node failure moves ~1/N of the data, not a cluster reshuffle)."""
+    from cs686_big_data_p1_spark.operators.dfs_meta import (
+        rendezvous_placement,
+    )
+    from cs686_big_data_p1_spark.views import nodes_df
+
+    # inject the full 10-node membership view (sf0.001's heartbeat
+    # fixture leaves only one node live, which can't exercise churn)
+    online = nodes_df(spark).select("host", "port")
+    victim = online.orderBy("host", "port").first()
+    survivors = online.where(
+        ~((F.col("host") == victim.host) & (F.col("port") == victim.port))
+    )
+
+    def placements(o):
+        out = {}
+        for r in rendezvous_placement(spark, SF_SMALL, online=o).collect():
+            out.setdefault((r.filename, r.sequence_no), []).append(
+                (r.replica_rank, r.host, r.port)
+            )
+        return {k: sorted(v) for k, v in out.items()}
+
+    before = placements(online)
+    after = placements(survivors)
+    assert set(before) == set(after)  # every chunk still placed
+    touched = kept = 0
+    for key, b in before.items():
+        had_victim = any(
+            h == victim.host and p == victim.port for _, h, p in b
+        )
+        if had_victim:
+            touched += 1
+        else:
+            kept += 1
+            assert after[key] == b  # bit-stable assignment
+    assert touched > 0 and kept > 0  # the drill exercised both sides

@@ -52,6 +52,23 @@ FACT_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
 # strict column subset; fact_broadcast_ok: the query deliberately
 # broadcasts a bounded derivative of a fact table (limit / tiny agg).
 AUDITS: dict[str, dict] = {
+    # HRW placement: the broadcast side is the online-node list (a
+    # per-node aggregate of the heartbeat stream), chunk side streams
+    "rendezvous_placement": {
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "online list = per-node aggregate, O(#nodes)",
+        "max_waived": 2,  # liveness cutoff + node list branches
+    },
+    # PQ ADC search: the per-query distance table is the broadcast side,
+    # an Aggregate over the vec_id < ANN_N_QUERIES slice (O(q x M x K))
+    "knn_pq_adc": {
+        "broadcast": True,
+        "bounded_broadcast": "distance table = Aggregate over the "
+        "vec_id < ANN_N_QUERIES slice, O(n_queries x PQ_M x PQ_K)",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 2,
+    },
     "tpch_q1_pricing": {"pruned": True, "codegen": True},
     "tpch_q3_shipping": {"pruned": True, "broadcast": True, "codegen": True},
     "tpch_q5_localsupp": {"pruned": True, "broadcast": True, "codegen": True},
@@ -62,12 +79,15 @@ AUDITS: dict[str, dict] = {
         "broadcast": True,
         "codegen": True,
         "bounded_broadcast": "offline list = per-node aggregate, O(#nodes)",
+        # scalar liveness-cutoff aggregate + per-node offline list (the
+        # cache-free standalone plan exposes both; both Aggregate-bounded)
+        "max_waived": 2,
     },
     "replicas_on_offline_nodes": {
         "broadcast": True,
         "codegen": True,
         "bounded_broadcast": "offline list = per-node aggregate, O(#nodes)",
-        "max_waived": 2,  # offline list probed on two plan branches
+        "max_waived": 3,  # cutoff aggregate + offline list on two branches
     },
     "under_replicated": {
         "codegen": True,
@@ -526,6 +546,11 @@ def main() -> int:
     print("# Physical plan audit\n")
     print(f"sf_dir: `{SF_DIR}`\n")
     for name, want in AUDITS.items():
+        # audit each query's standalone plan: a prior query's live
+        # track_cache would otherwise splice its own (already-executed)
+        # InMemoryRelation subtree into this plan and shift the
+        # exchange census with audit ORDER, not query shape
+        registry.clear_caches()
         df = registry.QUERIES[name](spark, SF_DIR)
         plan = formatted_plan(df)
         nodes = parse_tree(plan)
