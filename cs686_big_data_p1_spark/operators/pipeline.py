@@ -1179,3 +1179,152 @@ def lm_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling: bottom-k reservoir and weighted systematic
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 64  # uniform sample size
+
+RESERVOIR_ORACLE = f"""
+SELECT doc_id, md5(printf('samp42|%d', doc_id)) AS sample_key
+FROM documents
+ORDER BY sample_key
+LIMIT {RESERVOIR_K}
+"""
+
+
+@query("reservoir_sample", oracle=RESERVOIR_ORACLE)
+def reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform {RESERVOIR_K}-doc sample without replacement as bottom-k
+    order statistics over a seeded hash: keep the K docs with the
+    smallest md5('samp42|'||doc_id). This is the DISTRIBUTED form of
+    reservoir sampling — the classic single-pass reservoir is
+    inherently sequential (each admit depends on the running count),
+    but bottom-k over a per-row hash yields the identical distribution
+    (each doc's key is an exchangeable uniform draw; the K smallest
+    are a uniform K-subset) while being mergeable: each partition
+    keeps its local bottom-K, the driver merges K-sized heaps
+    (TakeOrdered — O(K) per partition, no global sort, no shuffle of
+    the data itself). Seeded hash instead of rand() for the same
+    reason as stratified_sample: reproducible across engines, retries
+    and speculative tasks.
+
+    Scale: at 100 TB this is a scan + per-partition heap of K rows;
+    driver merge is O(partitions x K). The sample is also STABLE
+    under corpus growth in expectation-preserving ways (a doc's key
+    never changes), which makes downstream eval sets diffable
+    run-over-run.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.format_string("samp42|%d", F.col("doc_id"))).alias(
+                "sample_key"
+            ),
+        )
+        .orderBy("sample_key")
+        .limit(RESERVOIR_K)
+    )
+
+
+WS_K = 64  # systematic sample points
+WS_SHARD = 64  # docs per cumsum shard (phase-1 window partition)
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, n_chars AS weight,
+         sum(n_chars) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hi
+  FROM documents
+),
+p AS (
+  SELECT (sum(n_chars) // {WS_K}) AS stride,
+         (sum(n_chars) // {WS_K}) // 2 AS off
+  FROM documents
+)
+SELECT doc_id, weight, cum_hi,
+       ((cum_hi - 1 - off + stride) // stride)
+       - ((cum_hi - weight - 1 - off + stride) // stride) AS n_picks
+FROM w, p
+WHERE ((cum_hi - 1 - off + stride) // stride)
+      - ((cum_hi - weight - 1 - off + stride) // stride) >= 1
+"""
+
+
+def weighted_sample_frame(d: DataFrame, n_points: int) -> DataFrame:
+    """Core of weighted_sample_systematic over any (doc_id, weight)
+    frame (the query wrapper binds weight = n_chars; the pigeonhole
+    pytest feeds a planted heavy-doc corpus). Emits every doc hit by
+    >= 1 of the n_points systematic sample points, with its exact
+    pick multiplicity."""
+    sharded = d.withColumn(
+        "shard", F.floor(F.col("doc_id") / WS_SHARD).cast("bigint")
+    )
+    w_local = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sharded.withColumn("local_cum", F.sum("weight").over(w_local))
+    totals = sharded.groupBy("shard").agg(F.sum("weight").alias("shard_total"))
+    # carry-in over the O(#shards) aggregate — the pack_sequences
+    # two-phase idiom; the only unpartitioned window is shard-sized
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "shard",
+        F.coalesce(F.sum("shard_total").over(w_off), F.lit(0)).alias("base"),
+    )
+    params = d.agg(
+        F.expr(f"sum(weight) div {n_points}").alias("stride"),
+        F.expr(f"(sum(weight) div {n_points}) div 2").alias("off"),
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            "weight",
+            (F.col("base") + F.col("local_cum")).alias("cum_hi"),
+        )
+        .crossJoin(F.broadcast(params))
+    )
+    n_picks = F.expr(
+        "((cum_hi - 1 - off + stride) div stride)"
+        " - ((cum_hi - weight - 1 - off + stride) div stride)"
+    )
+    return (
+        cum.withColumn("n_picks", n_picks)
+        .where(F.col("n_picks") >= 1)
+        .select("doc_id", "weight", "cum_hi", "n_picks")
+    )
+
+
+@query("weighted_sample_systematic", oracle=WEIGHTED_SAMPLE_ORACLE)
+def weighted_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weight-proportional systematic sampling: lay every doc's
+    weight (n_chars) end to end on an integer number line in doc_id
+    order, then take {WS_K} equally-spaced sample points (stride =
+    total//{WS_K}, offset = stride//2); a doc is picked once per point
+    landing inside its weight interval, so its inclusion count is
+    proportional to its weight with ZERO variance beyond the
+    single-offset draw — the classic systematic (grid) sampler used
+    for domain-weighted token sampling, as pure integer arithmetic
+    (picks come from two floor divisions on the exact cumulative sum,
+    bit-identical in DuckDB; total picks == {WS_K} by telescoping).
+
+    Scale: the global cumulative sum uses the pack_sequences
+    two-phase shape — per-shard windows (bounded partitions) plus a
+    carry-in over the shard aggregate — so no reducer ever sees the
+    whole corpus; the only unpartitioned window is over O(#shards)
+    rows (shard span chosen so that aggregate stays millions of times
+    smaller than the data; scale the span with corpus size). Output
+    is <= {WS_K} rows. A doc with weight >= stride is GUARANTEED >= 1
+    pick (pigeonhole — pinned by pytest), the property quota samplers
+    built on rand() cannot give.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("weight")
+    )
+    return weighted_sample_frame(d, WS_K)

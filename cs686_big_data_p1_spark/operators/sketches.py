@@ -1,0 +1,275 @@
+"""Mergeable sketch summaries, represented relationally — the
+HyperLogLog and Count-Min siblings of llm.bloom_prefilter's Bloom
+filter: each sketch is a TINY aggregate (256 registers / 2048
+counters) built with one map-side-combinable groupBy, broadcastable
+to every executor regardless of input size, and — because every
+register update is seeded-md5 integer arithmetic — bit-identical in
+DuckDB, so the *approximation itself* is oracle-exact (the estimate
+is compared hash-for-hash, not within a tolerance).
+
+Why sketches are first-class at 100 TB: exact distinct counts and
+exact per-key frequencies need O(keys) shuffled state; both sketches
+here need O(1). The engine already maintains the streaming twin
+in-state (stream_distinct_users holds Spark's HLL++ per open window;
+stream_hot_keys holds per-key counters) — this module is the batch
+anchor that pins the math those states rely on.
+
+Cross-engine exactness rule (SURVEY.md §4.3): the only float ever
+emitted is hll_estimate = ALPHA_M_M2_2P54 / sum_fp — a Python-
+precomputed literal divided by an exactly-computed bigint, one
+correctly-rounded IEEE-754 operation; no ln/exp/pow anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007), relational
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # register-index bits
+HLL_M = 1 << HLL_P  # 256 registers -> ~6.5% standard error
+# max rho: h is 60 bits (15 md5 hex chars); w = h >> 8 has 52 bits, so
+# rho = (leading zeros of w in 52 bits) + 1 is in [1, 53] and the
+# fixed-point register term 2^(54 - rho) is always a positive bigint.
+_HLL_FP_SHIFT = 54
+# alpha_m * m^2 * 2^54, precomputed in Python and embedded as ONE
+# literal in both dialects (both engines parse the same decimal text
+# to the same IEEE double; the estimate is then a single division).
+HLL_ALPHA_NUM = repr(
+    0.7213 / (1.0 + 1.079 / float(HLL_M))
+    * float(HLL_M) * float(HLL_M) * float(1 << _HLL_FP_SHIFT)
+)
+
+HLL_DISTINCT_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(printf('hll|%d', user_id)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+),
+reg AS (
+  SELECT event_type, h & {HLL_M - 1} AS bucket,
+         max(CASE WHEN (h >> {HLL_P}) = 0 THEN 53
+                  ELSE 53 - length(bin(h >> {HLL_P})) END) AS m
+  FROM h GROUP BY event_type, h & {HLL_M - 1}
+),
+s AS (
+  SELECT event_type,
+         CAST({HLL_M} - count(*) AS BIGINT) AS n_zero_registers,
+         CAST(sum(CAST(1 AS BIGINT) << ({_HLL_FP_SHIFT} - m))
+              + ({HLL_M} - count(*))
+                * (CAST(1 AS BIGINT) << {_HLL_FP_SHIFT}) AS BIGINT) AS sum_fp
+  FROM reg GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type, s.n_zero_registers, s.sum_fp,
+       {HLL_ALPHA_NUM} / CAST(s.sum_fp AS DOUBLE) AS hll_estimate,
+       ex.exact_distinct
+FROM s JOIN ex ON ex.event_type = s.event_type
+"""
+
+
+@query("hll_distinct", oracle=HLL_DISTINCT_ORACLE)
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via a relational HyperLogLog
+    sketch ({HLL_M} registers), alongside the exact distinct count so
+    the error is visible in the output. The register array is the
+    groupBy result itself: bucket = low {HLL_P} hash bits, register =
+    max(rho) where rho = leading-zero-count of the remaining 52 bits
+    + 1 (computed portably as 53 - length(bin(w))). The harmonic-mean
+    denominator is kept in EXACT fixed point — sum_fp =
+    sum(2^(54-M_j)) over all m registers (empty register => 2^54) is
+    a bigint < 2^62 — and the only float is the final single division
+    by the alpha*m^2*2^54 literal, so the ESTIMATE is hash-exact
+    cross-engine (no tolerance band). The small-range (linear
+    counting) branch needs ln(), which is not cross-engine
+    reproducible, so it deliberately lives in the CONSUMER: the query
+    emits the exact sketch state (n_zero_registers is precisely what
+    linear counting needs) and tests/test_sketches.py applies the full
+    corrected estimator, pinned within 3 standard errors on both
+    fixture SFs and on planted cardinalities in both regimes.
+
+    Scale: the sketch state is m registers per group — the groupBy
+    (event_type, bucket) has at most groups x {HLL_M} result rows and
+    full map-side combine (max is algebraic), so 100 TB of events
+    reduce to KBs before the exchange; this is THE scalable distinct
+    count. The exact-distinct leg (for the error column) is the
+    expensive O(distinct) shuffle the sketch replaces — kept here
+    deliberately as the measured contrast, the same pattern as
+    minhash_estimate_error / ann_recall (self-measured accuracy).
+    stream_distinct_users maintains the same sketch shape live
+    (Spark's HLL++) with one sketch per open window as its state.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return hll_sketch_frame(ev, "event_type", "user_id")
+
+
+def hll_sketch_frame(d: DataFrame, grp: str, key: str) -> DataFrame:
+    """Core of hll_distinct over any (group, key) frame (the query
+    wrapper binds events; the planted-cardinality pytest feeds both
+    estimator regimes). Emits the exact sketch state (registers folded
+    to n_zero / sum_fp) plus the raw estimate and exact distinct."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.format_string("hll|%d", F.col(key)).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.shiftright(F.col("h"), HLL_P)
+    rho = F.when(w == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(w)))
+    reg = (
+        d.select(grp, h.alias("h"))
+        .select(
+            grp,
+            (F.col("h").bitwiseAND(F.lit(HLL_M - 1))).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(grp, "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    s = reg.groupBy(grp).agg(
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("bigint").alias(
+            "n_zero_registers"
+        ),
+        (
+            # shiftleft by a COLUMN amount needs the SQL form (the
+            # Python helper only takes an int literal)
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {_HLL_FP_SHIFT} - m)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << _HLL_FP_SHIFT).cast("bigint")
+        ).alias("sum_fp"),
+    )
+    ex = d.groupBy(grp).agg(
+        F.count_distinct(key).alias("exact_distinct")
+    )
+    return (
+        s.join(F.broadcast(ex), grp)
+        .select(
+            grp,
+            "n_zero_registers",
+            "sum_fp",
+            (F.lit(float(HLL_ALPHA_NUM)) / F.col("sum_fp").cast("double")).alias(
+                "hll_estimate"
+            ),
+            "exact_distinct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (Cormode & Muthukrishnan 2005), relational
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # counters per row
+CMS_TOPN = 100  # report the top-N exact keys with their sketch estimates
+
+_CMS_KS_SQL = ", ".join(f"({k})" for k in range(CMS_D))
+
+CMS_TOPK_ORACLE = f"""
+WITH ks AS (SELECT * FROM (VALUES {_CMS_KS_SQL}) g(k)),
+pos AS (
+  SELECT ks.k,
+         CAST(('0x' || substr(md5(printf('cms%d|%d', ks.k, user_id)), 1, 8))
+              AS BIGINT) % {CMS_W} AS pos
+  FROM events CROSS JOIN ks
+),
+counters AS (SELECT k, pos, count(*) AS cnt FROM pos GROUP BY k, pos),
+exact AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id),
+top AS (
+  SELECT user_id, exact_count FROM exact
+  ORDER BY exact_count DESC, user_id LIMIT {CMS_TOPN}
+),
+probe AS (
+  SELECT t.user_id, t.exact_count, ks.k,
+         CAST(('0x' || substr(md5(printf('cms%d|%d', ks.k, t.user_id)), 1, 8))
+              AS BIGINT) % {CMS_W} AS pos
+  FROM top t CROSS JOIN ks
+)
+SELECT p.user_id, p.exact_count, min(c.cnt) AS cms_est,
+       min(c.cnt) - p.exact_count AS overcount
+FROM probe p JOIN counters c ON c.k = p.k AND c.pos = p.pos
+GROUP BY p.user_id, p.exact_count
+"""
+
+
+def _cms_pos(k: F.Column, key: F.Column) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.format_string("cms%d|%d", k, key).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+@query("cms_topk", oracle=CMS_TOPK_ORACLE)
+def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over per-user event frequencies: build a
+    {CMS_D}x{CMS_W} counter array (each event increments one counter
+    per hash row), then read back the top-{CMS_TOPN} users' estimates
+    as min over their {CMS_D} counters, next to the exact counts. The
+    overcount column (est - exact) is the sketch's one-sided error:
+    Count-Min NEVER underestimates (min of counters that each include
+    the key's full count) — pinned structurally by the oracle hash
+    and adversarially by the planted-collision pytest.
+
+    Scale: the counter build is one groupBy over (k, pos) with at
+    most {CMS_D}*{CMS_W} result rows and full map-side combine — 100 TB
+    of events reduce to a {CMS_D * CMS_W}-row / ~KB sketch that
+    broadcasts to the probe side regardless of key cardinality, while
+    an exact per-key count shuffles O(keys). The exact leg here is
+    the deliberate measured contrast (same pattern as hll_distinct);
+    the top-N read-back is TakeOrdered (O(N) per partition, no global
+    sort). stream_hot_keys is the live sibling maintaining per-key
+    counters in-stream; Count-Min is what it degrades to when even
+    the active-key set outgrows state.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    ks = F.explode(F.array(*[F.lit(k) for k in range(CMS_D)])).alias("k")
+    counters = (
+        ev.select("user_id", ks)
+        .select("k", _cms_pos(F.col("k"), F.col("user_id")).alias("pos"))
+        .groupBy("k", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.col("exact_count").desc(), "user_id").limit(CMS_TOPN)
+    probe = top.select(
+        "user_id",
+        "exact_count",
+        ks,
+    ).select(
+        "user_id",
+        "exact_count",
+        "k",
+        _cms_pos(F.col("k"), F.col("user_id")).alias("pos"),
+    )
+    return (
+        probe.join(F.broadcast(counters), ["k", "pos"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_count")).alias("overcount"),
+        )
+    )

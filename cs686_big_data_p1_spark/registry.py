@@ -134,6 +134,7 @@ def load_all() -> None:
     from .operators import dfs_scalar  # noqa: F401
     from .operators import er  # noqa: F401
     from .operators import graph  # noqa: F401
+    from .operators import layout  # noqa: F401
     from .operators import linalg  # noqa: F401
     from .operators import llm  # noqa: F401
     from .operators import multimodal  # noqa: F401
@@ -141,6 +142,7 @@ def load_all() -> None:
     from .operators import quality  # noqa: F401
     from .operators import search  # noqa: F401
     from .operators import sessions  # noqa: F401
+    from .operators import sketches  # noqa: F401
     from .operators import timeseries  # noqa: F401
     from .operators import tpch  # noqa: F401
     from .operators import windows  # noqa: F401

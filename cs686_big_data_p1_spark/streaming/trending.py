@@ -274,7 +274,12 @@ def stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_TTL_DELAY = "2 hours"  # duplicate-arrival allowance (state TTL)
 
 
-@query("stream_dedup_ttl")
+STREAM_DEDUP_TTL_ORACLE = """
+SELECT event_id, ts, user_id, event_type FROM events
+"""
+
+
+@query("stream_dedup_ttl", oracle=STREAM_DEDUP_TTL_ORACLE)
 def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-TTL'd streaming dedup (dropDuplicatesWithinWatermark):
     duplicate EVENTS arriving within {DEDUP_TTL_DELAY} of the original
@@ -289,11 +294,14 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate can only arrive near its original (at-least-once
     delivery retries).
 
-    Dedup key: event_id. The fixture has no true duplicates, so the
-    stream must pass every event through exactly once (rows-only
-    check: count == events count); the planted-duplicate semantics —
-    in-window duplicate suppressed, key evicted after the watermark —
-    are pinned by tests/test_streaming.py on a purpose-built stream.
+    Dedup key: event_id. dropDuplicatesWithinWatermark emits each
+    key's FIRST arrival eagerly (emission is not watermark-gated —
+    only state eviction is), so on the duplicate-free fixture the
+    drained output is exactly the events table, row for row — the
+    oracle is that identity and this registers ORACLE-EXACT (r9; was
+    rows-only). The planted-duplicate semantics — in-window duplicate
+    suppressed, key evicted after the watermark — are pinned by
+    tests/test_streaming.py on a purpose-built stream.
     """
     spark = stream_clone(spark)  # session-local drain conf
     with nanos_as_long(spark):

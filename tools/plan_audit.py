@@ -69,6 +69,43 @@ AUDITS: dict[str, dict] = {
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
         "max_waived": 2,
     },
+    # HLL sketch: the only broadcast is the exact-distinct CONTRAST leg
+    # (an O(#event_types) aggregate); the sketch itself is a groupBy
+    "hll_distinct": {
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "exact-distinct contrast leg = per-group "
+        "aggregate, O(#event_types)",
+    },
+    # Count-Min: the broadcast is the sketch itself — an Aggregate
+    # bounded at CMS_D x CMS_W counter rows regardless of input size
+    "cms_topk": {
+        "broadcast": True,
+        "bounded_broadcast": "counter array = (k, pos) aggregate, "
+        "<= CMS_D*CMS_W = 2048 rows",
+        "max_waived": 2,  # counters + the top-N (TakeOrdered) probe side
+    },
+    # Z-order layout: bounds (1-row agg), preds (2 rows from bounds),
+    # and matched (2-row agg) all broadcast; zones stay distributed
+    "zorder_layout": {
+        "broadcast": True,
+        "bounded_broadcast": "bounds/preds/matched = 1-2 row aggregates "
+        "over lineitem",
+        # the cached morton frame's subtree (which itself contains the
+        # bounds broadcast) is spliced into BOTH consumer legs by the
+        # InMemoryRelation printout, so the census sees each bounded
+        # exchange up to twice
+        "max_waived": 8,
+    },
+    "reservoir_sample": {"codegen": True},
+    # Weighted systematic sample: carry-in offsets (O(#shards) agg) and
+    # stride/offset params (1-row agg) broadcast; docs stream through
+    "weighted_sample_systematic": {
+        "broadcast": True,
+        "bounded_broadcast": "offsets = O(#shards) aggregate; "
+        "stride/offset params = 1-row aggregate",
+        "max_waived": 2,
+    },
     "tpch_q1_pricing": {"pruned": True, "codegen": True},
     "tpch_q3_shipping": {"pruned": True, "broadcast": True, "codegen": True},
     "tpch_q5_localsupp": {"pruned": True, "broadcast": True, "codegen": True},
@@ -412,6 +449,11 @@ GLOBAL_WINDOW_WAIVERS: dict[str, dict] = {
         "max": 1,
         "reason": "two-phase rank over the per-doc LM score: cumulative "
         "offsets over the bounded composite (_bkt, _sub) histogram",
+    },
+    "weighted_sample_systematic": {
+        "max": 1,
+        "reason": "carry-in over the O(#shards) per-shard weight "
+        "aggregate (pack_sequences two-phase cumsum, phase 2)",
     },
     "hybrid_search": {
         "max": 2,
