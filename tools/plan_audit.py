@@ -98,6 +98,14 @@ AUDITS: dict[str, dict] = {
         "max_waived": 8,
     },
     "reservoir_sample": {"codegen": True},
+    # KMV set algebra: n_common and the exact-contrast leg broadcast
+    # (1-row aggregates); the sketch rows never exceed O(K)
+    "kmv_set_ops": {
+        "broadcast": True,
+        "bounded_broadcast": "n_common / exact contrast = 1-row "
+        "aggregates; sketch legs are O(K) rows",
+        "max_waived": 3,
+    },
     # Weighted systematic sample: carry-in offsets (O(#shards) agg) and
     # stride/offset params (1-row agg) broadcast; docs stream through
     "weighted_sample_systematic": {
@@ -454,6 +462,16 @@ GLOBAL_WINDOW_WAIVERS: dict[str, dict] = {
         "max": 1,
         "reason": "carry-in over the O(#shards) per-shard weight "
         "aggregate (pack_sequences two-phase cumsum, phase 2)",
+    },
+    "kmv_set_ops": {
+        "max": 1,
+        "reason": "rank over the <= 2K merged sketch rows (segment "
+        "sketches are two-stage bottom-k, cap_domains idiom)",
+    },
+    "compaction_plan": {
+        "max": 1,
+        "reason": "carry-in over the O(#files) per-file byte totals "
+        "(pack_sequences two-phase cumsum, phase 2)",
     },
     "hybrid_search": {
         "max": 2,
