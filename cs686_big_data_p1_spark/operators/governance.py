@@ -1,0 +1,171 @@
+"""Data-governance operators: privacy risk measurement before a
+dataset leaves the pipeline.
+
+k_anonymity implements full-domain generalization (Samarati/Sweeney):
+walk a fixed generalization ladder over the quasi-identifiers
+(account-balance band widths doubling, then dropping attributes) and
+pick the LOWEST level at which every equivalence class holds at least
+K_ANON records — the minimal blur that defeats re-identification by
+QI join. The whole lattice is evaluated in ONE aggregation pass via
+GROUPING SETS (Spark compiles it to a single Expand + groupBy — one
+shuffle regardless of how many levels the ladder has), which is the
+100 TB-correct shape: a per-level loop would rescan the table once
+per rung.
+
+Everything is integer/string arithmetic; balance banding uses the
+exact-cents fixed-point idiom (floor(x*100) is the same double op in
+both engines) plus a band-width-multiple offset so integer division
+never sees a negative operand (Spark `div` truncates toward zero
+while DuckDB `//` floors — identical only for non-negatives, so the
+offset is correctness, not cosmetics). Suppressed attributes surface
+as NULL key columns out of the grouping sets; the fixture QIs are
+never NULL themselves, so level detection is pure IS NULL logic,
+identical in both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query, track_cache
+from ..tables import load_table
+
+K_ANON = 5  # minimum equivalence-class size
+_BAND0 = 100_000  # level-0 band: 1000 currency units, in cents
+# offset = multiple of every band width (they double), so banding is
+# shift-invariant and the divided operand is always non-negative
+_OFF = _BAND0 * 1024
+
+_LEVELS = 7  # b0 b1 b2 b3 | drop balance | drop nation | drop segment
+
+
+def _bands_sql(div: str) -> str:
+    return ", ".join(
+        f"(CAST(floor(c_acctbal * 100.0) AS BIGINT) + {_OFF}) "
+        f"{div} {_BAND0 * (1 << i)} AS b{i}"
+        for i in range(4)
+    )
+
+
+K_ANONYMITY_ORACLE = f"""
+WITH base AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment, {_bands_sql('//')}
+  FROM customer
+),
+lattice AS (
+  SELECT CASE WHEN b0 IS NOT NULL THEN 0
+              WHEN b1 IS NOT NULL THEN 1
+              WHEN b2 IS NOT NULL THEN 2
+              WHEN b3 IS NOT NULL THEN 3
+              WHEN c_nationkey IS NOT NULL THEN 4
+              WHEN c_mktsegment IS NOT NULL THEN 5
+              ELSE 6 END AS level,
+         coalesce(CAST(c_nationkey AS VARCHAR), '*') AS nation_g,
+         coalesce(c_mktsegment, '*') AS segment_g,
+         coalesce(CAST(b0 AS VARCHAR), CAST(b1 AS VARCHAR),
+                  CAST(b2 AS VARCHAR), CAST(b3 AS VARCHAR), '*') AS band_g,
+         CAST(count(*) AS BIGINT) AS n
+  FROM base
+  GROUP BY GROUPING SETS (
+    (c_nationkey, c_mktsegment, b0),
+    (c_nationkey, c_mktsegment, b1),
+    (c_nationkey, c_mktsegment, b2),
+    (c_nationkey, c_mktsegment, b3),
+    (c_nationkey, c_mktsegment),
+    (c_mktsegment),
+    ()
+  )
+),
+chosen AS (
+  SELECT min(level) AS lvl FROM (
+    SELECT level, min(n) AS min_n FROM lattice GROUP BY level
+  ) WHERE min_n >= {K_ANON}
+)
+SELECT l.level, l.nation_g, l.segment_g, l.band_g, l.n
+FROM lattice l, chosen c
+WHERE l.level = c.lvl
+"""
+
+
+@query("k_anonymity", oracle=K_ANONYMITY_ORACLE)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal full-domain generalization achieving {K_ANON}-anonymity
+    over the customer quasi-identifiers (nation, market segment,
+    account-balance band): emit every equivalence class at the LOWEST
+    ladder level where no class has fewer than {K_ANON} members. The
+    ladder doubles the balance band width (levels 0-3), then drops
+    balance (4), nation (5), segment (6 — one class, the guaranteed
+    terminator). All {_LEVELS} rungs are computed in one GROUPING SETS
+    aggregation (a single Expand + shuffle), the per-level minimum is
+    a {_LEVELS}-row aggregate, and the chosen level's classes are
+    re-emitted from the same cached lattice — so at 100 TB this costs
+    one pass over the table, not one per rung, and the lattice itself
+    is at most the sum of the per-rung class counts (bounded by the QI
+    domains, not by rows).
+
+    Output is deterministic and hash-exact: class keys are generalized
+    to strings ('*' = suppressed attribute), counts are exact bigints,
+    and the only float op (cents = floor(acctbal*100)) is the
+    identical IEEE double operation in both engines.
+    """
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        *[
+            F.expr(
+                f"(CAST(floor(c_acctbal * 100.0) AS BIGINT) + {_OFF}) "
+                f"div {_BAND0 * (1 << i)}"
+            ).alias(f"b{i}")
+            for i in range(4)
+        ],
+    )
+    sets = [
+        ["c_nationkey", "c_mktsegment", "b0"],
+        ["c_nationkey", "c_mktsegment", "b1"],
+        ["c_nationkey", "c_mktsegment", "b2"],
+        ["c_nationkey", "c_mktsegment", "b3"],
+        ["c_nationkey", "c_mktsegment"],
+        ["c_mktsegment"],
+        [],
+    ]
+    level = (
+        F.when(F.col("b0").isNotNull(), 0)
+        .when(F.col("b1").isNotNull(), 1)
+        .when(F.col("b2").isNotNull(), 2)
+        .when(F.col("b3").isNotNull(), 3)
+        .when(F.col("c_nationkey").isNotNull(), 4)
+        .when(F.col("c_mktsegment").isNotNull(), 5)
+        .otherwise(6)
+    )
+    lattice = track_cache(
+        base.groupingSets(
+            sets, "c_nationkey", "c_mktsegment", "b0", "b1", "b2", "b3"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            level.alias("level"),
+            F.coalesce(F.col("c_nationkey").cast("string"), F.lit("*")).alias(
+                "nation_g"
+            ),
+            F.coalesce(F.col("c_mktsegment"), F.lit("*")).alias("segment_g"),
+            F.coalesce(
+                F.col("b0").cast("string"),
+                F.col("b1").cast("string"),
+                F.col("b2").cast("string"),
+                F.col("b3").cast("string"),
+                F.lit("*"),
+            ).alias("band_g"),
+            "n",
+        )
+    )
+    chosen = (
+        lattice.groupBy("level")
+        .agg(F.min("n").alias("min_n"))
+        .where(F.col("min_n") >= K_ANON)
+        .agg(F.min("level").alias("lvl"))
+    )
+    return lattice.join(
+        F.broadcast(chosen), lattice["level"] == F.col("lvl")
+    ).select("level", "nation_g", "segment_g", "band_g", "n")

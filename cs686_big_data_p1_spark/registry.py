@@ -90,14 +90,17 @@ PRIORITY_ORDER = [
     # ROTATING WINDOW, slots 44-50 (VERDICT r8 #10): these seven slots
     # change every round across the extension surface so queries past
     # the driver's 50-row window eventually earn a driver-grade
-    # correctness row. Round 9: the four queries new or newly
-    # oracle-exact this round plus three heavyweights never
-    # driver-checked before (all seven: first driver check ever).
-    # Displaced occupants move to the head of the post-window list.
+    # correctness row. Round 9 final picks: the round's flagship new
+    # families (semantic dedup, hybrid retrieval, KMV set algebra,
+    # Z-order layout, k-anonymity) plus two curation heavyweights —
+    # all seven: first driver check ever. Displaced occupants move to
+    # the head of the post-window list.
     "dedup_semantic", "hybrid_search", "corpus_curate_semantic",
-    "corpus_curate", "customer_rfm", "bm25_search", "lm_score",
+    "corpus_curate", "kmv_set_ops", "zorder_layout", "k_anonymity",
     # extras past the driver window (judge self-checks these via the
-    # committed full-sweep artifacts)
+    # committed full-sweep artifacts); displaced rotation occupants
+    # lead the list
+    "customer_rfm", "bm25_search", "lm_score",
     "tpch_q3_shipping", "tpch_q5_localsupp", "topk_orders_per_customer",
     "priority_rollup", "ann_lsh", "dedup_simhash", "dedup_embedding",
     "knn_ivf", "dedup_ngram",
@@ -133,6 +136,7 @@ def load_all() -> None:
     from .operators import dfs_meta  # noqa: F401
     from .operators import dfs_scalar  # noqa: F401
     from .operators import er  # noqa: F401
+    from .operators import governance  # noqa: F401
     from .operators import graph  # noqa: F401
     from .operators import layout  # noqa: F401
     from .operators import linalg  # noqa: F401

@@ -1,0 +1,63 @@
+"""k-anonymity lattice tests (operators/governance.py): the
+minimality and coverage properties the oracle hash can't state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MED, SF_SMALL
+
+
+def test_k_anonymity_classes_cover_and_satisfy_k(spark, registry):
+    """Chosen-level classes partition the table (counts conserve) and
+    every class meets k unless the ladder terminated at level 6."""
+    from cs686_big_data_p1_spark.operators.governance import K_ANON
+    from cs686_big_data_p1_spark.tables import load_table
+
+    for sf in (SF_SMALL, SF_MED):
+        rows = registry.QUERIES["k_anonymity"](spark, sf).collect()
+        total = load_table(spark, sf, "customer").count()
+        assert sum(r.n for r in rows) == total, f"{sf}: classes not a partition"
+        levels = {r.level for r in rows}
+        assert len(levels) == 1
+        lvl = levels.pop()
+        if lvl < 6:
+            assert all(r.n >= K_ANON for r in rows), f"{sf}: k violated"
+
+
+def test_k_anonymity_level_is_minimal(spark, registry):
+    """One rung below the chosen level must contain a violating class —
+    otherwise the walk stopped too late. Recomputed independently with
+    plain groupBys on the same banding."""
+    from cs686_big_data_p1_spark.operators.governance import (
+        _BAND0,
+        _OFF,
+        K_ANON,
+    )
+    from cs686_big_data_p1_spark.tables import load_table
+
+    rows = registry.QUERIES["k_anonymity"](spark, SF_MED).collect()
+    lvl = rows[0].level
+    assert lvl > 0, "fixture unexpectedly k-anonymous at the finest band"
+    c = load_table(spark, SF_MED, "customer")
+    below = lvl - 1
+    if below <= 3:
+        keys = [
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                f"(CAST(floor(c_acctbal * 100.0) AS BIGINT) + {_OFF}) "
+                f"div {_BAND0 * (1 << below)}"
+            ).alias("b"),
+        ]
+    elif below == 4:
+        keys = ["c_nationkey", "c_mktsegment"]
+    else:
+        keys = ["c_mktsegment"]
+    min_n = (
+        c.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n"))
+        .collect()[0][0]
+    )
+    assert min_n < K_ANON, "level below chosen already satisfies k"
