@@ -169,3 +169,64 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lattice.join(
         F.broadcast(chosen), lattice["level"] == F.col("lvl")
     ).select("level", "nation_g", "segment_g", "band_g", "n")
+
+
+# --- l-diversity over the anonymized classes ------------------------------
+
+L_DIV = 3  # required distinct sensitive values per equivalence class
+_LDIV_BAND = _BAND0 * 2  # level-1 band width (2000 currency units)
+
+L_DIVERSITY_ORACLE = f"""
+SELECT c_mktsegment AS segment_g,
+       CAST((CAST(floor(c_acctbal * 100.0) AS BIGINT) + {_OFF})
+            // {_LDIV_BAND} AS VARCHAR) AS band_g,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS l_distinct,
+       count(DISTINCT c_nationkey) >= {L_DIV} AS l_ok
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+@query("l_diversity", oracle=L_DIVERSITY_ORACLE)
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al.), the second
+    privacy gate after k_anonymity: a class can be k-anonymous yet
+    leak its sensitive attribute if every member SHARES it — so for
+    each (market segment, balance band) equivalence class, report the
+    number of distinct sensitive values (nation) and whether it meets
+    l = {L_DIV}. k-anonymity bounds re-identification; l-diversity
+    bounds attribute disclosure — pipelines need both before release.
+
+    Scale: one groupBy with two algebraic aggregates (count +
+    count_distinct over a 25-value domain — Spark expands it to an
+    exact two-phase aggregate, no O(rows) state); result cardinality
+    is the QI domain product, not the row count. Entropy l-diversity
+    is deliberately absent: it needs ln(), which is not cross-engine
+    bit-reproducible (the hll_distinct rationale); the distinct
+    variant is exact integers end to end.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    band = F.expr(
+        f"CAST((CAST(floor(c_acctbal * 100.0) AS BIGINT) + {_OFF}) "
+        f"div {_LDIV_BAND} AS STRING)"
+    )
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("segment_g"),
+            band.alias("band_g"),
+            "c_nationkey",
+        )
+        .groupBy("segment_g", "band_g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct("c_nationkey").cast("bigint").alias("l_distinct"),
+        )
+        .select(
+            "segment_g",
+            "band_g",
+            "n",
+            "l_distinct",
+            (F.col("l_distinct") >= L_DIV).alias("l_ok"),
+        )
+    )

