@@ -230,3 +230,121 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_distinct") >= L_DIV).alias("l_ok"),
         )
     )
+
+
+# --- t-closeness over the anonymized classes -------------------------------
+
+# threshold t = T_NUM/T_DEN; a class passes iff its variational
+# distance to the global sensitive distribution is <= t. The check is
+# pure integers: d = sum|cnt_i*N - g_i*n| / (2nN) <= T_NUM/T_DEN
+# <=> T_DEN * sum|...| <= 2nN * T_NUM.
+T_NUM, T_DEN = 1, 5  # t = 0.2
+
+T_CLOSENESS_ORACLE = f"""
+WITH cls AS (
+  SELECT c_mktsegment AS segment_g,
+         (CAST(floor(c_acctbal * 100.0) AS BIGINT) + {_OFF})
+             // {_LDIV_BAND} AS band_i,
+         c_nationkey, count(*) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT segment_g, band_i, CAST(sum(cnt) AS BIGINT) AS n
+  FROM cls GROUP BY 1, 2
+),
+gdist AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS g FROM customer GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM customer),
+full_grid AS (
+  SELECT c.segment_g, c.band_i, c.n, g.c_nationkey, g.g,
+         coalesce(x.cnt, 0) AS cnt
+  FROM classes c
+  CROSS JOIN gdist g
+  LEFT JOIN cls x ON x.segment_g = c.segment_g AND x.band_i = c.band_i
+                 AND x.c_nationkey = g.c_nationkey
+)
+SELECT f.segment_g, CAST(f.band_i AS VARCHAR) AS band_g, f.n,
+       CAST(sum(abs(f.cnt * t.big_n - f.g * f.n)) AS BIGINT) AS t_num,
+       CAST(sum(abs(f.cnt * t.big_n - f.g * f.n)) AS DOUBLE)
+           / CAST(2 * f.n * t.big_n AS DOUBLE) AS t_dist,
+       {T_DEN} * CAST(sum(abs(f.cnt * t.big_n - f.g * f.n)) AS BIGINT)
+           <= {2 * T_NUM} * f.n * t.big_n AS t_ok
+FROM full_grid f, tot t
+GROUP BY f.segment_g, f.band_i, f.n, t.big_n
+"""
+
+
+@query("t_closeness", oracle=T_CLOSENESS_ORACLE)
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007), the third privacy gate: a
+    class can be k-anonymous AND l-diverse yet still leak — if its
+    sensitive-value DISTRIBUTION diverges from the table's, observing
+    the class shifts an attacker's posterior. For each (segment,
+    balance-band) class, compute the variational distance between the
+    class's nation distribution and the global one, d = (1/2)sum
+    |p_i - q_i|, and flag classes with d > t = {T_NUM}/{T_DEN}. The
+    distance numerator sum|cnt_i*N - g_i*n| is EXACT bigint (missing
+    nations enter as |0 - g_i*n| via the class x nation grid), t_dist
+    is one IEEE division of two exact integers, and the pass flag is
+    the cross-multiplied integer comparison — no float ever decides.
+
+    Scale: the per-(class, nation) rollup is one groupBy; the grid is
+    classes x |nation domain| (25) — bounded by QI and sensitive
+    domains, never by rows; the global distribution is a 25-row
+    broadcast. Completes the release-gate trio: k_anonymity bounds
+    re-identification, l_diversity bounds attribute disclosure,
+    t_closeness bounds distributional skew.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    band = F.expr(
+        f"(CAST(floor(c_acctbal * 100.0) AS BIGINT) + {_OFF}) "
+        f"div {_LDIV_BAND}"
+    )
+    cls = track_cache(
+        c.select(
+            F.col("c_mktsegment").alias("segment_g"),
+            band.alias("band_i"),
+            "c_nationkey",
+        )
+        .groupBy("segment_g", "band_i", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    classes = cls.groupBy("segment_g", "band_i").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    glob = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("g")
+    )
+    tot = c.agg(F.count(F.lit(1)).cast("bigint").alias("big_n"))
+    grid = (
+        classes.crossJoin(F.broadcast(glob))
+        .join(cls, ["segment_g", "band_i", "c_nationkey"], "left")
+        .select(
+            "segment_g",
+            "band_i",
+            "n",
+            "g",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = F.abs(F.col("cnt") * F.col("big_n") - F.col("g") * F.col("n"))
+    return (
+        grid.groupBy("segment_g", "band_i", "n", "big_n")
+        .agg(F.sum(diff).cast("bigint").alias("t_num"))
+        .select(
+            "segment_g",
+            F.col("band_i").cast("string").alias("band_g"),
+            "n",
+            "t_num",
+            (
+                F.col("t_num").cast("double")
+                / (F.lit(2) * F.col("n") * F.col("big_n")).cast("double")
+            ).alias("t_dist"),
+            (
+                F.lit(T_DEN) * F.col("t_num")
+                <= F.lit(2 * T_NUM) * F.col("n") * F.col("big_n")
+            ).alias("t_ok"),
+        )
+    )

