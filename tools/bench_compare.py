@@ -41,6 +41,16 @@ def main() -> int:
             "SPARK_GRAFT_SF_DIR)"
         )
         return 2
+    # Contention tag (VERDICT r9 #5): bench.py marks a run that STARTED
+    # on a loaded box. Ratios against such a run are advisory at best —
+    # warn loudly so nobody reads a contended artifact as a regression.
+    for label, doc, path in (("old", old_doc, old_path), ("new", new_doc, new_path)):
+        if doc.get("contended"):
+            print(
+                f"WARNING: {label} artifact {path} is tagged contended=true "
+                f"(loadavg_at_start={doc.get('loadavg_at_start')}); "
+                "per-query ratios below are unreliable"
+            )
     old = old_doc["queries"]
     new = new_doc["queries"]
     common = sorted(set(old) & set(new))

@@ -32,14 +32,29 @@ import time
 
 print = functools.partial(print, flush=True)
 
-sys.path.insert(0, "/root/repo")
+import os as _os0
+
+sys.path.insert(
+    0, _os0.path.dirname(_os0.path.dirname(_os0.path.abspath(__file__)))
+)
 
 import duckdb
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-ENGINE_ROOT = "/root/repo/cs686_big_data_p1_spark"
+# Derived from THIS file's location, not a hardcoded absolute path
+# (ADVICE r9): with a constant path, relocating the repo made os.walk
+# yield nothing and the sha silently degraded to the empty-input hash
+# on BOTH the sweep and gate sides — the edit-without-resweep pin
+# passed vacuously. engine_source_sha() additionally refuses to hash
+# an empty tree for the same reason.
+import os as _os
+
+ENGINE_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "cs686_big_data_p1_spark",
+)
 
 
 def engine_source_sha() -> str:
@@ -56,6 +71,11 @@ def engine_source_sha() -> str:
         for f in files:
             if f.endswith(".py"):
                 paths.append(os.path.join(root, f))
+    if not paths:
+        raise RuntimeError(
+            f"engine_source_sha: no .py sources under {ENGINE_ROOT} — "
+            "refusing to pin the empty-input hash"
+        )
     for p in sorted(paths):
         h.update(os.path.relpath(p, ENGINE_ROOT).encode())
         h.update(b"\0")
