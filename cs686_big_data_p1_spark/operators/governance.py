@@ -263,15 +263,28 @@ full_grid AS (
   CROSS JOIN gdist g
   LEFT JOIN cls x ON x.segment_g = c.segment_g AND x.band_i = c.band_i
                  AND x.c_nationkey = g.c_nationkey
+),
+sums AS (
+  SELECT f.segment_g, f.band_i, f.n,
+         CAST(sum(abs(CAST(f.cnt AS DECIMAL(18,0))
+                          * CAST(t.big_n AS DECIMAL(18,0))
+                      - CAST(f.g AS DECIMAL(18,0))
+                          * CAST(f.n AS DECIMAL(18,0))))
+              AS DECIMAL(30,0)) AS t_sum,
+         CAST(CAST(f.n AS DECIMAL(18,0)) * CAST(t.big_n AS DECIMAL(18,0))
+              AS DECIMAL(30,0)) AS nb
+  FROM full_grid f, tot t
+  GROUP BY f.segment_g, f.band_i, f.n, t.big_n
 )
-SELECT f.segment_g, CAST(f.band_i AS VARCHAR) AS band_g, f.n,
-       CAST(sum(abs(f.cnt * t.big_n - f.g * f.n)) AS BIGINT) AS t_num,
-       CAST(sum(abs(f.cnt * t.big_n - f.g * f.n)) AS DOUBLE)
-           / CAST(2 * f.n * t.big_n AS DOUBLE) AS t_dist,
-       {T_DEN} * CAST(sum(abs(f.cnt * t.big_n - f.g * f.n)) AS BIGINT)
-           <= {2 * T_NUM} * f.n * t.big_n AS t_ok
-FROM full_grid f, tot t
-GROUP BY f.segment_g, f.band_i, f.n, t.big_n
+SELECT segment_g, CAST(band_i AS VARCHAR) AS band_g, n,
+       CASE WHEN t_sum > CAST(9223372036854775807 AS DECIMAL(30,0))
+            THEN CAST(error('t_closeness: t_num exceeds BIGINT') AS BIGINT)
+            ELSE CAST(t_sum AS BIGINT) END AS t_num,
+       CAST(t_sum AS DOUBLE)
+           / CAST(CAST(2 AS DECIMAL(2,0)) * nb AS DOUBLE) AS t_dist,
+       CAST({T_DEN} AS DECIMAL(8,0)) * t_sum
+           <= CAST({2 * T_NUM} AS DECIMAL(8,0)) * nb AS t_ok
+FROM sums
 """
 
 
@@ -284,10 +297,17 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance-band) class, compute the variational distance between the
     class's nation distribution and the global one, d = (1/2)sum
     |p_i - q_i|, and flag classes with d > t = {T_NUM}/{T_DEN}. The
-    distance numerator sum|cnt_i*N - g_i*n| is EXACT bigint (missing
-    nations enter as |0 - g_i*n| via the class x nation grid), t_dist
-    is one IEEE division of two exact integers, and the pass flag is
-    the cross-multiplied integer comparison — no float ever decides.
+    distance numerator sum|cnt_i*N - g_i*n| is EXACT (missing nations
+    enter as |0 - g_i*n| via the class x nation grid), t_dist is one
+    IEEE division of two exact integers, and the pass flag is the
+    cross-multiplied integer comparison — no float ever decides.
+
+    Overflow envelope (ADVICE r9): at 100 TB scale big_n ~1e11+ makes
+    cnt*big_n exceed int64, so every product and the numerator sum are
+    computed in DECIMAL — exact to 1e30, i.e. n*N up to ~5e29, far past
+    any real table — and the BIGINT t_num output column is guarded by
+    an explicit raise_error/error() when the exact sum would not fit,
+    so the claim can never degrade into a silent wrap.
 
     Scale: the per-(class, nation) rollup is one groupBy; the grid is
     classes x |nation domain| (25) — bounded by QI and sensitive
@@ -329,22 +349,39 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(tot))
     )
-    diff = F.abs(F.col("cnt") * F.col("big_n") - F.col("g") * F.col("n"))
+    dec = "decimal(18,0)"
+    diff = F.abs(
+        F.col("cnt").cast(dec) * F.col("big_n").cast(dec)
+        - F.col("g").cast(dec) * F.col("n").cast(dec)
+    )
     return (
         grid.groupBy("segment_g", "band_i", "n", "big_n")
-        .agg(F.sum(diff).cast("bigint").alias("t_num"))
+        .agg(F.sum(diff).cast("decimal(30,0)").alias("t_sum"))
+        .withColumn(
+            "nb",
+            (F.col("n").cast(dec) * F.col("big_n").cast(dec)).cast(
+                "decimal(30,0)"
+            ),
+        )
         .select(
             "segment_g",
             F.col("band_i").cast("string").alias("band_g"),
             "n",
-            "t_num",
+            F.expr(
+                "CASE WHEN t_sum > CAST(9223372036854775807 AS"
+                " DECIMAL(30,0)) THEN CAST(raise_error('t_closeness:"
+                " t_num exceeds BIGINT') AS BIGINT)"
+                " ELSE CAST(t_sum AS BIGINT) END"
+            ).alias("t_num"),
             (
-                F.col("t_num").cast("double")
-                / (F.lit(2) * F.col("n") * F.col("big_n")).cast("double")
+                F.col("t_sum").cast("double")
+                / (F.lit(2).cast("decimal(2,0)") * F.col("nb")).cast(
+                    "double"
+                )
             ).alias("t_dist"),
             (
-                F.lit(T_DEN) * F.col("t_num")
-                <= F.lit(2 * T_NUM) * F.col("n") * F.col("big_n")
+                F.lit(T_DEN).cast("decimal(8,0)") * F.col("t_sum")
+                <= F.lit(2 * T_NUM).cast("decimal(8,0)") * F.col("nb")
             ).alias("t_ok"),
         )
     )

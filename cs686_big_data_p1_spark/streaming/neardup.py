@@ -145,6 +145,88 @@ def _recover_orphan_store(spark: SparkSession, path: str) -> None:
         )
 
 
+def _stage_tables(
+    store: dict[str, DataFrame], staging: str, tag: str
+) -> None:
+    """Write all four state tables plus this write's IDENTITY TOKEN
+    (``_swap-<tag>``, an empty file at the staging root) to the staging
+    sibling. The token is what makes the post-swap verification
+    race-proof (ADVICE r9): checking only for a 'hashes' child cannot
+    distinguish OUR staging dir from a DIFFERENT store that landed at
+    the live path while we were mid-swap."""
+    from ..sources.snapshots import _fs
+
+    spark = next(iter(store.values())).sparkSession
+    for name in _STORE_SCHEMAS:
+        store[name].write.mode("overwrite").parquet(f"{staging}/{name}")
+    fs, _, jvm = _fs(spark, staging)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs.create(jpath(f"{staging}/_swap-{tag}")).close()
+
+
+def _swap_begin(spark: SparkSession, path: str, tag: str) -> str:
+    """First half of the swap: rename the live store out of the way
+    (verified — Hadoop rename returns false instead of throwing on
+    several failure shapes). Returns the .old sibling path."""
+    from ..sources.snapshots import _fs
+
+    fs, p, jvm = _fs(spark, path)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    old = f"{path}.old-{tag}"
+    if fs.exists(p) and not fs.rename(p, jpath(old)):
+        raise IOError(
+            f"neardup store swap: rename {path} -> {old} failed "
+            "(leftover .old dir or concurrent drain?) — state not "
+            f"updated; staging left at {path}.staging-{tag}"
+        )
+    return old
+
+
+def _swap_finish(spark: SparkSession, path: str, tag: str, old: str) -> None:
+    """Second half of the swap: publish staging at the live path, then
+    verify THIS WRITE'S identity landed there (ADVICE r9). The failure
+    this catches: between our two renames, a reader's
+    _recover_orphan_store (or a concurrent writer) re-created the live
+    path, so our rename(staging -> path) NESTED staging one level
+    inside that store while still returning true. A bare 'does
+    path/hashes exist' check passes in that world — the restored store
+    has a hashes table of its own — which is exactly how the drain's
+    state update would be lost silently. The ``_swap-<tag>`` token is
+    unique to this write, so finding it directly under the live path
+    proves OUR staging is what is being served."""
+    from ..sources.snapshots import _fs
+
+    staging = f"{path}.staging-{tag}"
+    fs, p, jvm = _fs(spark, path)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    if not fs.rename(jpath(staging), p):
+        raise IOError(
+            f"neardup store swap: rename {staging} -> {path} failed — "
+            f"previous state preserved at {old}"
+        )
+    nested = f"{path}/{staging.rsplit('/', 1)[-1]}"
+    if not fs.exists(jpath(f"{path}/_swap-{tag}")):
+        raise IOError(
+            f"neardup store swap: {path} exists but does not carry this "
+            f"write's identity token _swap-{tag} — a reader rollback or "
+            "concurrent writer re-created the live store mid-swap and "
+            f"the staging dir was nested into it (look under {nested}); "
+            "the drain's state update was NOT published"
+        )
+    if fs.exists(jpath(nested)):
+        raise IOError(
+            f"neardup store swap: {path} contains a nested staging dir "
+            f"{nested} — two writers interleaved; manual recovery needed"
+        )
+    if not fs.exists(jpath(f"{path}/hashes")):
+        raise IOError(
+            f"neardup store swap: {path} exists but holds no 'hashes' "
+            "table after the swap — staging incomplete; state update lost"
+        )
+    if fs.exists(jpath(old)):
+        fs.delete(jpath(old), True)
+
+
 def write_neardup_store(store: dict[str, DataFrame], path: str) -> None:
     """Persist the accumulated state tables with a STAGE-AND-SWAP so a
     crash can never leave the four tables internally inconsistent
@@ -156,49 +238,19 @@ def write_neardup_store(store: dict[str, DataFrame], path: str) -> None:
     yields a MISSING store whose previous state survives at
     <path>.old-*; load_neardup_store detects that shape and ROLLS the
     .old dir back into place (ADVICE r8 — never a silent fresh start,
-    never a half-updated store). Safe to call after a drain: every store frame
-    has been localCheckpoint-materialized by the last micro-batch, so
-    the staging write never reads its own output."""
+    never a half-updated store). The post-swap check verifies this
+    write's own staging IDENTITY landed at the live path (ADVICE r9 —
+    see _swap_finish for the reader-rollback race it closes). Safe to
+    call after a drain: every store frame has been
+    localCheckpoint-materialized by the last micro-batch, so the
+    staging write never reads its own output."""
     import uuid as _uuid
-
-    from ..sources.snapshots import _fs
 
     spark = next(iter(store.values())).sparkSession
     tag = _uuid.uuid4().hex[:8]
-    staging = f"{path}.staging-{tag}"
-    for name in _STORE_SCHEMAS:
-        store[name].write.mode("overwrite").parquet(f"{staging}/{name}")
-    fs, p, jvm = _fs(spark, path)
-    jpath = jvm.org.apache.hadoop.fs.Path
-    old = f"{path}.old-{tag}"
-    # Verified renames (ADVICE r8): Hadoop rename returns false instead
-    # of throwing on several failure shapes, and renaming onto an
-    # EXISTING directory nests the source inside it while returning
-    # true (snapshots.py documents the semantics). An unchecked false
-    # on the first rename would leave the live store in place and land
-    # the staging dir INSIDE it on the second rename — "success" with
-    # the drain's state update silently lost. Check both results, and
-    # verify a known child sits directly under the live path after the
-    # swap (the nesting failure mode puts it one level deeper).
-    if fs.exists(p) and not fs.rename(p, jpath(old)):
-        raise IOError(
-            f"neardup store swap: rename {path} -> {old} failed "
-            "(leftover .old dir or concurrent drain?) — state not "
-            "updated; staging left at " + staging
-        )
-    if not fs.rename(jpath(staging), p):
-        raise IOError(
-            f"neardup store swap: rename {staging} -> {path} failed — "
-            f"previous state preserved at {old}"
-        )
-    if not fs.exists(jpath(f"{path}/hashes")):
-        raise IOError(
-            f"neardup store swap: {path} exists but holds no 'hashes' "
-            "table after the swap — staging was nested inside a "
-            "concurrent writer's store; state update lost"
-        )
-    if fs.exists(jpath(old)):
-        fs.delete(jpath(old), True)
+    _stage_tables(store, f"{path}.staging-{tag}", tag)
+    old = _swap_begin(spark, path, tag)
+    _swap_finish(spark, path, tag, old)
 
 
 def neardup_stream_pairs(

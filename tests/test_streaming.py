@@ -851,3 +851,60 @@ def test_neardup_store_write_verifies_swap(spark, tmp_path):
     # live store unharmed, still serving the OLD state, not nested-into
     survived = load_neardup_store(spark, store_path)
     assert {r.th for r in survived["hashes"].collect()} == {"old1"}
+
+
+def test_neardup_store_reader_rollback_race_is_detected(spark, tmp_path):
+    """ADVICE r9: reader-side orphan rollback can race a live writer's
+    stage-and-swap. Interleaving: writer renames live -> .old, a READER
+    loads, sees the store missing, and rolls .old back into place;
+    the writer's second rename then NESTS staging inside the restored
+    store while returning true — and a guard that only checks for a
+    'hashes' child passes, silently losing the drain's update. The
+    identity-token check must RAISE instead, naming where the staged
+    state went."""
+    import os
+
+    import pytest as _pytest
+
+    from cs686_big_data_p1_spark.streaming.neardup import (
+        _STORE_SCHEMAS,
+        _recover_orphan_store,
+        _stage_tables,
+        _swap_begin,
+        _swap_finish,
+        load_neardup_store,
+        write_neardup_store,
+    )
+
+    store_path = str(tmp_path / "store")
+    store = load_neardup_store(spark, None)
+    store["hashes"] = spark.createDataFrame(
+        [("prior",)], _STORE_SCHEMAS["hashes"]
+    )
+    write_neardup_store(store, store_path)
+
+    # Writer: stage the drain's update and complete the FIRST rename.
+    store2 = load_neardup_store(spark, store_path)
+    store2["hashes"] = spark.createDataFrame(
+        [("prior",), ("drained",)], _STORE_SCHEMAS["hashes"]
+    )
+    tag = "racetag1"
+    _stage_tables(store2, f"{store_path}.staging-{tag}", tag)
+    old = _swap_begin(spark, store_path, tag)
+    assert not os.path.isdir(store_path)  # mid-swap crash window
+
+    # Reader races in: sees the store missing, rolls .old back.
+    _recover_orphan_store(spark, store_path)
+    assert os.path.isdir(store_path)
+
+    # Writer resumes: second rename nests staging inside the restored
+    # store. The old 'hashes'-child guard would pass here (the restored
+    # store has one); the token check must raise and point at the nest.
+    with _pytest.raises(IOError, match="_swap-racetag1"):
+        _swap_finish(spark, store_path, tag, old)
+    nested = f"{store_path}/store.staging-{tag}"
+    assert os.path.isdir(nested)  # staged state preserved, not deleted
+
+    # The live store still serves the reader-restored (pre-drain) state.
+    served = load_neardup_store(spark, store_path)
+    assert {r.th for r in served["hashes"].collect()} == {"prior"}
