@@ -38,7 +38,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
 from ..functions.vector import SCALE
@@ -819,7 +819,14 @@ LLOYD_ITERS = 2  # Lloyd rounds (each = assign + recenter), unrolled in SQL
 _LQ = 1_000_000  # component quantum: q = floor(x * 1e6) bigint
 
 
-def _lloyd_oracle() -> str:
+def _lloyd_cte_chain(iters: int) -> str:
+    """CTE chain for the fixed-point Lloyd recurrence, parameterized by
+    round count (VERDICT r9 #1 — shared by kmeans_lloyd, kmeans_cells,
+    and knn_ivf_trained): quantized explode `ex`, seeded centroids
+    `c0`, then `iters` unrolled assign/recenter rounds. Ends with
+    a{iters} = (vec_id, cid, dist) final assignments and d{iters} = the
+    full final-round distance table (knn_ivf_trained derives its query
+    probes from it)."""
     lo, hi = ANN_N_QUERIES, ANN_N_QUERIES + IVF_NLIST
     parts = [
         f"""
@@ -835,7 +842,7 @@ c0 AS (
 )"""
     ]
     prev = "c0"
-    for it in range(1, LLOYD_ITERS + 1):
+    for it in range(1, iters + 1):
         parts.append(f"""
 d{it} AS (
   SELECT e.vec_id, c.cid,
@@ -851,7 +858,7 @@ a{it} AS (
     FROM d{it})
   WHERE rk = 1
 )""")
-        if it < LLOYD_ITERS:
+        if it < iters:
             parts.append(f"""
 c{it} AS (
   SELECT a.cid, e.i, sum(e.q) // count(*) AS q
@@ -859,13 +866,81 @@ c{it} AS (
   GROUP BY a.cid, e.i
 )""")
             prev = f"c{it}"
+    return ",".join(parts)
+
+
+def _lloyd_oracle() -> str:
     return (
-        "WITH " + ",".join(parts)
+        "WITH " + _lloyd_cte_chain(LLOYD_ITERS)
         + f"""
 SELECT vec_id, CAST(cid AS INTEGER) AS cell, dist AS dist_q
 FROM a{LLOYD_ITERS}
 """
     )
+
+
+def _lloyd_train(e: DataFrame, iters: int):
+    """Distributed fixed-point Lloyd shared by kmeans_lloyd,
+    kmeans_cells and knn_ivf_trained: returns (ex, assigned, cents,
+    dists) after `iters` rounds — ex = the quantized component explode,
+    assigned = (vec_id, cid, dist) final assignments (checkpointed),
+    cents = (cid, i, cq) the codebook the final assignment used, dists
+    = the final round's full (vec_id, cid, dist) table (lazy, over the
+    checkpoint-cut inputs) for nprobe-style probing.
+
+    Scale: centroids are k x d rows BROADCAST into the assignment
+    join; per-round shuffles are the (vec, cid) distance rollup and
+    the (cid, i) recenter rollup — both map-side combinable; the
+    corpus is never shuffled on a data key. One localCheckpoint per
+    round cuts lineage exactly like dedup_clusters' loop."""
+    ex = track_cache(
+        e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i0", "x"
+            ),
+        ).select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("x") * _LQ).cast("bigint").alias("q"),
+        )
+    )
+    cents = ex.where(
+        (F.col("vec_id") >= ANN_N_QUERIES)
+        & (F.col("vec_id") < ANN_N_QUERIES + IVF_NLIST)
+    ).select(
+        (F.col("vec_id") - ANN_N_QUERIES).alias("cid"),
+        "i",
+        F.col("q").alias("cq"),
+    )
+    assigned = dists = None
+    for it in range(1, iters + 1):
+        if it > 1:
+            cents = (
+                assigned.join(ex, "vec_id")
+                .groupBy("cid", "i")
+                .agg(F.expr("sum(q) div count(*)").alias("cq"))
+                .localCheckpoint(eager=True)
+            )
+        dists = (
+            ex.join(F.broadcast(cents), "i")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc("dist"), F.asc("cid")
+        )
+        assigned = (
+            dists.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "cid", "dist")
+            .localCheckpoint(eager=True)
+        )
+    return ex, assigned, cents, dists
 
 
 @query("kmeans_lloyd", oracle=_lloyd_oracle())
@@ -890,54 +965,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     points near-equidistant at that scale — and in exchange retries,
     partitionings, and engines can never disagree."""
     e = load_table(spark, sf_dir, "embeddings")
-    ex = track_cache(
-        e.select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "i0", "x"
-            ),
-        ).select(
-            "vec_id",
-            (F.col("i0") + 1).alias("i"),
-            F.floor(F.col("x") * _LQ).cast("bigint").alias("q"),
-        )
-    )
-    cents = ex.where(
-        (F.col("vec_id") >= ANN_N_QUERIES)
-        & (F.col("vec_id") < ANN_N_QUERIES + IVF_NLIST)
-    ).select(
-        (F.col("vec_id") - ANN_N_QUERIES).alias("cid"),
-        "i",
-        F.col("q").alias("cq"),
-    )
-    assigned = None
-    for it in range(1, LLOYD_ITERS + 1):
-        dists = (
-            ex.join(F.broadcast(cents), "i")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-                ).alias("dist")
-            )
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.asc("dist"), F.asc("cid")
-        )
-        assigned = (
-            dists.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("vec_id", "cid", "dist")
-            .localCheckpoint(eager=True)
-        )
-        if it < LLOYD_ITERS:
-            cents = (
-                assigned.join(ex, "vec_id")
-                .groupBy("cid", "i")
-                .agg(
-                    F.expr("sum(q) div count(*)").alias("cq")
-                )
-            )
+    _, assigned, _, _ = _lloyd_train(e, LLOYD_ITERS)
     return assigned.select(
         "vec_id",
         F.col("cid").cast("int").alias("cell"),
@@ -945,33 +973,44 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kmeans_cells")
+# Production trainer depth: kmeans_lloyd demonstrates the recurrence in
+# {LLOYD_ITERS} rounds; the index-build queries (kmeans_cells /
+# knn_ivf_trained) train deeper. Still a fixed unroll so the oracle
+# replays the identical trajectory.
+CELLS_ITERS = 4
+
+KMEANS_CELLS_ORACLE = (
+    "WITH "
+    + _lloyd_cte_chain(CELLS_ITERS)
+    + f"""
+SELECT vec_id, CAST(cid AS INTEGER) AS cell
+FROM a{CELLS_ITERS}
+"""
+)
+
+
+@query("kmeans_cells", oracle=KMEANS_CELLS_ORACLE)
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained coarse quantizer for IVF: k-means|| (MLlib built-in,
-    seeded) over the embedding corpus, emitting each vector's cell.
-    knn_ivf's deterministic seed-vector centroids keep the oracle
-    replayable; THIS is the production index-build step that replaces
-    them when recall matters (FAISS's train() analog). Rows-only by
-    design — iterative ML fitting is not SQL-expressible; the pytest
-    pins determinism and that refined cells beat seed cells on
-    within-cell cosine cohesion.
+    """Trained coarse quantizer for IVF: {CELLS_ITERS}-round FIXED-POINT
+    Lloyd (kmeans_lloyd's arithmetic, trained deeper) over the embedding
+    corpus, emitting each vector's cell — the production index-build
+    step (FAISS's train() analog) that replaces knn_ivf's raw seed
+    vectors when recall matters. Graduated from MLlib k-means|| to the
+    fixed-point recurrence in r10 (VERDICT r9 #1): quantized bigint
+    distances, integer floor-division recentering, (dist ASC, cid ASC)
+    ties — the whole training trajectory replays bit-identically in
+    DuckDB as unrolled CTEs, so this is now hash-exact instead of
+    rows-only-with-a-determinism-pytest. The pytest additionally pins
+    that the trained cells beat the raw seed cells on inertia.
 
-    Scale: MLlib KMeans is the idiomatic distributed implementation
-    (broadcast centroids, map-side partial sums — the same shape a
-    hand-rolled Lloyd loop would take, minus the hand-rolling)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    Scale: see _lloyd_train — broadcast centroids, map-side-combinable
+    bigint rollups per round, localCheckpoint lineage cuts; the same
+    shape MLlib's distributed Lloyd takes, minus the float
+    irreproducibility."""
     e = load_table(spark, sf_dir, "embeddings")
-    feats = e.select(
-        "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias(
-            "features"
-        ),
-    )
-    model = KMeans(k=IVF_NLIST, seed=686, maxIter=5).fit(feats)
-    return model.transform(feats).select(
-        "vec_id", F.col("prediction").cast("int").alias("cell")
+    _, assigned, _, _ = _lloyd_train(e, CELLS_ITERS)
+    return assigned.select(
+        "vec_id", F.col("cid").cast("int").alias("cell")
     )
 
 
@@ -982,47 +1021,246 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 # billion-vector search.
 PQ_M = 4  # sub-spaces (64 dims -> 4 x 16)
 PQ_K = 16  # centroids per sub-space (one 4-bit code each)
+PQ_SUB = EMB_DIM // PQ_M  # dims per subspace (64 -> 4 x 16)
 
 
-@query("pq_encode")
+# --- Sample-capped fixed-point PQ train (FAISS train() convention) -------
+#
+# pq_encode_lloyd trains on the FULL corpus; at deployment FAISS caps
+# codebook training at a fixed-size sample so train() cost never scales
+# with the corpus. These helpers make that convention oracle-exact:
+# the sample is the PQ_TRAIN_CAP vectors with the smallest
+# md5('pqtrain|'||vec_id) (deterministic, engine/run-stable bottom-k),
+# the PQ_K seeds are the first PQ_K vectors in that same md5 order, and
+# training runs LLOYD_ITERS full assign+recenter rounds over the sample
+# in fixed-point bigint arithmetic; encoding the full corpus is then a
+# single broadcast-codebook assignment pass. Every step replays
+# bit-identically in DuckDB.
+
+PQ_TRAIN_CAP = 4096  # codebook-training sample size (FAISS convention)
+
+
+def _pq_sample(e: DataFrame) -> DataFrame:
+    """(vec_id, rk): the PQ_TRAIN_CAP corpus vectors with the smallest
+    md5('pqtrain|'||vec_id), ranked in that order (rk 1..cap; the first
+    PQ_K are the codebook seeds). orderBy+limit is a distributed
+    TakeOrdered — never a full sort — and the row_number window runs
+    over the already-capped frame (bounded by the cap, not the
+    corpus)."""
+    h = F.md5(F.format_string("pqtrain|%d", F.col("vec_id")))
+    capped = (
+        e.select("vec_id", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(PQ_TRAIN_CAP)
+    )
+    w = Window.orderBy("h", "vec_id")
+    return capped.withColumn("rk", F.row_number().over(w)).select(
+        "vec_id", "rk"
+    )
+
+
+def _pq_lloyd_sampled(ex: DataFrame, samp: DataFrame):
+    """Fixed-point PQ codebook train on the SAMPLE slice of the
+    subspace explode `ex` ((vec_id, s, j, q) for all PQ_M subspaces),
+    then a full-corpus encode: returns (encoded, codebook) where
+    encoded = (vec_id, s, cid, dist) every vector's nearest trained
+    codeword per subspace and codebook = (s, cid, j, cq) after
+    LLOYD_ITERS full assign+recenter rounds.
+
+    Scale: the sample explode is cap-bounded (PQ_TRAIN_CAP x EMB_DIM
+    rows) so every training shuffle is O(cap); the one corpus-scale
+    pass is the final encode — a broadcast-codebook join + map-side
+    combinable rollup, the same shape as _pq_lloyd's assignment."""
+    sx = track_cache(
+        ex.join(F.broadcast(samp.select("vec_id")), "vec_id")
+    )
+    cents = (
+        ex.join(
+            F.broadcast(samp.where(F.col("rk") <= PQ_K)), "vec_id"
+        )
+        .select(
+            (F.col("rk") - 1).alias("cid"),
+            "s",
+            "j",
+            F.col("q").alias("cq"),
+        )
+    )
+    for _ in range(LLOYD_ITERS):
+        sd = (
+            sx.join(F.broadcast(cents), ["s", "j"])
+            .groupBy("vec_id", "s", "cid")
+            .agg(
+                F.sum(
+                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy(
+            F.asc("dist"), F.asc("cid")
+        )
+        sa = (
+            sd.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "s", "cid")
+        )
+        cents = (
+            sa.join(sx, ["vec_id", "s"])
+            .groupBy("s", "cid", "j")
+            .agg(F.expr("sum(q) div count(*)").alias("cq"))
+            .localCheckpoint(eager=True)
+        )
+    codebook = cents
+    ed = (
+        ex.join(F.broadcast(codebook), ["s", "j"])
+        .groupBy("vec_id", "s", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("dist")
+        )
+    )
+    w_enc = Window.partitionBy("vec_id", "s").orderBy(
+        F.asc("dist"), F.asc("cid")
+    )
+    encoded = (
+        ed.withColumn("rk", F.row_number().over(w_enc))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "s", "cid", "dist")
+    )
+    return encoded, codebook
+
+
+def _pq_sampled_ctes(exname: str) -> str:
+    """Oracle CTE chain mirroring _pq_sample + _pq_lloyd_sampled over
+    the subspace-explode CTE named `exname`: samp (md5 bottom-k with
+    rank), sc0 (md5-rank seeds), LLOYD_ITERS full assign+recenter
+    rounds on the sample, scb = trained codebook, enc = full-corpus
+    final assignment (vec_id, s, cid, dist)."""
+    parts = [
+        f"""
+samp AS (
+  SELECT vec_id, rk FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rk
+    FROM (SELECT vec_id, md5(printf('pqtrain|%d', vec_id)) AS h
+          FROM embeddings))
+  WHERE rk <= {PQ_TRAIN_CAP}
+),
+sx AS (
+  SELECT e.vec_id, e.s, e.j, e.q FROM {exname} e
+  JOIN samp m ON m.vec_id = e.vec_id
+),
+sc0 AS (
+  SELECT m.rk - 1 AS cid, e.s, e.j, e.q
+  FROM {exname} e JOIN samp m ON m.vec_id = e.vec_id
+  WHERE m.rk <= {PQ_K}
+)"""
+    ]
+    prev = "sc0"
+    for r in range(1, LLOYD_ITERS + 1):
+        parts.append(f"""
+sd{r} AS (
+  SELECT e.vec_id, e.s, c.cid,
+         sum((e.q - c.q) * (e.q - c.q)) AS dist
+  FROM sx e JOIN {prev} c ON c.s = e.s AND c.j = e.j
+  GROUP BY e.vec_id, e.s, c.cid
+),
+sa{r} AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, cid ASC) AS rk
+    FROM sd{r})
+  WHERE rk = 1
+),
+sc{r} AS (
+  SELECT a.s, a.cid, e.j, sum(e.q) // count(*) AS q
+  FROM sa{r} a JOIN sx e ON e.vec_id = a.vec_id AND e.s = a.s
+  GROUP BY a.s, a.cid, e.j
+)""")
+        prev = f"sc{r}"
+    parts.append(f"""
+scb AS (SELECT s, cid, j, q FROM {prev}),
+ed AS (
+  SELECT e.vec_id, e.s, c.cid,
+         sum((e.q - c.q) * (e.q - c.q)) AS dist
+  FROM {exname} e JOIN scb c ON c.s = e.s AND c.j = e.j
+  GROUP BY e.vec_id, e.s, c.cid
+),
+enc AS (
+  SELECT vec_id, s, cid, dist FROM (
+    SELECT vec_id, s, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, cid ASC) AS rk
+    FROM ed)
+  WHERE rk = 1
+)""")
+    return ",".join(parts)
+
+
+def _pq_raw_explode(e: DataFrame) -> DataFrame:
+    """(vec_id, s, j, q): raw-component fixed-point subspace explode
+    (the pq_encode_lloyd quantization, shared by pq_encode)."""
+    return e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "x"
+        ),
+    ).select(
+        "vec_id",
+        F.expr(f"i0 div {PQ_SUB}").cast("int").alias("s"),
+        (F.col("i0") % PQ_SUB + 1).alias("j"),
+        F.floor(F.col("x") * _LQ).cast("bigint").alias("q"),
+    )
+
+
+PQ_ENCODE_ORACLE = (
+    "WITH "
+    + f"""
+pex AS (
+  SELECT vec_id, (i - 1) // {PQ_SUB} AS s, (i - 1) % {PQ_SUB} + 1 AS j,
+         CAST(floor(CAST(x AS DOUBLE) * {_LQ}) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),"""
+    + _pq_sampled_ctes("pex")
+    + "\nSELECT vec_id,\n       "
+    + ",\n       ".join(
+        f"CAST(max(CASE WHEN s = {m} THEN cid END) AS INTEGER) AS code_{m}"
+        for m in range(PQ_M)
+    )
+    + "\nFROM enc\nGROUP BY vec_id\n"
+)
+
+
+@query("pq_encode", oracle=PQ_ENCODE_ORACLE)
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encode: per-subspace k-means codebooks
-    (MLlib, seeded) assign each vector PQ_M small codes. Rows-only by
-    design — iterative ML fitting is not SQL-expressible; the pytest
-    pins run-to-run determinism and the code range/arity contract
+    """Product-quantization encode with SAMPLE-CAPPED oracle-exact
+    training — the FAISS deployment convention (train() cost bounded by
+    PQ_TRAIN_CAP, never the corpus) made hash-exact (VERDICT r9 #1,
+    graduated from MLlib k-means|| in r10): codebooks come from
+    LLOYD_ITERS fixed-point assign+recenter rounds over the md5
+    bottom-k sample, seeds are the first PQ_K sample vectors in md5
+    order, and the full corpus is encoded in one broadcast-codebook
+    pass. pq_encode_lloyd is the full-corpus-train sibling; this one is
+    what a 100 TB index build would actually run. The pytest pins
+    run-to-run determinism and the code range/arity contract
     (tests/test_er_timeseries.py).
 
-    Scale: each subspace fit is an independent MLlib k-means|| over a
-    16-dim slice (broadcast centroids, map-side partial sums); encode
-    is one broadcast-codebook pass per subspace. Codes shuffle as
-    PQ_M ints — the raw floats never move after the slice projection.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    Scale: training shuffles are O(PQ_TRAIN_CAP x EMB_DIM); the encode
+    is one broadcast join + map-side-combinable bigint rollup; codes
+    shuffle as PQ_M small ints (16x compression of a 64-dim vector)."""
     e = load_table(spark, sf_dir, "embeddings")
-    dim = 64  # embeddings fixture dimension (tables.py schema contract)
-    sub = dim // PQ_M
-    out = e.select("vec_id", "embedding")
-    for m in range(PQ_M):
-        feats = out.select(
-            "*",
-            array_to_vector(
-                F.slice(F.col("embedding"), m * sub + 1, sub).cast(
-                    "array<double>"
-                )
-            ).alias("_feat"),
-        )
-        model = KMeans(
-            k=PQ_K, seed=686 + m, maxIter=5, featuresCol="_feat"
-        ).fit(feats)
-        out = (
-            model.transform(feats)
-            .withColumn(f"code_{m}", F.col("prediction").cast("int"))
-            .drop("_feat", "prediction")
-        )
-    return out.select(
-        "vec_id", *[f"code_{m}" for m in range(PQ_M)]
+    ex = track_cache(_pq_raw_explode(e))
+    samp = track_cache(_pq_sample(e))
+    encoded, _ = _pq_lloyd_sampled(ex, samp)
+    return encoded.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == m, F.col("cid")))
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(PQ_M)
+        ]
     )
 
 
@@ -1036,9 +1274,6 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-EXACT end to end. Reference anchor: the checksum pipeline's
 # determinism contract (storage/StorageNode.java:171-208) applied to
 # vector compression.
-
-PQ_SUB = EMB_DIM // PQ_M  # dims per subspace (64 -> 4 x 16)
-
 
 def _pq_lloyd_ctes() -> str:
     """Shared oracle CTE chain for the fixed-point PQ train: quantized
@@ -1290,70 +1525,104 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trained_cells(e: DataFrame):
-    """Trained-quantizer analog of _ivf_cells: fit the seeded MLlib
-    k-means|| coarse quantizer (kmeans_cells' exact configuration),
-    then derive (vecs, probes, assigned) — each candidate's nearest
-    trained cell and each query's IVF_NPROBE nearest cells by squared
-    euclidean (the metric k-means assigns by), ties broken on cid."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    feats = e.select(
-        "vec_id",
-        "embedding",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias(
-            "features"
-        ),
-    )
-    model = KMeans(k=IVF_NLIST, seed=686, maxIter=5).fit(feats)
-    centers = np.array(model.clusterCenters(), dtype=np.float64)
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def _probe_cells(emb: pd.Series) -> pd.Series:
-        out = []
-        for v in emb:
-            x = np.asarray(v, dtype=np.float64)
-            d = ((centers - x) ** 2).sum(axis=1)
-            order = np.lexsort((np.arange(len(d)), d))[:IVF_NPROBE]
-            out.append(order.astype(np.int32))
-        return pd.Series(out)
-
+    """Trained-quantizer analog of _ivf_cells: train the fixed-point
+    Lloyd coarse quantizer (kmeans_cells' exact configuration —
+    CELLS_ITERS rounds), then derive (vecs, probes, assigned) — each
+    candidate's nearest trained cell and each query's IVF_NPROBE
+    nearest cells by exact integer squared euclidean (the metric Lloyd
+    assigns by), ties broken on cid. Every distance is a bigint, so
+    probes and assignments replay bit-identically in the oracle."""
     vecs = track_cache(
         e.select(
             "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
         )
     )
-    assigned = (
-        model.transform(feats)
-        .where(F.col("vec_id") >= ANN_N_QUERIES)
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("prediction").cast("int").alias("cid"),
-        )
+    _, assigned_all, _, dists = _lloyd_train(e, CELLS_ITERS)
+    assigned = assigned_all.where(
+        F.col("vec_id") >= ANN_N_QUERIES
+    ).select(F.col("vec_id").alias("neighbor_id"), "cid")
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.asc("dist"), F.asc("cid")
     )
     probes = (
-        feats.where(F.col("vec_id") < ANN_N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(_probe_cells(F.col("embedding"))).alias("cid"),
-        )
+        dists.where(F.col("vec_id") < ANN_N_QUERIES)
+        .withColumn("rk", F.row_number().over(w_probe))
+        .where(F.col("rk") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
     )
     return vecs, probes, assigned
 
 
-@query("knn_ivf_trained")
+KNN_IVF_TRAINED_ORACLE = (
+    "WITH "
+    + _lloyd_cte_chain(CELLS_ITERS)
+    + f""",
+exd AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM exd GROUP BY vec_id
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cid ASC) AS rk
+    FROM d{CELLS_ITERS} WHERE vec_id < {ANN_N_QUERIES})
+  WHERE rk <= {IVF_NPROBE}
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, cid FROM a{CELLS_ITERS}
+  WHERE vec_id >= {ANN_N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST(sum(CAST(floor(q.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM cand cd
+  JOIN exd q ON q.vec_id = cd.query_id
+  JOIN exd c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / (nq.norm * nc.norm) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot / (nq.norm * nc.norm) DESC,
+                                     d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id)
+WHERE rank <= {ANN_K}
+"""
+)
+
+
+@query("knn_ivf_trained", oracle=KNN_IVF_TRAINED_ORACLE)
 def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k search over the TRAINED coarse quantizer — the piece
     that connects kmeans_cells (the FAISS train() analog) to actual
-    search, where knn_ivf uses oracle-replayable seed-vector centroids
-    instead. Rows-only by design (iterative ML fitting is not
-    SQL-expressible); tests/test_ann.py pins run-to-run determinism,
-    recall vs knn_bruteforce, and that every reported neighbor comes
-    from a probed cell.
+    search, where knn_ivf uses raw seed-vector centroids instead.
+    Graduated to oracle-exact in r10 (VERDICT r9 #1): the quantizer is
+    the CELLS_ITERS-round fixed-point Lloyd train, probing ranks exact
+    bigint distances, and candidate scoring is the standard fixed-point
+    cosine fold — DuckDB replays training, probing, and ranking
+    bit-identically via unrolled CTEs. tests/test_ann.py additionally
+    pins run-to-run determinism, recall vs knn_bruteforce, and that
+    every reported neighbor comes from a probed cell.
 
     Scale: identical to knn_ivf — the trained centers are an
-    O(nlist x dim) broadcast closure, assignment is one model pass,
+    O(nlist x dim) broadcast closure, assignment is one training pass,
     probing scores nprobe inverted lists per query; at deployment the
     corpus is STORED partitioned by trained cell (write_ivf_store) so
     a probe is a partition-pruned scan.
@@ -1402,102 +1671,177 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the IVF coarse quantizer's probed cells, but scoring never touches
 # the candidate's raw floats. Each query builds a PQ_M x PQ_K table of
 # squared distances from its sub-vectors to every codebook centroid
-# once; a candidate's approximate distance is then PQ_M array lookups
+# once; a candidate's approximate distance is then PQ_M table lookups
 # over its stored codes (ADC — asymmetric distance computation,
 # Jegou et al. 2011). Cosine ranking is recovered by L2-normalizing
 # vectors before quantization: on unit vectors ||q-x||^2 = 2 - 2cos.
 
-
-def _unit_pd():
-    """Arrow-batched unit-normalization of array<float> embeddings
-    (plain float64 — no oracle replays this path; rows-only query)."""
-
-    @F.pandas_udf(ArrayType(DoubleType()))
-    def _unit(emb: pd.Series) -> pd.Series:
-        out = []
-        arr = emb.to_numpy()
-        for lo in range(0, len(arr), 4096):
-            X = np.stack(arr[lo : lo + 4096]).astype(np.float64)
-            n = np.linalg.norm(X, axis=1, keepdims=True)
-            n[n == 0.0] = 1.0
-            out.extend(X / n)
-        return pd.Series(out)
-
-    return _unit
-
-
-PQ_TRAIN_CAP = 4096  # codebook-training sample size (FAISS convention)
-PQ_TRAIN_ITERS = 10  # Lloyd iterations on the in-process sample
-
-
-def _pq_codebooks(unit: DataFrame) -> np.ndarray:
-    """Fit the PQ_M per-subspace codebooks on a BOUNDED training
-    sample: the PQ_TRAIN_CAP vectors with the smallest
-    md5('pqtrain|'||vec_id) (deterministic, engine/run-stable — a
-    TakeOrdered, never a full sort), pulled once to the driver
-    (<= 4096 x 64 doubles = 2 MB) and clustered with seeded k-means++
-    + Lloyd in-process. Training PQ on a capped sample is the FAISS
-    convention (train() cost must not scale with the corpus); the
-    full-corpus distributed-fit variant lives in pq_encode, whose
-    MLlib codebooks this mirrors in role. Returns a (PQ_M, PQ_K, sub)
-    float64 array — a 4 KiB closure, broadcast-safe at any corpus
-    size; the sample collect is bounded by the cap, not the corpus."""
-    sub = EMB_DIM // PQ_M
-    sample = (
-        unit.select(
-            "u_emb", F.md5(F.format_string("pqtrain|%d", F.col("vec_id"))).alias("_h")
-        )
-        .orderBy("_h")
-        .limit(PQ_TRAIN_CAP)
-        .collect()
-    )
-    X = np.array([r.u_emb for r in sample], dtype=np.float64)
-    books = []
-    for m in range(PQ_M):
-        xs = X[:, m * sub : (m + 1) * sub]
-        rng = np.random.RandomState(686 + m)
-        # k-means++ seeding, then Lloyd; empty clusters re-seeded from
-        # the farthest points so every codeword stays live
-        cents = xs[rng.randint(len(xs))][None, :]
-        for _ in range(1, PQ_K):
-            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(2).min(1)
-            p = d2 / d2.sum() if d2.sum() > 0 else None
-            cents = np.vstack([cents, xs[rng.choice(len(xs), p=p)]])
-        for _ in range(PQ_TRAIN_ITERS):
-            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(2)
-            assign = d2.argmin(1)
-            for k in range(PQ_K):
-                members = xs[assign == k]
-                if len(members):
-                    cents[k] = members.mean(0)
-                else:
-                    cents[k] = xs[d2.min(1).argmax()]
-        books.append(cents.copy())
-    return np.stack(books)
-
-
 IVFPQ_SHORTLIST = 8 * ANN_K  # ADC survivors exactly re-ranked per query
 
 
-@query("knn_ivfpq")
+def _pq_unit_explode(e: DataFrame) -> DataFrame:
+    """(vec_id, s, j, q): UNIT-normalized fixed-point subspace explode.
+    The normalization is oracle-replayable without any UDF: norm is the
+    fixed-point fold both engines already share, and q =
+    floor(x / norm * 1e6) is two exactly-rounded IEEE double ops on
+    identical inputs — bit-identical in DuckDB. Stays entirely in
+    whole-stage codegen (the float _unit_pd pandas_udf this replaced
+    was the reason knn_ivfpq could not be oracle-exact)."""
+    vecs = e.select(
+        "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+    )
+    return vecs.select(
+        "vec_id",
+        "norm",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "x"
+        ),
+    ).select(
+        "vec_id",
+        F.expr(f"i0 div {PQ_SUB}").cast("int").alias("s"),
+        (F.col("i0") % PQ_SUB + 1).alias("j"),
+        F.floor(F.col("x") / F.col("norm") * _LQ).cast("bigint").alias("q"),
+    )
+
+
+def _ivf_cand_ctes() -> str:
+    """Oracle CTEs for the seeded-centroid IVF candidate generation
+    (the KNN_IVF_ORACLE pipeline over the raw explode `exd`): cdots /
+    cscores / iassigned / probes / cand."""
+    return f"""
+cdots AS (
+  SELECT v.vec_id, c.vec_id AS cid,
+         CAST(sum(CAST(floor(v.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM exd v JOIN exd c ON c.i = v.i
+  WHERE c.vec_id >= {ANN_N_QUERIES}
+    AND c.vec_id < {ANN_N_QUERIES + IVF_NLIST}
+  GROUP BY v.vec_id, c.vec_id
+),
+cscores AS (
+  SELECT d.vec_id, d.cid, d.dot / (nv.norm * nc.norm) AS cscore
+  FROM cdots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cid
+),
+iassigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores WHERE vec_id >= {ANN_N_QUERIES})
+  WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores WHERE vec_id < {ANN_N_QUERIES})
+  WHERE rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN iassigned a ON a.cid = p.cid
+)"""
+
+
+KNN_IVFPQ_ORACLE = (
+    "WITH "
+    + f"""
+exd AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM exd GROUP BY vec_id
+),
+uex AS (
+  SELECT e.vec_id, (e.i - 1) // {PQ_SUB} AS s, (e.i - 1) % {PQ_SUB} + 1 AS j,
+         CAST(floor(e.x / n.norm * {_LQ}) AS BIGINT) AS q
+  FROM exd e JOIN norms n ON n.vec_id = e.vec_id
+),"""
+    + _pq_sampled_ctes("uex")
+    + ","
+    + _ivf_cand_ctes()
+    + f""",
+dt AS (
+  SELECT u.vec_id AS query_id, c.s, c.cid,
+         sum((u.q - c.q) * (u.q - c.q)) AS d
+  FROM uex u JOIN scb c ON c.s = u.s AND c.j = u.j
+  WHERE u.vec_id < {ANN_N_QUERIES}
+  GROUP BY u.vec_id, c.s, c.cid
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, s, cid FROM enc
+  WHERE vec_id >= {ANN_N_QUERIES}
+),
+adc AS (
+  SELECT cd.query_id, cd.neighbor_id, sum(t.d) AS adc_q
+  FROM cand cd
+  JOIN codes k ON k.neighbor_id = cd.neighbor_id
+  JOIN dt t ON t.query_id = cd.query_id AND t.s = k.s AND t.cid = k.cid
+  GROUP BY cd.query_id, cd.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_q ASC, neighbor_id ASC) AS rk
+    FROM adc)
+  WHERE rk <= {IVFPQ_SHORTLIST}
+),
+dots AS (
+  SELECT sh.query_id, sh.neighbor_id,
+         CAST(sum(CAST(floor(q.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM short sh
+  JOIN exd q ON q.vec_id = sh.query_id
+  JOIN exd c ON c.vec_id = sh.neighbor_id AND c.i = q.i
+  GROUP BY sh.query_id, sh.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / (nq.norm * nc.norm) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot / (nq.norm * nc.norm) DESC,
+                                     d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id)
+WHERE rank <= {ANN_K}
+"""
+)
+
+
+@query("knn_ivfpq", oracle=KNN_IVFPQ_ORACLE)
 def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ approximate top-k cosine search with exact refinement:
     IVF probed-cell candidate generation (knn_ivf's coarse quantizer),
-    PQ asymmetric-distance scoring over 4-byte codes to cut each
-    query's candidates to an IVFPQ_SHORTLIST, then exact cosine
-    re-ranking of the shortlist only (FAISS IndexIVFPQ +
-    IndexRefineFlat). Rows-only by design (iterative ML fitting is not
-    SQL-expressible); tests/test_ann.py pins run-to-run determinism,
-    recall vs knn_bruteforce, probed-cell membership, and that a
-    planted exact duplicate is retrieved at rank 1.
+    PQ asymmetric-distance scoring over PQ_M codes to cut each query's
+    candidates to an IVFPQ_SHORTLIST, then exact cosine re-ranking of
+    the shortlist only (FAISS IndexIVFPQ + IndexRefineFlat). Graduated
+    to oracle-exact in r10 (VERDICT r9 #1): vectors unit-normalize via
+    the replayable fixed-point fold (no UDF), codebooks train on the
+    md5 bottom-k sample in fixed-point Lloyd arithmetic (pq_encode's
+    trainer), and ADC distances are exact integer table-lookup sums —
+    DuckDB replays candidate generation, training, encoding, ADC
+    shortlisting, and the refine bit for bit. tests/test_ann.py
+    additionally pins determinism, recall vs knn_bruteforce,
+    probed-cell membership, and that a planted exact duplicate is
+    retrieved at rank 1.
 
-    Scale shape: the codebooks are a 4 KiB closure; each candidate is
-    represented in the ADC join by PQ_M ints (raw floats never move
-    past the one encode pass); each query ships one PQ_M*PQ_K double
-    distance table; the per-candidate ADC sum is PQ_M JVM-side
-    element_at lookups — no Python, no floats, in the O(candidates)
-    hot path. Exact scoring touches only SHORTLIST vectors per query.
-    At 100 TB the corpus is stored partitioned by cell
+    Scale shape: the codebook is PQ_M x PQ_K x PQ_SUB bigint rows
+    BROADCAST; each candidate flows through the ADC join as PQ_M ints
+    (raw floats never move past the one encode pass); each query ships
+    a PQ_M x PQ_K integer distance table; everything stays in
+    whole-stage codegen. Exact scoring touches only SHORTLIST vectors
+    per query. At 100 TB the corpus is stored partitioned by cell
     (write_ivf_store) with codes as columns, so a probe is a
     partition-pruned scan of ints and the refine stage is a pointwise
     fetch of shortlist rows.
@@ -1509,73 +1853,38 @@ def ivfpq_topk(e: DataFrame) -> DataFrame:
     """Core of knn_ivfpq over any (vec_id, embedding) frame (the query
     wrapper binds it to the fixture table; tests feed synthetic corpora
     with planted exact duplicates)."""
-    unit_udf = _unit_pd()
-    unit = track_cache(
-        e.select("vec_id", unit_udf(F.col("embedding")).alias("u_emb"))
-    )
-    books = _pq_codebooks(unit)  # (PQ_M, PQ_K, sub)
-    sub = EMB_DIM // PQ_M
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def _encode(u: pd.Series) -> pd.Series:
-        out = []
-        arr = u.to_numpy()
-        for lo in range(0, len(arr), 4096):
-            X = np.stack(arr[lo : lo + 4096])
-            codes = np.empty((len(X), PQ_M), dtype=np.int32)
-            for m in range(PQ_M):
-                xs = X[:, m * sub : (m + 1) * sub]
-                # (B, PQ_K) squared distances; argmin = first min index
-                d = ((xs[:, None, :] - books[m][None, :, :]) ** 2).sum(
-                    axis=2
-                )
-                codes[:, m] = d.argmin(axis=1).astype(np.int32)
-            out.extend(codes)
-        return pd.Series(out)
-
-    @F.pandas_udf(ArrayType(DoubleType()))
-    def _dtable(u: pd.Series) -> pd.Series:
-        out = []
-        for v in u.to_numpy():
-            x = np.asarray(v, dtype=np.float64)
-            dt = np.empty(PQ_M * PQ_K, dtype=np.float64)
-            for m in range(PQ_M):
-                xs = x[m * sub : (m + 1) * sub]
-                dt[m * PQ_K : (m + 1) * PQ_K] = (
-                    (books[m] - xs[None, :]) ** 2
-                ).sum(axis=1)
-            out.append(dt)
-        return pd.Series(out)
-
+    uex = track_cache(_pq_unit_explode(e))
+    samp = track_cache(_pq_sample(e))
+    encoded, codebook = _pq_lloyd_sampled(uex, samp)
     _, probes, assigned = _ivf_cells(e)
     cand = F.broadcast(probes).join(assigned, "cid").select(
         "query_id", "neighbor_id"
     )
-    codes = unit.where(F.col("vec_id") >= ANN_N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"),
-        _encode(F.col("u_emb")).alias("codes"),
-    )
-    qdt = unit.where(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        _dtable(F.col("u_emb")).alias("dt"),
-    )
-    adc = None
-    for m in range(PQ_M):
-        term = F.element_at(
-            F.col("dt"),
-            F.lit(m * PQ_K + 1) + F.element_at(F.col("codes"), m + 1),
+    dt = (
+        uex.where(F.col("vec_id") < ANN_N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), ["s", "j"])
+        .groupBy("query_id", "s", "cid")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
+            ).alias("d")
         )
-        adc = term if adc is None else adc + term
-    scored = (
+    )
+    codes = encoded.where(F.col("vec_id") >= ANN_N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "s", "cid"
+    )
+    adc = (
         cand.join(codes, "neighbor_id")
-        .join(F.broadcast(qdt), "query_id")
-        .select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .join(F.broadcast(dt), ["query_id", "s", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_q"))
     )
     w_adc = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id")
+        F.asc("adc_q"), F.asc("neighbor_id")
     )
     shortlist = (
-        scored.withColumn("adc_rank", F.row_number().over(w_adc))
+        adc.withColumn("adc_rank", F.row_number().over(w_adc))
         .where(F.col("adc_rank") <= IVFPQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
