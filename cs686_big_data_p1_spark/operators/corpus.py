@@ -695,3 +695,121 @@ def remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_removed"),
         )
     )
+
+
+# --- Arbitrary-offset substring dedup (suffix-array grade) -----------------
+#
+# span_dedup catches duplicated SPAN_B-word blocks at two stride phases;
+# spans sitting at any OTHER relative offset slip through (its
+# documented residual). substring_dedup closes that gap with the
+# classic suffix-array reduction (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): a span of >= SUB_L
+# tokens duplicated anywhere in the corpus — at ANY offset, across or
+# within documents — iff every stride-1 SUB_L-token window inside it
+# occurs at least twice globally. So: hash every stride-1 window, keep
+# windows whose hash repeats, and merge each document's consecutive
+# duplicated offsets into MAXIMAL spans (gaps-and-islands). This finds
+# exactly the duplicated spans a suffix array would, with relational
+# operators only.
+
+SUB_L = SPAN_B  # minimum duplicated-span length, in tokens
+
+SUBSTRING_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents WHERE len(string_split(text, ' ')) >= {SUB_L}
+),
+wins AS (
+  SELECT doc_id, o,
+         md5(array_to_string(w[o : o + {SUB_L} - 1], ' ')) AS h
+  FROM (SELECT doc_id, w,
+               CAST(unnest(generate_series(1, n - {SUB_L} + 1)) AS INTEGER)
+                   AS o
+        FROM base)
+),
+dups AS (
+  SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+),
+dwin AS (
+  SELECT w.doc_id, w.o FROM wins w JOIN dups d ON d.h = w.h
+),
+runs AS (
+  SELECT doc_id, o,
+         o - row_number() OVER (PARTITION BY doc_id ORDER BY o) AS grp
+  FROM dwin
+)
+SELECT doc_id,
+       CAST(min(o) AS INTEGER) AS span_start,
+       CAST(max(o) - min(o) + {SUB_L} AS INTEGER) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM runs
+GROUP BY doc_id, grp
+"""
+
+
+@query("substring_dedup", oracle=SUBSTRING_DEDUP_ORACLE)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated substrings of >= {SUB_L} tokens at ANY offset
+    (VERDICT r9 #6 — the suffix-array-grade operator span_dedup
+    approximates): emit, per document, every maximal token span all of
+    whose stride-1 {SUB_L}-token windows occur at least twice in the
+    corpus (across documents or at another offset of the same one —
+    the Lee et al. 2022 semantics; a window repeated inside one
+    document is self-plagiarism a curation pass also strips).
+    span_start is the 1-based token offset, span_len the maximal span's
+    token count (>= {SUB_L} by construction).
+
+    Correctness identity: a duplicated span of length S contains
+    exactly S - {SUB_L} + 1 duplicated windows at CONSECUTIVE offsets,
+    and a maximal consecutive run [o1..o2] of duplicated windows is
+    exactly the maximal duplicated span [o1, o2 + {SUB_L} - 1] — so
+    merging runs (gaps-and-islands: o - row_number() per doc) emits
+    precisely the suffix-array answer, with no alignment bookkeeping
+    and no phase blind spot (tests/test_corpus.py plants a span at a
+    misaligned offset span_dedup provably misses and pins exact
+    start/len here).
+
+    Scale: window generation is a map-side explode (fanout = token
+    count; each window hashed once — at PB scale the md5-of-slice
+    becomes a rolling/Karp-Rabin hash or minimizer sampling, same plan
+    shape); only (digest, doc_id, offset) ever shuffles, never window
+    text, and the digest groupBy key is uniform by construction. The
+    run-merge window partitions by doc_id — bounded by document token
+    count, the same envelope as any per-doc rollup. The global dup
+    filter is a digest semi-join (broadcast-able when the duplicated
+    sliver is small, the common corpus case)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= SUB_L
+    )
+    wins = base.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(1), F.size("w") - SUB_L + 1)
+        ).alias("o"),
+    ).select(
+        "doc_id",
+        "o",
+        F.md5(
+            F.array_join(F.slice(F.col("w"), F.col("o"), SUB_L), " ")
+        ).alias("h"),
+    )
+    wins = track_cache(wins)
+    dups = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("h")
+    )
+    dwin = wins.join(dups, "h", "left_semi").select("doc_id", "o")
+    w_run = Window.partitionBy("doc_id").orderBy("o")
+    runs = dwin.withColumn(
+        "grp", F.col("o") - F.row_number().over(w_run)
+    )
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("o").cast("int").alias("span_start"),
+        (F.max("o") - F.min("o") + SUB_L).cast("int").alias("span_len"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "span_start", "span_len", "n_windows")

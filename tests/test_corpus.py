@@ -198,6 +198,73 @@ def test_span_dedup_catches_misaligned_block(spark, tmp_path):
     assert r.n_occurrences == 2
 
 
+def test_substring_dedup_finds_any_offset_span_dedup_misses(spark, tmp_path):
+    """VERDICT r9 #6 adversarial case: a 20-token span planted at word
+    offset 10 in one doc and offset 13 in another (relative offset 3 —
+    congruent to neither 0 nor B/2 mod B) is PROVABLY invisible to
+    span_dedup's two tile phases, but substring_dedup must report the
+    exact maximal span (start, length) in BOTH documents: every
+    stride-1 16-token window inside the span repeats, nothing outside
+    does (all other tokens are globally unique)."""
+    from cs686_big_data_p1_spark.operators.corpus import (
+        SUB_L,
+        span_dedup,
+        substring_dedup,
+    )
+
+    span = [f"s{j}" for j in range(SUB_L + 4)]  # 20 tokens
+    texts = [
+        " ".join([f"u{i}" for i in range(10)] + span
+                 + [f"v{i}" for i in range(15)]),
+        " ".join([f"w{i}" for i in range(13)] + span
+                 + [f"x{i}" for i in range(12)]),
+        " ".join(f"y{i}" for i in range(40)),  # pure filler
+    ]
+    sf = _write_docs(tmp_path, texts)
+    assert span_dedup(spark, sf).count() == 0  # the documented blind spot
+    rows = {
+        r.doc_id: r for r in substring_dedup(spark, sf).collect()
+    }
+    assert set(rows) == {0, 1}
+    assert (rows[0].span_start, rows[0].span_len) == (11, len(span))
+    assert (rows[1].span_start, rows[1].span_len) == (14, len(span))
+    assert rows[0].n_windows == rows[1].n_windows == len(span) - SUB_L + 1
+
+
+def test_substring_dedup_merges_runs_and_catches_self_repeat(
+    spark, tmp_path
+):
+    """Two spans separated by a unique gap must come back as two
+    maximal runs, not one; and a span repeated at two offsets INSIDE
+    one document (self-plagiarism) is also reported (Lee et al.
+    count-any-two-occurrences semantics)."""
+    from cs686_big_data_p1_spark.operators.corpus import (
+        SUB_L,
+        substring_dedup,
+    )
+
+    a = [f"a{j}" for j in range(SUB_L)]
+    b = [f"b{j}" for j in range(SUB_L)]
+    texts = [
+        " ".join(a + [f"g{i}" for i in range(SUB_L)] + b),
+        " ".join(a + [f"h{i}" for i in range(SUB_L)] + b),
+        # self-repeat: same SUB_L-token run twice in ONE doc
+        " ".join([f"c{j}" for j in range(SUB_L)]
+                 + [f"k{i}" for i in range(SUB_L)]
+                 + [f"c{j}" for j in range(SUB_L)]),
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in substring_dedup(spark, sf).collect()
+    )
+    assert got == [
+        (0, 1, SUB_L), (0, 2 * SUB_L + 1, SUB_L),
+        (1, 1, SUB_L), (1, 2 * SUB_L + 1, SUB_L),
+        (2, 1, SUB_L), (2, 2 * SUB_L + 1, SUB_L),
+    ]
+
+
 def test_mg_retention_bound():
     """Misra-Gries summary (k=10) must retain every term whose count
     exceeds N/(k+1), under heavy churn from 500 singleton terms."""
