@@ -457,3 +457,182 @@ def kmv_set_ops_frame(pairs: DataFrame, seg_a: str, seg_b: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+# --- KLL-style mergeable quantile sketch ------------------------------------
+#
+# Completes the sketch family's missing axis (VERDICT r9 #9): Bloom =
+# membership, HLL = cardinality, CMS = frequency, KMV = set algebra,
+# THIS = quantiles. The sketch is the mergeable uniform-sampler core of
+# KLL (Karnin, Lang & Liberty 2016): keep, per group, the KLL_K rows
+# with the smallest md5('kll|'||event_id) — a bottom-k-by-hash set,
+# which is (a) a uniform random sample of the group, (b) fully
+# mergeable and order-independent (merge = union then bottom-k, exactly
+# KMV's algebra applied to carry (value) payloads), and (c) entirely
+# relational, so unlike percentile_approx's GK internals
+# (approx_quantiles, rows-only) it is HASH-EXACT against a DuckDB
+# replay. The trade vs full multi-level KLL compaction is rank error
+# O(1/sqrt(k)) instead of O(1/k) — the price of an order-independent
+# trajectory both engines can compute identically.
+
+KLL_K = 256  # sample rows kept per group: ~3/sqrt(k) = 0.19 rank error @3s
+KLL_SALTS = 8  # stage-1 shards (cap_domains' two-stage bottom-k idiom)
+
+KLL_QUANTILES_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type AS g, event_id, value,
+         CAST(('0x' || substr(md5(printf('kll|%d', event_id)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+),
+sk AS (
+  SELECT g, event_id, value FROM (
+    SELECT g, event_id, value,
+           row_number() OVER (PARTITION BY g ORDER BY h) AS r
+    FROM ev
+  ) WHERE r <= {KLL_K}
+),
+m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sample FROM sk GROUP BY g),
+sr AS (
+  SELECT g, value,
+         row_number() OVER (PARTITION BY g ORDER BY value, event_id) AS r
+  FROM sk
+),
+est AS (
+  SELECT s.g,
+         max(CASE WHEN s.r = (mm.n_sample + 1) // 2 THEN s.value END)
+             AS p50_est,
+         max(CASE WHEN s.r = (9 * mm.n_sample + 9) // 10 THEN s.value END)
+             AS p90_est
+  FROM sr s JOIN m mm ON mm.g = s.g
+  GROUP BY s.g
+),
+fr AS (
+  SELECT g, value,
+         row_number() OVER (PARTITION BY g ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM ev
+),
+exact AS (
+  SELECT g, CAST(max(n) AS BIGINT) AS n,
+         max(CASE WHEN r = (n + 1) // 2 THEN value END) AS p50_exact,
+         max(CASE WHEN r = (9 * n + 9) // 10 THEN value END) AS p90_exact
+  FROM fr GROUP BY g
+)
+SELECT e.g AS event_type, {KLL_K} AS k, mm.n_sample, x.n,
+       e.p50_est, x.p50_exact, e.p90_est, x.p90_exact
+FROM est e
+JOIN m mm ON mm.g = e.g
+JOIN exact x ON x.g = e.g
+"""
+
+
+@query("kll_quantiles", oracle=KLL_QUANTILES_ORACLE)
+def kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch per event_type: nearest-rank p50/p90
+    estimated from the group's bottom-{KLL_K}-by-hash uniform sample
+    (the KLL sampler layer — see module comment), with the exact
+    nearest-rank answers riding along as the measured contrast (the
+    kmv_set_ops pattern). The quantile extraction is pure integer rank
+    arithmetic — rank = ceil(q*m) via (q_num*m + q_num) // q_den — and
+    the sample membership is a deterministic hash order, so estimates
+    AND exact legs hash-match DuckDB bit for bit.
+
+    Scale: the sketch is built with the two-stage bottom-k (stage 1
+    ranks within (group, salt) shards keeping {KLL_K} each; stage 2
+    ranks the <= {KLL_K}x{KLL_SALTS} survivors), so no reducer ever
+    sorts a whole group and per-group state is O(k) — the property
+    that lets a 1000-executor job maintain quantiles for millions of
+    groups in one shuffle of sample rows. The exact leg is the
+    O(n log n)-per-group sort the sketch exists to replace; it stays
+    here as the small-SF error contrast, same as kmv's exact union.
+    tests/test_sketches.py pins the 3-sigma rank-error band on a
+    planted distribution and merge-order invariance."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), "event_id", "value"
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.format_string("kll|%d", F.col("event_id")).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return kll_quantiles_frame(ev.select("g", "event_id", "value", h.alias("h")))
+
+
+def kll_quantiles_frame(ev: DataFrame) -> DataFrame:
+    """Core of kll_quantiles over any (g, event_id, value, h) frame
+    (the query wrapper binds the events fixture and the md5 hash; the
+    error-band pytest feeds a planted distribution)."""
+    ev = track_cache(ev)
+    w1 = Window.partitionBy("g", "_salt").orderBy("h")
+    w2 = Window.partitionBy("g").orderBy("h")
+    sk = (
+        ev.withColumn(
+            "_salt", F.pmod(F.xxhash64("event_id"), F.lit(KLL_SALTS))
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= KLL_K)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= KLL_K)
+        .select("g", "event_id", "value")
+    )
+    m = sk.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample")
+    )
+    w_val = Window.partitionBy("g").orderBy("value", "event_id")
+    sr = sk.withColumn("r", F.row_number().over(w_val))
+    est = (
+        sr.join(m, "g")
+        .groupBy("g")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("r")
+                    == F.expr("(n_sample + 1) div 2"),
+                    F.col("value"),
+                )
+            ).alias("p50_est"),
+            F.max(
+                F.when(
+                    F.col("r")
+                    == F.expr("(9 * n_sample + 9) div 10"),
+                    F.col("value"),
+                )
+            ).alias("p90_est"),
+        )
+    )
+    fr = ev.select(
+        "g",
+        "value",
+        F.row_number().over(w_val).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+    )
+    exact = fr.groupBy("g").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("value"))
+        ).alias("p50_exact"),
+        F.max(
+            F.when(F.col("r") == F.expr("(9 * n + 9) div 10"), F.col("value"))
+        ).alias("p90_exact"),
+    )
+    return (
+        est.join(m, "g")
+        .join(exact, "g")
+        .select(
+            F.col("g").alias("event_type"),
+            F.lit(KLL_K).alias("k"),
+            "n_sample",
+            "n",
+            "p50_est",
+            "p50_exact",
+            "p90_est",
+            "p90_exact",
+        )
+    )

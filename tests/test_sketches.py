@@ -295,3 +295,48 @@ def test_compaction_plan_bins_are_target_sized(spark, registry):
             # a bin only closes once its start-offset multiple is
             # exhausted: it spans the full target window
             assert r.total_bytes >= COMPACT_TARGET - max_chunk
+
+
+def test_kll_quantiles_error_band_and_merge_invariance(spark):
+    """The KLL-sampler quantile estimates must sit within the 3-sigma
+    rank-error band of a bottom-k uniform sample,
+    |rank(est)/n - q| <= 3*sqrt(q(1-q)/k), on a planted distribution
+    whose true quantiles are known (values = the integers 1..n, so the
+    exact rank of any value is the value itself). Partition layout
+    (which drives stage-1 salting and merge order) must not change a
+    single output bit — the mergeability contract."""
+    from cs686_big_data_p1_spark.operators.sketches import (
+        KLL_K,
+        kll_quantiles_frame,
+    )
+
+    n = 20_000
+    base = spark.range(n).select(
+        F.lit("g0").alias("g"),
+        F.col("id").alias("event_id"),
+        (F.col("id") + 1).cast("double").alias("value"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.format_string("kll|%d", F.col("id")).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("h"),
+    )
+    row = kll_quantiles_frame(base).collect()[0]
+    assert row.n == n and row.n_sample == KLL_K
+    assert (row.p50_exact, row.p90_exact) == (n / 2, n * 9 / 10)
+    for q, est in ((0.5, row.p50_est), (0.9, row.p90_est)):
+        tol = 3 * math.sqrt(q * (1 - q) / KLL_K)
+        assert abs(est / n - q) <= tol, (q, est, tol)
+
+    # merge/partition invariance: 1 partition vs 16 scrambled
+    a = kll_quantiles_frame(base.coalesce(1)).collect()[0]
+    b = kll_quantiles_frame(
+        base.repartition(16, "event_id")
+    ).collect()[0]
+    assert a == b == row
