@@ -171,6 +171,106 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_to_memory(joined, "append")
 
 
+ATTRIBUTION_OUTER_ORACLE = """
+WITH w AS (
+  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 2 HOUR AS wm
+),
+matched AS (
+  SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+         p.ts AS purchase_ts, v.ts AS view_ts,
+         (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS lag_s
+  FROM events p JOIN events v
+    ON v.user_id = p.user_id
+   AND p.event_type = 'purchase' AND v.event_type = 'view'
+   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+)
+SELECT * FROM matched
+UNION ALL
+SELECT p.user_id, p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS view_id,
+       p.ts AS purchase_ts, CAST(NULL AS TIMESTAMP) AS view_ts,
+       CAST(NULL AS BIGINT) AS lag_s
+FROM events p, w
+WHERE p.event_type = 'purchase'
+  AND p.ts <= w.wm
+  AND NOT EXISTS (
+    SELECT 1 FROM events v
+    WHERE v.event_type = 'view' AND v.user_id = p.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+  )
+"""
+
+
+@query("stream_attribution_outer", oracle=ATTRIBUTION_OUTER_ORACLE)
+def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_attribution's LEFT OUTER sibling (VERDICT r9 #7) — the
+    production attribution shape: every purchase emits, matched
+    purchases once per preceding-hour view, UNMATCHED purchases once
+    with NULL view columns as soon as the watermark CLOSES their match
+    range (no view with view_ts <= purchase_ts can still arrive once
+    the global watermark passes purchase_ts). That is Structured
+    Streaming's state-eviction contract for outer stream-stream joins:
+    the null-joined row is emitted exactly when the purchase row
+    leaves the state store, so state stays bounded by the watermark
+    horizon and the output is still append-only.
+
+    Oracle finalization predicate: matched rows are withheld never
+    (inner matches emit on sight, as in stream_attribution); an
+    unmatched purchase is emitted iff purchase_ts <= final watermark,
+    where the final global watermark = least(max view_ts,
+    max purchase_ts) - 2h (Spark takes the MIN across both inputs'
+    per-side watermarks). Purchases whose match window was still open
+    when the drain ended are (correctly) withheld — the
+    stream_sessionize finalization idiom applied to a join.
+
+    Scale: identical state shape to stream_attribution (equi-key on
+    user_id + event-time range bounds both stores); the outer emission
+    adds no state, only the eviction-time null flush."""
+    spark = stream_clone(spark)  # session-local drain conf
+    with nanos_as_long(spark):
+        ev = events_stream(spark, sf_dir)
+        views = (
+            ev.where(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "2 hours")
+        )
+        purchases = (
+            ev.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        joined = purchases.join(
+            views,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("view_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            ),
+            "left_outer",
+        ).select(
+            "user_id",
+            "purchase_id",
+            "view_id",
+            "purchase_ts",
+            "view_ts",
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(view_ts))"
+                " div 1000000"
+            ).alias("lag_s"),
+        )
+        return _run_to_memory(joined, "append")
+
+
 # --- Streaming kept-anchor throttle (event_throttle's live sibling) ---
 
 _THROTTLE_OUT_SCHEMA = (

@@ -739,6 +739,74 @@ def test_stream_ohlc_matches_finalized_batch(spark, registry):
     assert got == want and len(got) > 0
 
 
+def test_stream_attribution_outer_finalization(spark, tmp_path):
+    """LEFT OUTER stream-stream join (VERDICT r9 #7) on a planted
+    fixture with all three purchase fates: (a) matched -> pair emitted
+    with exact lag; (b) unmatched with match range CLOSED by the final
+    watermark -> ONE null-view row; (c) unmatched but still inside the
+    watermark horizon -> withheld entirely (a late view could still
+    arrive). The null rows must appear ONLY for watermark-closed
+    purchases, and the DuckDB oracle on the same fixture must agree."""
+    import duckdb
+    import pandas as pd
+
+    from cs686_big_data_p1_spark.streaming.trending import (
+        ATTRIBUTION_OUTER_ORACLE,
+        stream_attribution_outer,
+    )
+
+    h_us = 3_600_000_000
+    base_us = 1_700_000_000_000_000
+    # final watermark = min(max view_ts, max purchase_ts) - 2h
+    #                 = min(base+10h, base+12h) - 2h = base + 8h
+    rows = [
+        # (event_id, ts_us, user_id, type)
+        (1, base_us + 1 * h_us, 7, "view"),      # matches purchase 2
+        (2, base_us + 1 * h_us + 60, 7, "purchase"),   # (a) matched
+        (3, base_us + 2 * h_us, 8, "purchase"),  # (b) unmatched, closed
+        (4, base_us + 9 * h_us, 9, "purchase"),  # (c) unmatched, open
+        (5, base_us + 10 * h_us, 7, "view"),     # max view_ts anchor
+        (6, base_us + 12 * h_us, 6, "purchase"), # max purchase anchor; open
+        # user 8 has a view OUTSIDE the 1h window (too early): purchase
+        # 3 is genuinely unmatched, not merely view-less
+        (7, base_us, 8, "view"),
+    ]
+    fixture = pd.DataFrame(
+        [(eid, ts * 1000, uid, et, 0.0, "{}") for eid, ts, uid, et in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    fixture["ts"] = pd.to_datetime(fixture["ts"])
+    fixture.to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    got = {
+        (r.user_id, r.purchase_id, r.view_id, r.lag_s)
+        for r in stream_attribution_outer(spark, str(tmp_path)).collect()
+    }
+    want = {
+        (7, 2, 1, 0),        # matched pair, 60 us lag truncates to 0 s
+        (8, 3, None, None),  # unmatched + closed: null flush emitted
+        # purchases 4 and 6 (open ranges) withheld
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    odf = con.execute(ATTRIBUTION_OUTER_ORACLE).df()
+    oracle_rows = {
+        (
+            int(r.user_id),
+            int(r.purchase_id),
+            None if pd.isna(r.view_id) else int(r.view_id),
+            None if pd.isna(r.lag_s) else int(r.lag_s),
+        )
+        for r in odf.itertuples()
+    }
+    assert oracle_rows == want
+
+
 def test_neardup_store_crash_between_renames_rolls_back(spark, tmp_path):
     """ADVICE r8: a crash between write_neardup_store's two renames
     leaves the live store MISSING with the whole previous state at
