@@ -90,16 +90,18 @@ PRIORITY_ORDER = [
     # ROTATING WINDOW, slots 44-50 (VERDICT r8 #10): these seven slots
     # change every round across the extension surface so queries past
     # the driver's 50-row window eventually earn a driver-grade
-    # correctness row. Round 9 final picks: the round's flagship new
-    # families (semantic dedup, hybrid retrieval, KMV set algebra,
-    # Z-order layout, k-anonymity) plus two curation heavyweights —
-    # all seven: first driver check ever. Displaced occupants move to
+    # correctness row. Round 10 picks (VERDICT r9 #4): seven
+    # never-driver-checked queries — the iterative graph trio, the
+    # Misra-Gries heavy hitters, the BPE trainer, the r9 PQ-ADC search,
+    # and the PPJoin all-pairs scorer. Displaced r9 occupants move to
     # the head of the post-window list.
-    "dedup_semantic", "hybrid_search", "corpus_curate_semantic",
-    "corpus_curate", "kmv_set_ops", "zorder_layout", "k_anonymity",
+    "pagerank_copurchase", "triangle_count", "bfs_distances",
+    "heavy_hitters", "bpe_merges", "knn_pq_adc", "allpairs_cosine",
     # extras past the driver window (judge self-checks these via the
     # committed full-sweep artifacts); displaced rotation occupants
     # lead the list
+    "dedup_semantic", "hybrid_search", "corpus_curate_semantic",
+    "corpus_curate", "kmv_set_ops", "zorder_layout", "k_anonymity",
     "customer_rfm", "bm25_search", "lm_score",
     "tpch_q3_shipping", "tpch_q5_localsupp", "topk_orders_per_customer",
     "priority_rollup", "ann_lsh", "dedup_simhash", "dedup_embedding",
