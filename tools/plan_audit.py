@@ -479,6 +479,16 @@ GLOBAL_WINDOW_WAIVERS: dict[str, dict] = {
         "top-K plus the RRF rank over the fused union of two top-K "
         "lists (<= BM25_K + ANN_K rows, both legs LIMIT-bounded)",
     },
+    "pq_encode": {
+        "max": 1,
+        "reason": "md5-order rank over the post-LIMIT PQ_TRAIN_CAP "
+        "codebook-training sample (cap-bounded, never the corpus)",
+    },
+    "knn_ivfpq": {
+        "max": 1,
+        "reason": "md5-order rank over the post-LIMIT PQ_TRAIN_CAP "
+        "codebook-training sample (cap-bounded, never the corpus)",
+    },
 }
 
 

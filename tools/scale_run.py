@@ -1,0 +1,106 @@
+"""Scale-evidence run (VERDICT r9 #8): measure sf0.1 -> sf1 scaling.
+
+Runs the N most expensive queries from the committed BENCH_DETAIL.json
+once at sf0.1 and once at the generated sf1 fixture (tools/make_sf1.py,
+10x rows with copy-disjoint keys/content), and records the measured
+scaling exponent  e = log10(t_sf1 / t_sf0.1)  per query — e = 1 is
+perfectly linear in rows, e < 1 means fixed overheads still dominate,
+e > 1 means super-linear growth and needs to be justified by the
+operator's documented complexity (iterative rounds, pair volume).
+
+Writes SCALING_SF1.json and prints a markdown table for SCALING.md.
+
+Usage: python tools/scale_run.py [N_QUERIES]
+Run on an IDLE box (same caveat as bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from cs686_big_data_p1_spark import registry  # noqa: E402
+from cs686_big_data_p1_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, "testdata_sf1")
+
+
+def run_one(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 15
+    detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    top = [
+        k
+        for _, k in sorted(
+            ((v, k) for k, v in detail["queries"].items() if v > 0),
+            reverse=True,
+        )[:n_queries]
+    ]
+    registry.load_all()
+    spark = get_spark("scale_run")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM + python-worker warmup (bench.py's convention)
+    run_one(spark, registry.QUERIES["tpch_q1_pricing"], SF01)
+    spark.range(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    results = {}
+    for name in top:
+        fn = registry.QUERIES[name]
+        row = {}
+        for sf_dir, key in ((SF01, "t_sf0_1"), (SF1, "t_sf1")):
+            try:
+                row[key] = round(run_one(spark, fn, sf_dir), 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"scale_run error {name} @ {sf_dir}: {e}",
+                      file=sys.stderr, flush=True)
+                row[key] = -1.0
+            finally:
+                registry.clear_caches()
+        if row["t_sf0_1"] > 0 and row["t_sf1"] > 0:
+            row["exponent"] = round(
+                math.log10(row["t_sf1"] / row["t_sf0_1"]), 3
+            )
+        else:
+            row["exponent"] = None
+        results[name] = row
+        print(
+            f"{name:28s} sf0.1={row['t_sf0_1']:8.2f}s "
+            f"sf1={row['t_sf1']:8.2f}s e={row['exponent']}",
+            flush=True,
+        )
+
+    out = {
+        "sf_pair": [0.1, 1.0],
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "queries": results,
+    }
+    with open(os.path.join(REPO, "SCALING_SF1.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    print("\n| query | sf0.1 s | sf1 s | exponent |")
+    print("|---|---|---|---|")
+    for name, row in sorted(
+        results.items(), key=lambda kv: -(kv[1]["exponent"] or 0)
+    ):
+        print(
+            f"| {name} | {row['t_sf0_1']:.2f} | {row['t_sf1']:.2f} "
+            f"| {row['exponent']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
