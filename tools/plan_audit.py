@@ -306,6 +306,10 @@ AUDITS: dict[str, dict] = {
     # r5 additions — corpus curation / ER / time-series / incremental dedup
     "doc_chunk": {"pruned": ["documents"], "codegen": True},
     "span_dedup": {"pruned": ["documents"], "codegen": True},
+    # r10: stride-1 window digests; the scan must read only doc_id+text
+    "substring_dedup": {"pruned": ["documents"], "codegen": True},
+    # r10: quantile sketch; scan reads (event_type, event_id, value)
+    "kll_quantiles": {"pruned": ["events"], "codegen": True},
     "tfidf_topterms": {
         "pruned": ["documents"],
         "codegen": True,
