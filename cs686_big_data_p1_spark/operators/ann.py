@@ -43,7 +43,7 @@ from pyspark.sql.window import Window
 
 from ..functions.vector import SCALE
 from ..functions.vector import norm as v_norm
-from ..functions.vector import pair_dot_pd
+from ..functions.vector import pair_dot_pd, pair_sqdist_q_pd
 from ..registry import query, track_cache
 from ..tables import load_table
 from .llm import KNN_ORACLE, knn_bruteforce
@@ -915,20 +915,51 @@ FROM a{LLOYD_ITERS}
     )
 
 
+def _quant_arr(col) -> F.Column:
+    """array<float> -> array<bigint>: the engine-standard fixed-point
+    quantization floor(x * 1e6) applied per component (one interpreted
+    HOF pass per ROW — never per candidate pair; the pair work runs in
+    the Arrow kernel pair_sqdist_q_pd)."""
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * _LQ).cast("bigint"),
+    )
+
+
+def _cents_to_arr(cents: DataFrame, keys: list) -> DataFrame:
+    """(…keys, i/j, cq) long-form centroids -> (…keys, cq_arr) with
+    components ordered by index — the broadcastable k-row form the
+    Arrow assignment kernel consumes. Input is k x d rows, output k."""
+    idx = "i" if "i" in cents.columns else "j"
+    return cents.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(idx, "cq"))),
+            lambda s: s["cq"],
+        ).alias("cq_arr")
+    )
+
+
 def _lloyd_train(e: DataFrame, iters: int):
     """Distributed fixed-point Lloyd shared by kmeans_lloyd,
     kmeans_cells and knn_ivf_trained: returns (ex, assigned, cents,
-    dists) after `iters` rounds — ex = the quantized component explode,
-    assigned = (vec_id, cid, dist) final assignments (checkpointed),
-    cents = (cid, i, cq) the codebook the final assignment used, dists
-    = the final round's full (vec_id, cid, dist) table (lazy, over the
-    checkpoint-cut inputs) for nprobe-style probing.
+    dists) after `iters` rounds — ex = the quantized component explode
+    (recentering input), assigned = (vec_id, cid, dist) final
+    assignments (checkpointed), cents = (cid, cq_arr) the codebook the
+    final assignment used, dists = the final round's full
+    (vec_id, cid, dist) table (lazy, over checkpoint-cut inputs) for
+    nprobe-style probing.
 
-    Scale: centroids are k x d rows BROADCAST into the assignment
-    join; per-round shuffles are the (vec, cid) distance rollup and
-    the (cid, i) recenter rollup — both map-side combinable; the
+    Scale: centroids are k rows BROADCAST into an n x k crossJoin
+    whose distance column is ONE Arrow int64 kernel call per pair
+    (pair_sqdist_q_pd) — the same shape _ivf_cells scores cosine with.
+    (The first cut computed distances relationally via the component
+    explode and paid an n x k x d join fan-out per round — measured
+    2-4x slower at sf0.1.) Per-round shuffles are the argmin window on
+    vec_id and the (cid, i) recenter rollup (map-side combinable); the
     corpus is never shuffled on a data key. One localCheckpoint per
-    round cuts lineage exactly like dedup_clusters' loop."""
+    round cuts lineage exactly like dedup_clusters' loop. The integers
+    are bit-identical to the oracle's exploded fold: quantize once,
+    subtract, square, sum."""
     ex = track_cache(
         e.select(
             "vec_id",
@@ -941,32 +972,30 @@ def _lloyd_train(e: DataFrame, iters: int):
             F.floor(F.col("x") * _LQ).cast("bigint").alias("q"),
         )
     )
+    qv = track_cache(
+        e.select("vec_id", _quant_arr(F.col("embedding")).alias("qarr"))
+    )
     nlist = _nlist(e.count())  # adaptive k (VERDICT r9 #3)
-    cents = ex.where(
+    cents = qv.where(
         (F.col("vec_id") >= ANN_N_QUERIES)
         & (F.col("vec_id") < ANN_N_QUERIES + nlist)
     ).select(
         (F.col("vec_id") - ANN_N_QUERIES).alias("cid"),
-        "i",
-        F.col("q").alias("cq"),
+        F.col("qarr").alias("cq_arr"),
     )
     assigned = dists = None
     for it in range(1, iters + 1):
         if it > 1:
-            cents = (
+            cents = _cents_to_arr(
                 assigned.join(ex, "vec_id")
                 .groupBy("cid", "i")
-                .agg(F.expr("sum(q) div count(*)").alias("cq"))
-                .localCheckpoint(eager=True)
-            )
-        dists = (
-            ex.join(F.broadcast(cents), "i")
-            .groupBy("vec_id", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-                ).alias("dist")
-            )
+                .agg(F.expr("sum(q) div count(*)").alias("cq")),
+                ["cid"],
+            ).localCheckpoint(eager=True)
+        dists = qv.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cid",
+            pair_sqdist_q_pd(F.col("qarr"), F.col("cq_arr")).alias("dist"),
         )
         w = Window.partitionBy("vec_id").orderBy(
             F.asc("dist"), F.asc("cid")
@@ -1096,41 +1125,40 @@ def _pq_sample(e: DataFrame) -> DataFrame:
     )
 
 
-def _pq_lloyd_sampled(ex: DataFrame, samp: DataFrame):
+def _pq_lloyd_sampled(sq: DataFrame, samp: DataFrame):
     """Fixed-point PQ codebook train on the SAMPLE slice of the
-    subspace explode `ex` ((vec_id, s, j, q) for all PQ_M subspaces),
-    then a full-corpus encode: returns (encoded, codebook) where
-    encoded = (vec_id, s, cid, dist) every vector's nearest trained
-    codeword per subspace and codebook = (s, cid, j, cq) after
-    LLOYD_ITERS full assign+recenter rounds.
+    subspace-array frame `sq` ((vec_id, s, sub_q) for all PQ_M
+    subspaces — _pq_subspaces), then a full-corpus encode: returns
+    (encoded, codebook) where encoded = (vec_id, s, cid, dist) every
+    vector's nearest trained codeword per subspace and codebook =
+    (s, cid, cq_arr) after LLOYD_ITERS full assign+recenter rounds.
 
-    Scale: the sample explode is cap-bounded (PQ_TRAIN_CAP x EMB_DIM
-    rows) so every training shuffle is O(cap); the one corpus-scale
-    pass is the final encode — a broadcast-codebook join + map-side
-    combinable rollup, the same shape as _pq_lloyd's assignment."""
+    Scale: every training frame is cap-bounded (PQ_TRAIN_CAP x PQ_M
+    rows) so training shuffles are O(cap); the one corpus-scale pass
+    is the final encode — a broadcast-codebook equi-join on s with the
+    Arrow int64 distance kernel per pair (the _pq_lloyd shape), never
+    a component fan-out."""
     sx = track_cache(
-        ex.join(F.broadcast(samp.select("vec_id")), "vec_id")
+        sq.join(F.broadcast(samp.select("vec_id")), "vec_id")
     )
     cents = (
-        ex.join(
+        sq.join(
             F.broadcast(samp.where(F.col("rk") <= PQ_K)), "vec_id"
         )
         .select(
-            (F.col("rk") - 1).alias("cid"),
             "s",
-            "j",
-            F.col("q").alias("cq"),
+            (F.col("rk") - 1).alias("cid"),
+            F.col("sub_q").alias("cq_arr"),
         )
     )
     for _ in range(LLOYD_ITERS):
-        sd = (
-            sx.join(F.broadcast(cents), ["s", "j"])
-            .groupBy("vec_id", "s", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-                ).alias("dist")
-            )
+        sd = sx.join(F.broadcast(cents), "s").select(
+            "vec_id",
+            "s",
+            "cid",
+            pair_sqdist_q_pd(F.col("sub_q"), F.col("cq_arr")).alias(
+                "dist"
+            ),
         )
         w = Window.partitionBy("vec_id", "s").orderBy(
             F.asc("dist"), F.asc("cid")
@@ -1140,21 +1168,18 @@ def _pq_lloyd_sampled(ex: DataFrame, samp: DataFrame):
             .where(F.col("rk") == 1)
             .select("vec_id", "s", "cid")
         )
-        cents = (
-            sa.join(sx, ["vec_id", "s"])
+        cents = _cents_to_arr(
+            sa.join(_pq_long(sx), ["vec_id", "s"])
             .groupBy("s", "cid", "j")
-            .agg(F.expr("sum(q) div count(*)").alias("cq"))
-            .localCheckpoint(eager=True)
-        )
+            .agg(F.expr("sum(q) div count(*)").alias("cq")),
+            ["s", "cid"],
+        ).localCheckpoint(eager=True)
     codebook = cents
-    ed = (
-        ex.join(F.broadcast(codebook), ["s", "j"])
-        .groupBy("vec_id", "s", "cid")
-        .agg(
-            F.sum(
-                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-            ).alias("dist")
-        )
+    ed = sq.join(F.broadcast(codebook), "s").select(
+        "vec_id",
+        "s",
+        "cid",
+        pair_sqdist_q_pd(F.col("sub_q"), F.col("cq_arr")).alias("dist"),
     )
     w_enc = Window.partitionBy("vec_id", "s").orderBy(
         F.asc("dist"), F.asc("cid")
@@ -1234,22 +1259,6 @@ enc AS (
     return ",".join(parts)
 
 
-def _pq_raw_explode(e: DataFrame) -> DataFrame:
-    """(vec_id, s, j, q): raw-component fixed-point subspace explode
-    (the pq_encode_lloyd quantization, shared by pq_encode)."""
-    return e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "i0", "x"
-        ),
-    ).select(
-        "vec_id",
-        F.expr(f"i0 div {PQ_SUB}").cast("int").alias("s"),
-        (F.col("i0") % PQ_SUB + 1).alias("j"),
-        F.floor(F.col("x") * _LQ).cast("bigint").alias("q"),
-    )
-
-
 PQ_ENCODE_ORACLE = (
     "WITH "
     + f"""
@@ -1288,9 +1297,9 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one broadcast join + map-side-combinable bigint rollup; codes
     shuffle as PQ_M small ints (16x compression of a 64-dim vector)."""
     e = load_table(spark, sf_dir, "embeddings")
-    ex = track_cache(_pq_raw_explode(e))
+    sq = track_cache(_pq_subspaces(e))
     samp = track_cache(_pq_sample(e))
-    encoded, _ = _pq_lloyd_sampled(ex, samp)
+    encoded, _ = _pq_lloyd_sampled(sq, samp)
     return encoded.groupBy("vec_id").agg(
         *[
             F.max(F.when(F.col("s") == m, F.col("cid")))
@@ -1411,51 +1420,76 @@ WHERE rank <= {ANN_K}
     )
 
 
+def _pq_subspaces(e: DataFrame, unit: bool = False) -> DataFrame:
+    """(vec_id, s, sub_q array<bigint>): per-subspace quantized slices
+    of each embedding — the n x PQ_M row form every PQ stage scores
+    from (the long (vec_id, s, j, q) form derives from it map-side via
+    posexplode when recentering needs components). unit=True
+    normalizes by the fixed-point-fold norm first (knn_ivfpq's
+    replayable unit quantization)."""
+    emb = F.col("embedding").cast("array<double>")
+    if unit:
+        nrm = v_norm(F.col("embedding"))
+        quant = lambda m: F.transform(  # noqa: E731
+            F.slice(emb, m * PQ_SUB + 1, PQ_SUB),
+            lambda x: F.floor(x / nrm * _LQ).cast("bigint"),
+        )
+    else:
+        quant = lambda m: F.transform(  # noqa: E731
+            F.slice(emb, m * PQ_SUB + 1, PQ_SUB),
+            lambda x: F.floor(x * _LQ).cast("bigint"),
+        )
+    return e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[quant(m) for m in range(PQ_M)])
+        ).alias("s", "sub_q"),
+    )
+
+
+def _pq_long(sq: DataFrame) -> DataFrame:
+    """Subspace-array form -> long (vec_id, s, j, q) component form
+    (map-side posexplode; recenter rollups consume this)."""
+    return sq.select(
+        "vec_id",
+        "s",
+        F.posexplode(F.col("sub_q")).alias("j0", "q"),
+    ).select("vec_id", "s", (F.col("j0") + 1).alias("j"), "q")
+
+
 def _pq_lloyd(e: DataFrame):
     """Distributed fixed-point PQ train shared by pq_encode_lloyd and
     knn_pq_adc: returns (assigned, codebook) after LLOYD_ITERS rounds —
     assigned = (vec_id, s, cid, dist) final subspace assignments,
-    codebook = (s, cid, j, cq) the centroids that produced them.
+    codebook = (s, cid, cq_arr) the centroids that produced them.
 
     Scale: all PQ_M subspaces train in ONE job per round (subspace id
-    s is just another key), the codebook is PQ_M x PQ_K x PQ_SUB rows
-    BROADCAST into every assignment join, and both per-round shuffles
-    ((vec,s,cid) distances and (s,cid,j) recenters) are map-side
-    combinable rollups of bigints — the raw embedding column is never
-    shuffled. localCheckpoint per round cuts lineage as in
-    kmeans_lloyd."""
-    ex = track_cache(
-        e.select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "i0", "x"
-            ),
-        ).select(
-            "vec_id",
-            F.expr(f"i0 div {PQ_SUB}").cast("int").alias("s"),
-            (F.col("i0") % PQ_SUB + 1).alias("j"),
-            F.floor(F.col("x") * _LQ).cast("bigint").alias("q"),
-        )
-    )
-    cents = ex.where(
+    s is just another key); the codebook is PQ_M x PQ_K rows BROADCAST
+    into an (n x PQ_M) x PQ_K equi-join on s whose distance column is
+    one Arrow int64 kernel call per pair (pair_sqdist_q_pd — the
+    _lloyd_train shape, replacing the component-join fan-out); the
+    recenter rollup consumes the map-side component view. The raw
+    embedding column is never shuffled. localCheckpoint per round cuts
+    lineage as in kmeans_lloyd."""
+    sq = track_cache(_pq_subspaces(e))
+    ex = _pq_long(sq)  # map-side component view for recentering
+    cents = sq.where(
         (F.col("vec_id") >= ANN_N_QUERIES)
         & (F.col("vec_id") < ANN_N_QUERIES + PQ_K)
     ).select(
-        (F.col("vec_id") - ANN_N_QUERIES).alias("cid"),
         "s",
-        "j",
-        F.col("q").alias("cq"),
+        (F.col("vec_id") - ANN_N_QUERIES).alias("cid"),
+        F.col("sub_q").alias("cq_arr"),
     )
     assigned = None
     for it in range(1, LLOYD_ITERS + 1):
-        dists = (
-            ex.join(F.broadcast(cents), ["s", "j"])
-            .groupBy("vec_id", "s", "cid")
-            .agg(
-                F.sum(
-                    (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-                ).alias("dist")
-            )
+        dists = sq.join(F.broadcast(cents), "s").select(
+            "vec_id",
+            "s",
+            "cid",
+            pair_sqdist_q_pd(F.col("sub_q"), F.col("cq_arr")).alias(
+                "dist"
+            ),
         )
         w = Window.partitionBy("vec_id", "s").orderBy(
             F.asc("dist"), F.asc("cid")
@@ -1467,10 +1501,11 @@ def _pq_lloyd(e: DataFrame):
             .localCheckpoint(eager=True)
         )
         if it < LLOYD_ITERS:
-            cents = (
+            cents = _cents_to_arr(
                 assigned.join(ex, ["vec_id", "s"])
                 .groupBy("s", "cid", "j")
-                .agg(F.expr("sum(q) div count(*)").alias("cq"))
+                .agg(F.expr("sum(q) div count(*)").alias("cq")),
+                ["s", "cid"],
             )
     codebook = cents.localCheckpoint(eager=True)
     return assigned, codebook
@@ -1520,28 +1555,14 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     assigned, codebook = _pq_lloyd(e)
     qex = (
-        e.where(F.col("vec_id") < ANN_N_QUERIES)
-        .select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "i0", "x"
-            ),
-        )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.expr(f"i0 div {PQ_SUB}").cast("int").alias("s"),
-            (F.col("i0") % PQ_SUB + 1).alias("j"),
-            F.floor(F.col("x") * _LQ).cast("bigint").alias("q"),
-        )
+        _pq_subspaces(e.where(F.col("vec_id") < ANN_N_QUERIES))
+        .withColumnRenamed("vec_id", "query_id")
     )
-    dt = (
-        qex.join(F.broadcast(codebook), ["s", "j"])
-        .groupBy("query_id", "s", "cid")
-        .agg(
-            F.sum(
-                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-            ).alias("d")
-        )
+    dt = qex.join(F.broadcast(codebook), "s").select(
+        "query_id",
+        "s",
+        "cid",
+        pair_sqdist_q_pd(F.col("sub_q"), F.col("cq_arr")).alias("d"),
     )
     codes = assigned.where(F.col("vec_id") >= ANN_N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), "s", "cid"
@@ -1716,31 +1737,6 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_SHORTLIST = 8 * ANN_K  # ADC survivors exactly re-ranked per query
 
 
-def _pq_unit_explode(e: DataFrame) -> DataFrame:
-    """(vec_id, s, j, q): UNIT-normalized fixed-point subspace explode.
-    The normalization is oracle-replayable without any UDF: norm is the
-    fixed-point fold both engines already share, and q =
-    floor(x / norm * 1e6) is two exactly-rounded IEEE double ops on
-    identical inputs — bit-identical in DuckDB. Stays entirely in
-    whole-stage codegen (the float _unit_pd pandas_udf this replaced
-    was the reason knn_ivfpq could not be oracle-exact)."""
-    vecs = e.select(
-        "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
-    )
-    return vecs.select(
-        "vec_id",
-        "norm",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "i0", "x"
-        ),
-    ).select(
-        "vec_id",
-        F.expr(f"i0 div {PQ_SUB}").cast("int").alias("s"),
-        (F.col("i0") % PQ_SUB + 1).alias("j"),
-        F.floor(F.col("x") / F.col("norm") * _LQ).cast("bigint").alias("q"),
-    )
-
-
 def _ivf_cand_ctes() -> str:
     """Oracle CTEs for the seeded-centroid IVF candidate generation
     (the KNN_IVF_ORACLE pipeline over the raw explode `exd`): cdots /
@@ -1890,22 +1886,25 @@ def ivfpq_topk(e: DataFrame) -> DataFrame:
     """Core of knn_ivfpq over any (vec_id, embedding) frame (the query
     wrapper binds it to the fixture table; tests feed synthetic corpora
     with planted exact duplicates)."""
-    uex = track_cache(_pq_unit_explode(e))
+    # Unit-normalized quantization is oracle-replayable without a
+    # float UDF: norm is the shared fixed-point fold and
+    # q = floor(x / norm * 1e6) is two exactly-rounded IEEE ops.
+    usq = track_cache(_pq_subspaces(e, unit=True))
     samp = track_cache(_pq_sample(e))
-    encoded, codebook = _pq_lloyd_sampled(uex, samp)
+    encoded, codebook = _pq_lloyd_sampled(usq, samp)
     _, probes, assigned = _ivf_cells(e)
     cand = F.broadcast(probes).join(assigned, "cid").select(
         "query_id", "neighbor_id"
     )
     dt = (
-        uex.where(F.col("vec_id") < ANN_N_QUERIES)
+        usq.where(F.col("vec_id") < ANN_N_QUERIES)
         .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(codebook), ["s", "j"])
-        .groupBy("query_id", "s", "cid")
-        .agg(
-            F.sum(
-                (F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))
-            ).alias("d")
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "query_id",
+            "s",
+            "cid",
+            pair_sqdist_q_pd(F.col("sub_q"), F.col("cq_arr")).alias("d"),
         )
     )
     codes = encoded.where(F.col("vec_id") >= ANN_N_QUERIES).select(
