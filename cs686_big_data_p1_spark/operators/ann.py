@@ -2133,3 +2133,93 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= KNN_GRAPH_K)
         .select("src_id", "dst_id", "cosine", "rank")
     )
+
+
+ANN_RECALL_ALL_ORACLE = f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({KNN_ORACLE})),
+lsh AS (SELECT query_id, neighbor_id FROM ({ANN_LSH_ORACLE})),
+ivf AS (SELECT query_id, neighbor_id FROM ({KNN_IVF_ORACLE})),
+ivft AS (SELECT query_id, neighbor_id FROM ({KNN_IVF_TRAINED_ORACLE})),
+ivfpq AS (SELECT query_id, neighbor_id FROM ({KNN_IVFPQ_ORACLE})),
+pqadc AS (SELECT query_id, neighbor_id FROM ({_knn_pq_adc_oracle()})),
+approx AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
+  UNION ALL SELECT 'ivf_trained', query_id, neighbor_id FROM ivft
+  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ivfpq
+  UNION ALL SELECT 'pq_adc', query_id, neighbor_id FROM pqadc
+),
+hits AS (
+  SELECT a.method, count(*) AS n_hits
+  FROM approx a JOIN truth t
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  GROUP BY a.method
+),
+tc AS (SELECT count(*) AS n_true FROM truth)
+SELECT m.method,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(tc.n_true AS BIGINT) AS n_true,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / tc.n_true AS recall
+FROM (SELECT 'lsh' AS method UNION ALL SELECT 'ivf'
+      UNION ALL SELECT 'ivf_trained' UNION ALL SELECT 'ivfpq'
+      UNION ALL SELECT 'pq_adc') m
+LEFT JOIN hits h ON h.method = m.method
+CROSS JOIN tc
+"""
+
+
+@query("ann_recall_all", oracle=ANN_RECALL_ALL_ORACLE)
+def ann_recall_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of EVERY approximate index against the brute-force
+    ground truth — the full FAISS-style benchmark sweep ann_recall
+    (lsh + seeded-ivf only) grew out of, now possible because the
+    trained paths graduated to oracle-exact in r10: the comparison
+    covers sign-LSH, seeded-centroid IVF, fixed-point-Lloyd-trained
+    IVF, IVFPQ (unit-quantized ADC shortlist + exact refine), and raw
+    PQ-ADC (no IVF pruning, L2 over non-normalized codes — its recall
+    against the COSINE ground truth is the metric-mismatch diagnostic,
+    near zero on norm-varying data, which is precisely what a tuning
+    report should make visible). One report row per method;
+    micro-averaged exact-integer hit counts; one IEEE division each —
+    hash-exact end to end across five complete index pipelines
+    replayed inside a single DuckDB query.
+
+    Scale: each leg is its own audited bounded pipeline; this query
+    adds only int-pair joins over five top-k lists (<= 5*k*q rows) and
+    a 5-row aggregate."""
+    truth = track_cache(
+        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    legs = [
+        ("lsh", ann_lsh),
+        ("ivf", knn_ivf),
+        ("ivf_trained", knn_ivf_trained),
+        ("ivfpq", knn_ivfpq),
+        ("pq_adc", knn_pq_adc),
+    ]
+    approx = None
+    for tag, fn in legs:
+        leg = fn(spark, sf_dir).select(
+            F.lit(tag).alias("method"), "query_id", "neighbor_id"
+        )
+        approx = leg if approx is None else approx.unionByName(leg)
+    hits = (
+        approx.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    methods = spark.createDataFrame(
+        [(t,) for t, _ in legs], "method string"
+    )
+    tc = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (
+        methods.join(hits, "method", "left")
+        .crossJoin(F.broadcast(tc))
+        .select(
+            "method",
+            n_hits.alias("n_hits"),
+            F.col("n_true").cast("long").alias("n_true"),
+            (n_hits.cast("double") / F.col("n_true")).alias("recall"),
+        )
+    )

@@ -813,3 +813,161 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("o") - F.min("o") + SUB_L).cast("int").alias("span_len"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select("doc_id", "span_start", "span_len", "n_windows")
+
+
+SUBSTRING_SCRUB_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, o,
+         md5(array_to_string(w[o : o + {SUB_L} - 1], ' ')) AS h
+  FROM (SELECT doc_id, w,
+               CAST(unnest(generate_series(1, n - {SUB_L} + 1)) AS INTEGER)
+                   AS o
+        FROM base WHERE n >= {SUB_L})
+),
+dups AS (
+  SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+),
+dwin AS (
+  SELECT w.doc_id, w.o, w.h FROM wins w JOIN dups d ON d.h = w.h
+),
+keep1 AS (
+  SELECT h, doc_id, o FROM (
+    SELECT h, doc_id, o,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, o) AS rk
+    FROM dwin)
+  WHERE rk = 1
+),
+removable AS (
+  SELECT d.doc_id, d.o FROM dwin d
+  LEFT JOIN keep1 k ON k.h = d.h AND k.doc_id = d.doc_id AND k.o = d.o
+  WHERE k.h IS NULL
+),
+covered AS (
+  SELECT DISTINCT doc_id,
+         CAST(unnest(generate_series(o, o + {SUB_L} - 1)) AS INTEGER) AS t
+  FROM removable
+),
+toks AS (
+  SELECT doc_id, CAST(t AS INTEGER) AS t, tok
+  FROM (SELECT doc_id, unnest(w) AS tok,
+               unnest(generate_series(1, n)) AS t
+        FROM base)
+),
+keptt AS (
+  SELECT tk.doc_id, tk.t, tk.tok FROM toks tk
+  LEFT JOIN covered c ON c.doc_id = tk.doc_id AND c.t = tk.t
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY t), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM keptt GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(b.n - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b
+LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+"""
+
+
+@query("substring_scrub", oracle=SUBSTRING_SCRUB_ORACLE)
+def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """substring_dedup's TRANSFORM half (the any-offset sibling of
+    remove_boilerplate): rewrite every document with duplicated spans
+    removed, keeping exactly the CORPUS-FIRST occurrence of every
+    duplicated window (keeper = min (doc_id, offset) per window hash —
+    Lee et al. 2022's keep-one-copy policy in relational form). A
+    token is dropped iff a removable (non-keeper) duplicated window
+    covers it; the keeper document's own copy of a span survives
+    untouched, later copies — across documents or at another offset of
+    the same document — vanish. Every document comes back with its
+    removed-token count.
+
+    Scale: windows/dups are substring_dedup's digest-only pipeline;
+    the keeper choice is one rank per window hash (uniform digest
+    key); coverage explodes removable windows x {SUB_L} token indices
+    (bounded by duplicate volume, not corpus size); the rebuild is a
+    per-doc ordered collect, the same envelope as remove_boilerplate's
+    reassembly."""
+    d = load_table(spark, sf_dir, "documents")
+    base = track_cache(
+        d.select(
+            "doc_id",
+            F.split("text", " ").alias("w"),
+            F.size(F.split("text", " ")).alias("n"),
+        )
+    )
+    wins = (
+        base.where(F.col("n") >= SUB_L)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - SUB_L + 1)
+            ).alias("o"),
+        )
+        .select(
+            "doc_id",
+            "o",
+            F.md5(
+                F.array_join(F.slice(F.col("w"), F.col("o"), SUB_L), " ")
+            ).alias("h"),
+        )
+    )
+    wins = track_cache(wins)
+    dups = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("h")
+    )
+    dwin = track_cache(wins.join(dups, "h", "left_semi"))
+    w_keep = Window.partitionBy("h").orderBy("doc_id", "o")
+    keep1 = (
+        dwin.withColumn("rk", F.row_number().over(w_keep))
+        .where(F.col("rk") == 1)
+        .select("h", "doc_id", "o")
+    )
+    removable = dwin.join(keep1, ["h", "doc_id", "o"], "left_anti")
+    covered = (
+        removable.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("o"), F.col("o") + SUB_L - 1)
+            ).alias("t"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id",
+        F.posexplode("w").alias("t0", "tok"),
+    ).select("doc_id", (F.col("t0") + 1).alias("t"), "tok")
+    keptt = toks.join(covered, ["doc_id", "t"], "left_anti")
+    rebuilt = keptt.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", "n")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -549,3 +549,27 @@ def test_pq_lloyd_matches_numpy_recurrence(spark, registry):
             (r.neighbor_id, r.adc_q, r.rank)
         )
     assert got_topk == want_topk
+
+
+def test_ann_recall_all_covers_every_method_with_floor(spark, registry):
+    """The five-method recall report must carry one row per index
+    (lsh, seeded ivf, Lloyd-trained ivf, ivfpq, raw pq_adc), each with
+    n_hits <= n_true and recall = n_hits/n_true, and every method must
+    clear the suite's recall floor at sf0.001 — the report exists to
+    make index tuning empirical, so a collapsed cosine method must
+    fail loudly here (pq_adc is L2-metric — see inline note)."""
+    rows = {
+        r.method: r
+        for r in registry.QUERIES["ann_recall_all"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) == {"lsh", "ivf", "ivf_trained", "ivfpq", "pq_adc"}
+    for m, r in rows.items():
+        assert 0 <= r.n_hits <= r.n_true, m
+        assert abs(r.recall - r.n_hits / r.n_true) < 1e-12, m
+    # the four cosine-metric indexes must clear the suite floor; raw
+    # pq_adc ranks by L2 over non-normalized vectors, so its recall vs
+    # the COSINE ground truth is the metric-mismatch diagnostic the
+    # report exists to surface (near zero on norm-varying data), not a
+    # quality floor
+    for m in ("lsh", "ivf", "ivf_trained", "ivfpq"):
+        assert rows[m].recall >= 0.2, f"{m} recall collapsed"

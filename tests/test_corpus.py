@@ -265,6 +265,38 @@ def test_substring_dedup_merges_runs_and_catches_self_repeat(
     ]
 
 
+def test_substring_scrub_keeps_corpus_first_copy(spark, tmp_path):
+    """Transform contract: the corpus-FIRST occurrence of a duplicated
+    span survives verbatim; every later copy — in another document or
+    at another offset of the same document — is stripped; untouched
+    text passes through byte-identical and removal counts are exact."""
+    from cs686_big_data_p1_spark.operators.corpus import (
+        SUB_L,
+        substring_scrub,
+    )
+
+    span = [f"s{j}" for j in range(SUB_L)]
+    texts = [
+        " ".join([f"u{i}" for i in range(3)] + span),     # keeper (doc 0)
+        " ".join(span + [f"v{i}" for i in range(4)]),     # later copy
+        # self-repeat: first copy kept, second stripped
+        " ".join([f"c{j}" for j in range(SUB_L)]
+                 + [f"g{i}" for i in range(3)]
+                 + [f"c{j}" for j in range(SUB_L)]),
+        "tiny doc",                                        # < SUB_L: as-is
+    ]
+    sf = _write_docs(tmp_path, texts)
+    got = {r.doc_id: r for r in substring_scrub(spark, sf).collect()}
+    assert got[0].clean_text == texts[0] and got[0].n_removed == 0
+    assert got[1].clean_text == " ".join(f"v{i}" for i in range(4))
+    assert got[1].n_removed == SUB_L
+    assert got[2].clean_text == " ".join(
+        [f"c{j}" for j in range(SUB_L)] + [f"g{i}" for i in range(3)]
+    )
+    assert got[2].n_removed == SUB_L
+    assert got[3].clean_text == "tiny doc" and got[3].n_removed == 0
+
+
 def test_mg_retention_bound():
     """Misra-Gries summary (k=10) must retain every term whose count
     exceeds N/(k+1), under heavy churn from 500 singleton terms."""

@@ -493,6 +493,11 @@ GLOBAL_WINDOW_WAIVERS: dict[str, dict] = {
         "reason": "md5-order rank over the post-LIMIT PQ_TRAIN_CAP "
         "codebook-training sample (cap-bounded, never the corpus)",
     },
+    "ann_recall_all": {
+        "max": 1,
+        "reason": "the composed knn_ivfpq leg's md5-order rank over "
+        "its post-LIMIT PQ_TRAIN_CAP training sample (cap-bounded)",
+    },
 }
 
 
