@@ -160,3 +160,32 @@ def test_priority_order_is_clean_permutation_prefix(registry):
     # Registration order actually honors the list: the first 50 QUERIES
     # keys are exactly PRIORITY_ORDER[:50] (the driver's window).
     assert list(registry.QUERIES)[:50] == PRIORITY_ORDER[:50]
+
+
+def test_scaling_artifact_records_sublinear_exponents():
+    """SCALING_SF1.json is the committed sf0.1->sf1 scale evidence
+    (VERDICT r9 #8, produced by tools/scale_run.py over the 15 most
+    expensive bench queries): pin that the artifact exists, parses,
+    covers the intended breadth, carries a measured exponent for every
+    query that ran, and that nothing recorded is super-linear beyond
+    the documented tolerance (e <= 1.05 — the round-10 run measured a
+    real 1.24 before the sqrt cell-count fix, which is exactly the
+    class of regression this artifact exists to catch). This pins the
+    artifact's internal consistency; freshness is the per-round scale
+    run's job, like the bench series."""
+    import json
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parent.parent / "SCALING_SF1.json"
+    assert path.exists(), "run tools/make_sf1.py + tools/scale_run.py"
+    doc = json.loads(path.read_text())
+    assert doc["sf_pair"] == [0.1, 1.0]
+    qs = doc["queries"]
+    assert len(qs) >= 15
+    for name, row in qs.items():
+        assert row["t_sf0_1"] > 0 and row["t_sf1"] > 0, name
+        assert row["exponent"] is not None, name
+        assert row["exponent"] <= 1.05, (
+            f"{name} measured super-linear (e={row['exponent']}); "
+            "justify against its documented complexity or fix the plan"
+        )
