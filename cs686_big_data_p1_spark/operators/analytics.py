@@ -1684,7 +1684,8 @@ w AS (
     (SELECT n_users FROM arms WHERE variant = 'B') AS nb,
     (SELECT n_converted FROM arms WHERE variant = 'B') AS cb
 )
-SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+SELECT na AS n_a, CAST(ca AS BIGINT) AS conv_a,
+       nb AS n_b, CAST(cb AS BIGINT) AS conv_b,
        CAST(ca AS DOUBLE) / na AS rate_a,
        CAST(cb AS DOUBLE) / nb AS rate_b,
        (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)

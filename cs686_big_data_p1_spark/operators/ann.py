@@ -909,7 +909,7 @@ def _lloyd_oracle() -> str:
     return (
         "WITH " + _lloyd_cte_chain(LLOYD_ITERS)
         + f"""
-SELECT vec_id, CAST(cid AS INTEGER) AS cell, dist AS dist_q
+SELECT vec_id, CAST(cid AS INTEGER) AS cell, CAST(dist AS BIGINT) AS dist_q
 FROM a{LLOYD_ITERS}
 """
     )
@@ -1404,7 +1404,8 @@ dt AS (
   GROUP BY e.vec_id, c.s, c.cid
 ),
 adc AS (
-  SELECT t.query_id, a.vec_id AS neighbor_id, sum(t.d) AS adc_q
+  SELECT t.query_id, a.vec_id AS neighbor_id,
+         CAST(sum(t.d) AS BIGINT) AS adc_q
   FROM pa{LLOYD_ITERS} a
   JOIN dt t ON t.s = a.s AND t.cid = a.cid
   WHERE a.vec_id >= {ANN_N_QUERIES}
@@ -1815,7 +1816,8 @@ codes AS (
   WHERE vec_id >= {ANN_N_QUERIES}
 ),
 adc AS (
-  SELECT cd.query_id, cd.neighbor_id, sum(t.d) AS adc_q
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST(sum(t.d) AS BIGINT) AS adc_q
   FROM cand cd
   JOIN codes k ON k.neighbor_id = cd.neighbor_id
   JOIN dt t ON t.query_id = cd.query_id AND t.s = k.s AND t.cid = k.cid

@@ -99,7 +99,7 @@ def _bpe_oracle() -> str:
     return f"""
 WITH {_bpe_chain()}
 SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_sym, right_sym,
-       pair_count
+       CAST(pair_count AS BIGINT) AS pair_count
 FROM ({merges})
 """
 

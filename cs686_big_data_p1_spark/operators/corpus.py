@@ -306,7 +306,7 @@ WITH counts AS (
   GROUP BY doc_id, term
 )
 SELECT doc_id,
-       sum(c) AS n_words,
+       CAST(sum(c) AS BIGINT) AS n_words,
        count(*) AS n_distinct,
        CAST(count(*) AS DOUBLE) / sum(c) AS ttr,
        1.0 - CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)) AS simpson
@@ -355,7 +355,7 @@ DOMAIN_MIX_ORACLE = f"""
 WITH per_src AS (
   SELECT source,
          count(*) AS n_docs,
-         sum(len(string_split(text, ' '))) AS n_tokens
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents WHERE length(text) > 0
   GROUP BY source
 ),

@@ -935,7 +935,7 @@ COMPACT_TARGET = 16 * 1024 * 1024  # output segment target: 16 MB
 
 COMPACTION_PLAN_ORACLE = oracle(
     f"""
-SELECT (cum - size) // {COMPACT_TARGET} AS bin_id,
+SELECT CAST((cum - size) // {COMPACT_TARGET} AS BIGINT) AS bin_id,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(size) AS BIGINT) AS total_bytes,
        CAST(count(DISTINCT filename) AS BIGINT) AS n_files,

@@ -70,7 +70,7 @@ pr0 AS (
   FROM verts v CROSS JOIN n
 ),
 {chain}
-SELECT v AS part_id, r AS rank_e12,
+SELECT v AS part_id, CAST(r AS BIGINT) AS rank_e12,
        CAST(r // {PR_SCALE} AS DOUBLE)
          + CAST(r % {PR_SCALE} AS DOUBLE) / {PR_SCALE}.0 AS rank
 FROM {prev}

@@ -40,7 +40,8 @@ means AS (
 ),
 prods AS (
   SELECT a.i AS i, b.i AS j,
-         sum(CAST(floor(a.x * b.x * 1000000000000.0) AS BIGINT)) AS sxy_e12
+         CAST(sum(CAST(floor(a.x * b.x * 1000000000000.0) AS BIGINT))
+              AS BIGINT) AS sxy_e12
   FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
   GROUP BY a.i, b.i
 )

@@ -1119,7 +1119,8 @@ WITH scored AS ({LM_SCORE_ORACLE}),
 ranked AS (
   SELECT doc_id, score6,
          percent_rank() OVER (ORDER BY score6, doc_id) AS pr
-  FROM (SELECT doc_id, (sum6 * {LM_SCALE}) // n_pairs AS score6
+  FROM (SELECT doc_id,
+               CAST((sum6 * {LM_SCALE}) // n_pairs AS BIGINT) AS score6
         FROM (SELECT doc_id, n_pairs,
                      CAST(round(lm_score * n_pairs) AS HUGEINT) AS sum6
               FROM scored))
@@ -1245,9 +1246,10 @@ p AS (
          (sum(n_chars) // {WS_K}) // 2 AS off
   FROM documents
 )
-SELECT doc_id, weight, cum_hi,
-       ((cum_hi - 1 - off + stride) // stride)
-       - ((cum_hi - weight - 1 - off + stride) // stride) AS n_picks
+SELECT doc_id, weight, CAST(cum_hi AS BIGINT) AS cum_hi,
+       CAST(((cum_hi - 1 - off + stride) // stride)
+            - ((cum_hi - weight - 1 - off + stride) // stride)
+            AS BIGINT) AS n_picks
 FROM w, p
 WHERE ((cum_hi - 1 - off + stride) // stride)
       - ((cum_hi - weight - 1 - off + stride) // stride) >= 1

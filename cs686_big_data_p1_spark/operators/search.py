@@ -152,7 +152,8 @@ scored AS (
   CROSS JOIN stats s
 ),
 per_doc AS (
-  SELECT doc_id, sum(score_u) AS score_e6 FROM scored GROUP BY doc_id
+  SELECT doc_id, CAST(sum(score_u) AS BIGINT) AS score_e6
+  FROM scored GROUP BY doc_id
 )
 SELECT doc_id, score_e6,
        CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS INTEGER)
@@ -255,8 +256,8 @@ bg AS (
 lift AS (
   SELECT bg.a AS term_a, bg.b AS term_b, bg.c_xy,
          ua.c AS c_a, ub.c AS c_b,
-         (bg.c_xy * n.n_tokens * {_LIFT_SCALE}) // (ua.c * ub.c)
-             AS lift_e6
+         CAST((bg.c_xy * n.n_tokens * {_LIFT_SCALE}) // (ua.c * ub.c)
+              AS BIGINT) AS lift_e6
   FROM bg
   JOIN uni ua ON bg.a = ua.term
   JOIN uni ub ON bg.b = ub.term

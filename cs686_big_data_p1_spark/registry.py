@@ -90,16 +90,19 @@ PRIORITY_ORDER = [
     # ROTATING WINDOW, slots 44-50 (VERDICT r8 #10): these seven slots
     # change every round across the extension surface so queries past
     # the driver's 50-row window eventually earn a driver-grade
-    # correctness row. Round 10 picks (VERDICT r9 #4): seven
-    # never-driver-checked queries — the iterative graph trio, the
-    # Misra-Gries heavy hitters, the BPE trainer, the r9 PQ-ADC search,
-    # and the PPJoin all-pairs scorer. Displaced r9 occupants move to
-    # the head of the post-window list.
-    "pagerank_copurchase", "triangle_count", "bfs_distances",
-    "heavy_hitters", "bpe_merges", "knn_pq_adc", "allpairs_cosine",
+    # correctness row. Round 11 picks (VERDICT r10 #3): the three r10
+    # driver failures STAY for re-verification after their oracle
+    # dtype-contract fix (CAST ... AS BIGINT — the values were always
+    # equal, the declared types were not), plus four never-checked r10
+    # newcomers. Displaced r10 occupants move to the head of the
+    # post-window list.
+    "pagerank_copurchase", "bpe_merges", "knn_pq_adc",
+    "substring_dedup", "kll_quantiles", "stream_attribution_outer",
+    "ann_recall_all",
     # extras past the driver window (judge self-checks these via the
     # committed full-sweep artifacts); displaced rotation occupants
     # lead the list
+    "triangle_count", "bfs_distances", "heavy_hitters", "allpairs_cosine",
     "dedup_semantic", "hybrid_search", "corpus_curate_semantic",
     "corpus_curate", "kmv_set_ops", "zorder_layout", "k_anonymity",
     "customer_rfm", "bm25_search", "lm_score",

@@ -119,3 +119,42 @@ def test_live_oracle_smoke(spark, registry):
         if problems:
             failures.append(f"{name}: " + "; ".join(problems))
     assert not failures, failures
+
+
+def test_compare_is_dtype_faithful():
+    """Pin the type-faithful compare (VERDICT r10 #2). Round 10's
+    driver failures (pagerank_copurchase, bpe_merges, knn_pq_adc) were
+    DuckDB sum(BIGINT)->HUGEINT->float64 rendering vs Spark bigint —
+    equal VALUES, different dtype kind — and the old compare coerced
+    both sides to float whenever EITHER was float, so both committed
+    sweeps were falsely green. The driver's value hash is
+    type-sensitive, so the local gate must be too. This test fails if
+    anyone reintroduces the one-sided coercion. (A separate LIMIT-0
+    schema scan would be strictly weaker than the sweeps themselves:
+    since compare() now enforces kind parity on every column of every
+    swept query, the committed two-SF sweeps ARE the registry-wide
+    dtype-parity gate.)"""
+    import pandas as pd
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from check_oracle import compare
+
+    ints = pd.DataFrame({"k": [1, 2], "v": pd.array([10, 20], dtype="int64")})
+    floats = pd.DataFrame({"k": [1, 2], "v": [10.0, 20.0]})
+
+    # int-kind vs float-kind: equal values must still FAIL, loudly.
+    problems = compare("dtype_case", ints, floats)
+    assert problems and "DTYPE-mismatch" in problems[0], problems
+    problems = compare("dtype_case_rev", floats, ints)
+    assert problems and "DTYPE-mismatch" in problems[0], problems
+
+    # both-float and both-int equal frames still pass.
+    assert compare("ff", floats, floats.copy()) == []
+    assert compare("ii", ints, ints.copy()) == []
+    # int32 vs int64 is same-kind: values compare fine, no dtype fail.
+    i32 = ints.assign(v=ints["v"].astype("int32"))
+    assert compare("i32_i64", i32, ints) == []
+    # and genuinely different float values still fail on VALUE.
+    bad = floats.assign(v=[10.0, 21.0])
+    problems = compare("fv", floats, bad)
+    assert problems and "mismatch" in problems[0], problems

@@ -113,7 +113,24 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     s, o = normalize(sdf), normalize(odf)
     for c in s.columns:
         sv, ov = s[c], o[c]
-        if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+        # Dtype-kind parity (VERDICT r10 #2): the driver's value hash is
+        # type-sensitive (123 != 123.0). The old compare coerced to float
+        # whenever EITHER side was float, which let DuckDB's
+        # sum(BIGINT)->HUGEINT->float64 rendering pass locally while
+        # failing in the driver (r10: pagerank_copurchase, bpe_merges,
+        # knn_pq_adc). Fail loudly on int-kind vs float-kind mismatch;
+        # coerce only when BOTH sides are float.
+        skind, okind = sv.dtype.kind, ov.dtype.kind
+        int_kinds = {"i", "u"}
+        if (skind in int_kinds and okind == "f") or (
+            skind == "f" and okind in int_kinds
+        ):
+            problems.append(
+                f"col {c}: DTYPE-mismatch spark={sv.dtype} oracle={ov.dtype} "
+                "(driver hash is type-sensitive; CAST the oracle column)"
+            )
+            continue
+        if skind == "f" or okind == "f":
             sv = sv.astype(float)
             ov = ov.astype(float)
             both_nan = sv.isna() & ov.isna()
