@@ -240,6 +240,20 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # <=> T_DEN * sum|...| <= 2nN * T_NUM.
 T_NUM, T_DEN = 1, 5  # t = 0.2
 
+# Guarded down-cast of the exact variational-distance numerator
+# (ADVICE r10): the sum aggregates at Spark's native decimal(38,0);
+# values past BIGINT max raise loudly BEFORE the cast to the (30,0)
+# working precision (needed to keep the t_ok cross-multiply within
+# DuckDB's p1+p2<=38 rule), so non-ANSI Spark can never render an
+# overflow as silent NULLs in t_num/t_dist/t_ok. Module-level so
+# tests/test_governance.py pins the raise on a planted 1e31 sum.
+T_SUM_GUARD_SQL = (
+    "CASE WHEN t_sum_raw > CAST(9223372036854775807 AS DECIMAL(38,0))"
+    " THEN CAST(raise_error('t_closeness: t_num exceeds BIGINT')"
+    " AS DECIMAL(30,0))"
+    " ELSE CAST(t_sum_raw AS DECIMAL(30,0)) END"
+)
+
 T_CLOSENESS_ORACLE = f"""
 WITH cls AS (
   SELECT c_mktsegment AS segment_g,
@@ -354,9 +368,18 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast(dec) * F.col("big_n").cast(dec)
         - F.col("g").cast(dec) * F.col("n").cast(dec)
     )
+    # ADVICE r10: aggregate at Spark's native sum-of-decimal precision
+    # (decimal(38,0)) and guard BEFORE any down-cast. The previous
+    # .cast("decimal(30,0)") inside the agg meant a sum past 1e30
+    # silently became NULL under non-ANSI Spark, and the BIGINT guard
+    # then saw NULL > bound = NULL -> ELSE -> NULL t_num/t_dist/t_ok.
+    # Guarding the raw sum first (bigint max 9.2e18 << 1e30) makes the
+    # (30,0) working precision — needed so the t_ok multiply stays
+    # within DuckDB-compatible p1+p2<=38 — provably overflow-free.
     return (
         grid.groupBy("segment_g", "band_i", "n", "big_n")
-        .agg(F.sum(diff).cast("decimal(30,0)").alias("t_sum"))
+        .agg(F.sum(diff).alias("t_sum_raw"))
+        .withColumn("t_sum", F.expr(T_SUM_GUARD_SQL))
         .withColumn(
             "nb",
             (F.col("n").cast(dec) * F.col("big_n").cast(dec)).cast(
@@ -367,12 +390,7 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment_g",
             F.col("band_i").cast("string").alias("band_g"),
             "n",
-            F.expr(
-                "CASE WHEN t_sum > CAST(9223372036854775807 AS"
-                " DECIMAL(30,0)) THEN CAST(raise_error('t_closeness:"
-                " t_num exceeds BIGINT') AS BIGINT)"
-                " ELSE CAST(t_sum AS BIGINT) END"
-            ).alias("t_num"),
+            F.col("t_sum").cast("bigint").alias("t_num"),
             (
                 F.col("t_sum").cast("double")
                 / (F.lit(2).cast("decimal(2,0)") * F.col("nb")).cast(

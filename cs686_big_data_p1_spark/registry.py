@@ -37,6 +37,14 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-query scratch state beyond DataFrame caches (e.g. ann.py's
+# memoized corpus count, ADVICE r10): modules append zero-arg callables
+# here and clear_caches() invokes them, so scalar memos share exactly
+# the lifetime of the tracked caches — valid across the legs of one
+# composed query, never across queries or fixture rewrites.
+CLEAR_HOOKS: list[Callable[[], None]] = []
+
+
 def clear_caches() -> None:
     while TRACKED_CACHES:
         df = TRACKED_CACHES.pop()
@@ -44,6 +52,8 @@ def clear_caches() -> None:
             df.unpersist()
         except Exception:  # noqa: BLE001 — session may already be gone
             pass
+    for hook in CLEAR_HOOKS:
+        hook()
 
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:

@@ -193,7 +193,7 @@ SELECT p.user_id, p.event_id AS purchase_id, CAST(NULL AS BIGINT) AS view_id,
        CAST(NULL AS BIGINT) AS lag_s
 FROM events p, w
 WHERE p.event_type = 'purchase'
-  AND p.ts <= w.wm
+  AND p.ts < w.wm
   AND NOT EXISTS (
     SELECT 1 FROM events v
     WHERE v.event_type = 'view' AND v.user_id = p.user_id
@@ -217,10 +217,14 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle finalization predicate: matched rows are withheld never
     (inner matches emit on sight, as in stream_attribution); an
-    unmatched purchase is emitted iff purchase_ts <= final watermark,
-    where the final global watermark = least(max view_ts,
-    max purchase_ts) - 2h (Spark takes the MIN across both inputs'
-    per-side watermarks). Purchases whose match window was still open
+    unmatched purchase is emitted iff purchase_ts < final watermark —
+    STRICT, because Spark's outer-join state eviction compares event
+    time strictly against the watermark, so a purchase landing exactly
+    ON the watermark is still held (measured empirically, pinned by
+    the boundary row in test_stream_attribution_outer_finalization;
+    ADVICE r10) — where the final global watermark = least(max
+    view_ts, max purchase_ts) - 2h (Spark takes the MIN across both
+    inputs' per-side watermarks). Purchases whose match window was still open
     when the drain ended are (correctly) withheld — the
     stream_sessionize finalization idiom applied to a join.
 

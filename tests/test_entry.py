@@ -168,11 +168,19 @@ def test_scaling_artifact_records_sublinear_exponents():
     expensive bench queries): pin that the artifact exists, parses,
     covers the intended breadth, carries a measured exponent for every
     query that ran, and that nothing recorded is super-linear beyond
-    the documented tolerance (e <= 1.05 — the round-10 run measured a
-    real 1.24 before the sqrt cell-count fix, which is exactly the
-    class of regression this artifact exists to catch). This pins the
-    artifact's internal consistency; freshness is the per-round scale
-    run's job, like the bench series."""
+    its DOCUMENTED complexity. The bound is per-query (ADVICE r10):
+    each row records expected_e — 1.0 for everything except the
+    operators whose docstrings commit to a super-linear form (the
+    O(n^1.5) adaptive-cell ANN/semantic family, expected_e = 1.5, see
+    tools/scale_run.py EXPECTED_E) — and the gate asserts measured <=
+    expected + 0.05 tolerance. The r10 run measured a real 1.24 on a
+    query whose documented form was linear (the pre-sqrt cell sizing),
+    which is exactly the class this catches; a 1.4 on a documented
+    O(n^1.5) stage would NOT be a regression and no longer trips a
+    blind global cap. The allowlist lives in the ARTIFACT so a new
+    super-linear excuse requires re-running the measurement, not just
+    editing a test constant. Freshness is the per-round scale run's
+    job, like the bench series."""
     import json
     import pathlib
 
@@ -185,7 +193,13 @@ def test_scaling_artifact_records_sublinear_exponents():
     for name, row in qs.items():
         assert row["t_sf0_1"] > 0 and row["t_sf1"] > 0, name
         assert row["exponent"] is not None, name
-        assert row["exponent"] <= 1.05, (
-            f"{name} measured super-linear (e={row['exponent']}); "
-            "justify against its documented complexity or fix the plan"
+        expected = row.get("expected_e", 1.0)
+        assert expected <= 1.5, (
+            f"{name} claims expected_e={expected}: nothing in the repo "
+            "documents worse than O(n^1.5) — justify in scale_run.py"
+        )
+        assert row["exponent"] <= expected + 0.05, (
+            f"{name} measured e={row['exponent']} above its documented "
+            f"complexity (expected_e={expected}); fix the plan or "
+            "document the complexity in tools/scale_run.py EXPECTED_E"
         )

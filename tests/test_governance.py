@@ -94,3 +94,29 @@ def test_t_closeness_distance_properties(spark, registry):
         # exact threshold boundary (fixture never lands on it)
         assert r.t_ok == (r.t_dist <= T_NUM / T_DEN)
     assert any(not r.t_ok for r in rows) or all(r.t_ok for r in rows)
+
+
+def test_t_closeness_overflow_guard_is_loud(spark):
+    """ADVICE r10: a numerator sum past BIGINT max must RAISE, not
+    degrade to NULL. The old plan down-cast the sum to decimal(30,0)
+    inside the agg, so non-ANSI Spark rendered a >1e30 sum as NULL and
+    the guard then passed NULL through silently. The guard now runs on
+    the raw decimal(38,0) sum; this pins both directions on planted
+    values (t_sum at fixture scale cannot reach the bound)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.operators.governance import T_SUM_GUARD_SQL
+
+    over = spark.sql(
+        "SELECT CAST(10000000000000000000000000000000 AS DECIMAL(38,0))"
+        " AS t_sum_raw"  # 1e31: past bigint max AND past decimal(30,0)
+    ).withColumn("t_sum", F.expr(T_SUM_GUARD_SQL))
+    with pytest.raises(Exception, match="t_num exceeds BIGINT"):
+        over.collect()
+
+    under = spark.sql(
+        "SELECT CAST(9223372036854775807 AS DECIMAL(38,0)) AS t_sum_raw"
+    ).withColumn("t_sum", F.expr(T_SUM_GUARD_SQL))
+    [row] = under.collect()
+    assert row.t_sum == 9223372036854775807

@@ -745,7 +745,11 @@ def test_stream_attribution_outer_finalization(spark, tmp_path):
     with exact lag; (b) unmatched with match range CLOSED by the final
     watermark -> ONE null-view row; (c) unmatched but still inside the
     watermark horizon -> withheld entirely (a late view could still
-    arrive). The null rows must appear ONLY for watermark-closed
+    arrive); (d) unmatched with purchase_ts EXACTLY on the final
+    watermark -> withheld, because Spark's state eviction compares
+    event time STRICTLY against the watermark (ADVICE r10 — the oracle
+    predicate is aligned to `<`, and this boundary row keeps it
+    honest). The null rows must appear ONLY for watermark-closed
     purchases, and the DuckDB oracle on the same fixture must agree."""
     import duckdb
     import pandas as pd
@@ -770,6 +774,10 @@ def test_stream_attribution_outer_finalization(spark, tmp_path):
         # user 8 has a view OUTSIDE the 1h window (too early): purchase
         # 3 is genuinely unmatched, not merely view-less
         (7, base_us, 8, "view"),
+        # (d) boundary: purchase EXACTLY at the final watermark
+        # (base + 8h) — Spark holds it (strict eviction), so neither
+        # engine may emit it
+        (8, base_us + 8 * h_us, 10, "purchase"),
     ]
     fixture = pd.DataFrame(
         [(eid, ts * 1000, uid, et, 0.0, "{}") for eid, ts, uid, et in rows],

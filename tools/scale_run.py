@@ -31,6 +31,45 @@ from cs686_big_data_p1_spark.session import get_spark  # noqa: E402
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, "testdata_sf1")
 
+# Always-measured additions beyond the top-N bench list (VERDICT r10
+# #6): the round-10 newcomers whose scale shapes had no measured
+# exponent — the graduated Lloyd quartet (training-barrier cost), the
+# stride-1 window-explode substring pair, the KLL sampler, and the
+# five-pipeline recall report.
+EXTRA_QUERIES = [
+    "kmeans_cells",
+    "knn_ivf_trained",
+    "knn_ivfpq",
+    "substring_dedup",
+    "substring_scrub",
+    "kll_quantiles",
+    "ann_recall_all",
+]
+
+# Documented-complexity exponent allowlist (ADVICE r10): operators
+# whose docstrings commit to a super-linear-in-rows form may measure
+# above the default linear cap without that being a regression. The
+# adaptive-cell ANN/semantic family balances assignment (n x sqrt(n))
+# and within-cell pair volume (n x occupancy) at O(n^1.5) — see
+# ann.py _nlist — so their honest ceiling is e = 1.5. Everything not
+# listed here is asserted effectively linear-or-better (<= 1.05 in
+# tests/test_entry.py). The value is recorded per query in the
+# artifact as expected_e so the gate checks measured <= expected +
+# tolerance instead of a blind global cap.
+EXPECTED_E = {
+    "dedup_semantic": 1.5,
+    "corpus_curate_semantic": 1.5,
+    "kmeans_cells": 1.5,
+    "kmeans_lloyd": 1.5,
+    "knn_ivf": 1.5,
+    "knn_ivf_trained": 1.5,
+    "knn_ivfpq": 1.5,
+    "knn_pq_adc": 1.5,
+    "ann_recall": 1.5,
+    "ann_recall_all": 1.5,
+    "allpairs_cosine": 1.5,  # PPJoin prefix-filtered pair stage
+}
+
 
 def run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -48,6 +87,7 @@ def main() -> None:
             reverse=True,
         )[:n_queries]
     ]
+    top += [q for q in EXTRA_QUERIES if q not in top]
     registry.load_all()
     spark = get_spark("scale_run")
     spark.sparkContext.setLogLevel("ERROR")
@@ -76,6 +116,7 @@ def main() -> None:
             )
         else:
             row["exponent"] = None
+        row["expected_e"] = EXPECTED_E.get(name, 1.0)
         results[name] = row
         print(
             f"{name:28s} sf0.1={row['t_sf0_1']:8.2f}s "
