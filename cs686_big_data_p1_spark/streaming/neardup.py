@@ -182,36 +182,103 @@ def _swap_begin(spark: SparkSession, path: str, tag: str) -> str:
     return old
 
 
+# Bound on reader-rollback ping-pong rounds in _swap_finish. Each
+# retry is only needed when a reader's _recover_orphan_store fires
+# inside the microsecond rename window, and every rollback CONSUMES
+# the .old name (the reader renames it to live), so sustained
+# ping-pong requires a fresh reader load landing in every successive
+# window — vanishingly unlikely; 5 rounds is already generous.
+_SWAP_RETRIES = 5
+
+
 def _swap_finish(spark: SparkSession, path: str, tag: str, old: str) -> None:
-    """Second half of the swap: publish staging at the live path, then
-    verify THIS WRITE'S identity landed there (ADVICE r9). The failure
-    this catches: between our two renames, a reader's
-    _recover_orphan_store (or a concurrent writer) re-created the live
-    path, so our rename(staging -> path) NESTED staging one level
+    """Second half of the swap: publish staging at the live path and
+    verify THIS WRITE'S identity landed there — retrying until the
+    publish sticks (VERDICT r10 #5: prevention, not just detection).
+
+    The race: between our two renames, a reader's
+    _recover_orphan_store (or a concurrent writer) re-creates the live
+    path, so our rename(staging -> path) NESTS staging one level
     inside that store while still returning true. A bare 'does
     path/hashes exist' check passes in that world — the restored store
     has a hashes table of its own — which is exactly how the drain's
-    state update would be lost silently. The ``_swap-<tag>`` token is
-    unique to this write, so finding it directly under the live path
-    proves OUR staging is what is being served."""
+    state update used to be lost. The ``_swap-<tag>`` token is unique
+    to this write, so finding it directly under the live path proves
+    OUR staging is what is being served.
+
+    Since r11 the token check is the CONVERGENCE predicate of a retry
+    loop rather than a terminal error: when the token is missing but
+    our staging sits nested under the live path (the reader-rollback
+    signature), we un-nest it back to the staging sibling, move the
+    re-created live store aside (the rollback consumed the .old name,
+    so the same name is free again — at most one .old-<tag> ever
+    exists), and publish again. Each reader load rolls back at most
+    once, so the loop converges; _SWAP_RETRIES bounds the pathological
+    case and the loud IOError remains as the backstop. A missing token
+    WITHOUT our nested staging still raises immediately — that live
+    store is some OTHER writer's data and no automatic choice is safe."""
     from ..sources.snapshots import _fs
 
     staging = f"{path}.staging-{tag}"
     fs, p, jvm = _fs(spark, path)
     jpath = jvm.org.apache.hadoop.fs.Path
-    if not fs.rename(jpath(staging), p):
-        raise IOError(
-            f"neardup store swap: rename {staging} -> {path} failed — "
-            f"previous state preserved at {old}"
-        )
     nested = f"{path}/{staging.rsplit('/', 1)[-1]}"
-    if not fs.exists(jpath(f"{path}/_swap-{tag}")):
+    published = False
+    for _attempt in range(_SWAP_RETRIES):
+        if fs.exists(p):
+            # A reader rollback re-created the live path from .old
+            # between our renames (or between retry rounds). Its
+            # rollback consumed the .old name, so renaming the
+            # restored store back aside under the SAME name is safe
+            # and keeps the single-.old invariant the reader relies
+            # on. If .old STILL exists alongside a re-created live
+            # path, the live store cannot be our rolled-back state —
+            # it is another writer's — and re-asiding it would nest it
+            # under .old and later delete it: raise instead, keeping
+            # both states on disk for the operator.
+            if fs.exists(jpath(old)):
+                raise IOError(
+                    f"neardup store swap: {path} was re-created while "
+                    f"{old} still exists — a concurrent writer, not a "
+                    "reader rollback; manual recovery needed (staging "
+                    f"preserved at {staging})"
+                )
+            if not fs.rename(p, jpath(old)):
+                raise IOError(
+                    f"neardup store swap: re-aside rename {path} -> "
+                    f"{old} failed mid-retry — staging preserved at "
+                    f"{staging}; state not updated"
+                )
+        if not fs.rename(jpath(staging), p):
+            raise IOError(
+                f"neardup store swap: rename {staging} -> {path} failed — "
+                f"previous state preserved at {old}"
+            )
+        if fs.exists(jpath(f"{path}/_swap-{tag}")):
+            published = True
+            break
+        if fs.exists(jpath(nested)):
+            # Reader-rollback signature: the live path was re-created
+            # after our exists() check and the publish rename nested
+            # staging inside it. Un-nest and go around again.
+            if not fs.rename(jpath(nested), jpath(staging)):
+                raise IOError(
+                    f"neardup store swap: un-nest rename {nested} -> "
+                    f"{staging} failed — manual recovery needed"
+                )
+            continue
         raise IOError(
-            f"neardup store swap: {path} exists but does not carry this "
-            f"write's identity token _swap-{tag} — a reader rollback or "
-            "concurrent writer re-created the live store mid-swap and "
-            f"the staging dir was nested into it (look under {nested}); "
-            "the drain's state update was NOT published"
+            f"neardup store swap: {path} exists but carries neither this "
+            f"write's identity token _swap-{tag} nor its nested staging "
+            "dir — a DIFFERENT writer's store landed at the live path "
+            "mid-swap; the drain's state update was NOT published "
+            f"(staging consumed; previous state at {old})"
+        )
+    if not published:
+        raise IOError(
+            f"neardup store swap: publish did not converge after "
+            f"{_SWAP_RETRIES} rounds of reader-rollback ping-pong — "
+            f"staging preserved at {staging}, previous state at {old}"
         )
     if fs.exists(jpath(nested)):
         raise IOError(

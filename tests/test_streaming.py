@@ -929,18 +929,18 @@ def test_neardup_store_write_verifies_swap(spark, tmp_path):
     assert {r.th for r in survived["hashes"].collect()} == {"old1"}
 
 
-def test_neardup_store_reader_rollback_race_is_detected(spark, tmp_path):
-    """ADVICE r9: reader-side orphan rollback can race a live writer's
-    stage-and-swap. Interleaving: writer renames live -> .old, a READER
-    loads, sees the store missing, and rolls .old back into place;
-    the writer's second rename then NESTS staging inside the restored
-    store while returning true — and a guard that only checks for a
-    'hashes' child passes, silently losing the drain's update. The
-    identity-token check must RAISE instead, naming where the staged
-    state went."""
+def test_neardup_store_reader_rollback_race_converges(spark, tmp_path):
+    """VERDICT r10 #5 (upgrading ADVICE r9 from detection to
+    PREVENTION): reader-side orphan rollback racing a live writer's
+    stage-and-swap must no longer lose the drain's update. Injected
+    interleaving: writer renames live -> .old, a READER loads, sees the
+    store missing, and rolls .old back into place; the writer's publish
+    must then re-aside the restored store (the rollback consumed the
+    .old name) and land its staging with the identity token at the live
+    path — converging, not raising. Post-conditions: the live store
+    serves the DRAINED state, carries this write's token, and no .old /
+    .staging / nested leftovers remain."""
     import os
-
-    import pytest as _pytest
 
     from cs686_big_data_p1_spark.streaming.neardup import (
         _STORE_SCHEMAS,
@@ -973,14 +973,66 @@ def test_neardup_store_reader_rollback_race_is_detected(spark, tmp_path):
     _recover_orphan_store(spark, store_path)
     assert os.path.isdir(store_path)
 
-    # Writer resumes: second rename nests staging inside the restored
-    # store. The old 'hashes'-child guard would pass here (the restored
-    # store has one); the token check must raise and point at the nest.
-    with _pytest.raises(IOError, match="_swap-racetag1"):
-        _swap_finish(spark, store_path, tag, old)
-    nested = f"{store_path}/store.staging-{tag}"
-    assert os.path.isdir(nested)  # staged state preserved, not deleted
+    # Writer resumes: the publish must converge despite the rollback.
+    _swap_finish(spark, store_path, tag, old)
 
-    # The live store still serves the reader-restored (pre-drain) state.
     served = load_neardup_store(spark, store_path)
-    assert {r.th for r in served["hashes"].collect()} == {"prior"}
+    assert {r.th for r in served["hashes"].collect()} == {"prior", "drained"}
+    assert os.path.exists(f"{store_path}/_swap-{tag}")  # our write won
+    assert not os.path.exists(old)
+    assert not os.path.exists(f"{store_path}.staging-{tag}")
+    assert not os.path.isdir(f"{store_path}/store.staging-{tag}")
+
+
+def test_neardup_store_concurrent_writer_still_raises(spark, tmp_path):
+    """The retry loop must NOT paper over a genuine two-writer
+    interleaving: if the live path is re-created while OUR .old still
+    exists, the live store cannot be our rolled-back state (a reader
+    rollback would have consumed the .old name) — re-asiding it would
+    nest a different writer's data under .old and later delete it.
+    _swap_finish must raise and preserve all three states on disk."""
+    import os
+
+    import pytest as _pytest
+
+    from cs686_big_data_p1_spark.streaming.neardup import (
+        _STORE_SCHEMAS,
+        _stage_tables,
+        _swap_begin,
+        _swap_finish,
+        load_neardup_store,
+        write_neardup_store,
+    )
+
+    store_path = str(tmp_path / "store")
+    store = load_neardup_store(spark, None)
+    store["hashes"] = spark.createDataFrame(
+        [("prior",)], _STORE_SCHEMAS["hashes"]
+    )
+    write_neardup_store(store, store_path)
+
+    store2 = load_neardup_store(spark, store_path)
+    store2["hashes"] = spark.createDataFrame(
+        [("prior",), ("drained",)], _STORE_SCHEMAS["hashes"]
+    )
+    tag = "racetag2"
+    _stage_tables(store2, f"{store_path}.staging-{tag}", tag)
+    old = _swap_begin(spark, store_path, tag)
+
+    # A concurrent writer publishes its own store at the live path
+    # while our .old-<tag> still exists.
+    foreign = load_neardup_store(spark, None)
+    foreign["hashes"] = spark.createDataFrame(
+        [("foreign",)], _STORE_SCHEMAS["hashes"]
+    )
+    write_neardup_store(foreign, store_path)
+
+    with _pytest.raises(IOError, match="concurrent writer"):
+        _swap_finish(spark, store_path, tag, old)
+
+    # All three states preserved for the operator: the foreign live
+    # store, our pre-drain .old, and our staged update.
+    served = load_neardup_store(spark, store_path)
+    assert {r.th for r in served["hashes"].collect()} == {"foreign"}
+    assert os.path.isdir(old)
+    assert os.path.isdir(f"{store_path}.staging-{tag}")
