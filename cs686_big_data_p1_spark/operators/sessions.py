@@ -324,7 +324,7 @@ act AS (
 ),
 j AS (
   SELECT a.user_id,
-         CAST(date_trunc('week', f.d0) AS DATE) AS cohort_week,
+         CAST(date_trunc('week', f.d0) AS TIMESTAMP) AS cohort_week,
          (a.d - f.d0) // 7 AS week_offset
   FROM act a JOIN firstd f ON a.user_id = f.user_id
 )
@@ -360,7 +360,11 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
     j = act.join(firstd, "user_id").select(
         "user_id",
-        F.to_date(F.date_trunc("week", F.col("d0"))).alias("cohort_week"),
+        # TIMESTAMP, not DATE (VERDICT r10 #8): Spark DateType reaches
+        # pandas as object-dtype datetime.date while DuckDB DATE
+        # renders datetime64 — equal values, divergent representation
+        # for a type-sensitive hash (the dtype-contract class again).
+        F.date_trunc("week", F.col("d0")).alias("cohort_week"),
         F.expr("datediff(d, d0) div 7").alias("week_offset"),
     )
     return j.groupBy("cohort_week", F.col("week_offset").cast("int").alias("week_offset")).agg(

@@ -158,3 +158,20 @@ def test_compare_is_dtype_faithful():
     bad = floats.assign(v=[10.0, 21.0])
     problems = compare("fv", floats, bad)
     assert problems and "mismatch" in problems[0], problems
+
+    # Datetime-vs-object (VERDICT r10 #8): Spark DATE renders as
+    # object-dtype datetime.date, DuckDB DATE as datetime64[us] —
+    # element-equal but hash-divergent. Must FAIL on kind.
+    import datetime
+
+    dts = pd.DataFrame({"d": pd.to_datetime(["2024-01-01", "2024-01-08"])})
+    objs = pd.DataFrame(
+        {"d": [datetime.date(2024, 1, 1), datetime.date(2024, 1, 8)]}
+    )
+    problems = compare("date_case", objs, dts)
+    assert problems and "DTYPE-mismatch" in problems[0], problems
+    # ns-vs-us datetime resolution is same-kind and value-equal: pass
+    # (the driver has hash-matched this pair for 10 rounds — see
+    # PARITY.md).
+    us = pd.DataFrame({"d": dts["d"].astype("datetime64[us]")})
+    assert compare("dt_res", dts, us) == []

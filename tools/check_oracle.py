@@ -130,6 +130,18 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 "(driver hash is type-sensitive; CAST the oracle column)"
             )
             continue
+        # Datetime-vs-object is the same contract class (VERDICT r10
+        # #8): Spark DateType reaches pandas as object-dtype
+        # datetime.date while DuckDB DATE renders datetime64[us] —
+        # element equality holds but a type-sensitive hash diverges.
+        # Emit TIMESTAMP on both sides instead.
+        if (skind == "M") != (okind == "M"):
+            problems.append(
+                f"col {c}: DTYPE-mismatch spark={sv.dtype} oracle={ov.dtype} "
+                "(datetime vs non-datetime rendering; emit TIMESTAMP on "
+                "both sides — Spark DATE becomes object-dtype date)"
+            )
+            continue
         if skind == "f" or okind == "f":
             sv = sv.astype(float)
             ov = ov.astype(float)
