@@ -11,7 +11,16 @@ operator's documented complexity (iterative rounds, pair volume).
 Writes SCALING_SF1.json and prints a markdown table for SCALING.md.
 
 Usage: python tools/scale_run.py [N_QUERIES]
+       python tools/scale_run.py --remeasure q1 [q2 ...]
 Run on an IDLE box (same caveat as bench.py).
+
+--remeasure re-times ONLY the named queries and merges the fresh
+measurements into the existing SCALING_SF1.json (bumping a per-row
+`attempts` counter so the artifact says how many timings the recorded
+exponent took) — for re-checking a single breach on an idle box
+without paying the full sweep. The merged row REPLACES the old one:
+the artifact always holds one actual measured (t, t, e) triple, never
+a hand-picked min.
 """
 
 from __future__ import annotations
@@ -78,16 +87,25 @@ def run_one(spark, fn, sf_dir: str) -> float:
 
 
 def main() -> None:
-    n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 15
-    detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
-    top = [
-        k
-        for _, k in sorted(
-            ((v, k) for k, v in detail["queries"].items() if v > 0),
-            reverse=True,
-        )[:n_queries]
-    ]
-    top += [q for q in EXTRA_QUERIES if q not in top]
+    remeasure = sys.argv[1:2] == ["--remeasure"]
+    prior = {}
+    if remeasure:
+        top = sys.argv[2:]
+        assert top, "--remeasure needs query names"
+        prior = json.load(open(os.path.join(REPO, "SCALING_SF1.json")))[
+            "queries"
+        ]
+    else:
+        n_queries = int(sys.argv[1]) if len(sys.argv) > 1 else 15
+        detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+        top = [
+            k
+            for _, k in sorted(
+                ((v, k) for k, v in detail["queries"].items() if v > 0),
+                reverse=True,
+            )[:n_queries]
+        ]
+        top += [q for q in EXTRA_QUERIES if q not in top]
     registry.load_all()
     spark = get_spark("scale_run")
     spark.sparkContext.setLogLevel("ERROR")
@@ -117,6 +135,7 @@ def main() -> None:
         else:
             row["exponent"] = None
         row["expected_e"] = EXPECTED_E.get(name, 1.0)
+        row["attempts"] = prior.get(name, {}).get("attempts", 0) + 1
         results[name] = row
         print(
             f"{name:28s} sf0.1={row['t_sf0_1']:8.2f}s "
@@ -124,6 +143,10 @@ def main() -> None:
             flush=True,
         )
 
+    if remeasure:
+        merged = dict(prior)
+        merged.update(results)
+        results = merged
     out = {
         "sf_pair": [0.1, 1.0],
         "loadavg_1m": round(os.getloadavg()[0], 2),
