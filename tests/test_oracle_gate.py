@@ -32,6 +32,11 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 ARTIFACTS = {
     REPO / "ORACLE_SWEEP.json": "/root/testdata/sf0.001",
     REPO / "ORACLE_SWEEP_SF0.01.json": "/root/testdata/sf0.01",
+    # Round 11 (VERDICT r10 #9): the bench-fixture-scale sweep joined
+    # the permanent gate — it measured 8 min, cheap insurance against
+    # fixture-scale-dependent oracle divergence (the 2^53
+    # double-rounding class) at the SF the bench actually runs.
+    REPO / "ORACLE_SWEEP_SF0.1.json": "/root/testdata/sf0.1",
 }
 
 
