@@ -971,3 +971,121 @@ def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removed"),
         )
     )
+
+
+# --- DSIR: importance-resampling weights over hashed features -------------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# score every raw document by how target-like its hashed-feature
+# distribution is, then sample proportionally. Features here are
+# hashed unigrams into DSIR_BUCKETS buckets (the paper uses hashed
+# bigrams into 10k buckets — same shape, bucket count is the only
+# knob and would scale with corpus vocabulary); the "target" corpus
+# is the lexicographically-first source (a deterministic stand-in for
+# "high-quality domain" that both engines derive identically).
+#
+# The paper's log-likelihood-ratio weight needs libm; the engine-exact
+# form keeps the RATIO in integers: per bucket
+#   ratio_e6[b] = (1e6 * t_b) div r_b        (t_b <= r_b, so <= 1e6)
+# and per doc
+#   score_e6 = sum_b c_doc[b] * ratio_e6[b],  weight_e6 = score div n.
+# The global (R/T) normalization constant is rank-invariant and
+# omitted, as tfidf_topterms/bm25 omit their log for the same reason.
+# Overflow envelope: 1e6 * t_b needs t_b < 9.2e12 — about 2 PB of
+# text per bucket before the bound, and DSIR_BUCKETS grows with the
+# corpus anyway.
+
+DSIR_BUCKETS = 64
+
+DSIR_ORACLE = f"""
+WITH tgt AS (
+  SELECT min(source) AS target_src FROM documents WHERE length(text) > 0
+),
+wrds AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT)
+             % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE length(text) > 0)
+  WHERE length(word) > 0
+),
+rw AS (SELECT b, count(*) AS r FROM wrds GROUP BY b),
+ts AS (
+  SELECT b, count(*) AS t FROM wrds, tgt
+  WHERE source = target_src GROUP BY b
+),
+ratios AS (
+  SELECT rw.b,
+         CAST((1000000 * coalesce(ts.t, 0)) // rw.r AS BIGINT) AS ratio_e6
+  FROM rw LEFT JOIN ts ON ts.b = rw.b
+),
+dc AS (SELECT doc_id, b, count(*) AS c FROM wrds GROUP BY doc_id, b)
+SELECT d.doc_id,
+       CAST(sum(d.c) AS BIGINT) AS n_tokens,
+       CAST(sum(d.c * r.ratio_e6) AS BIGINT) AS score_e6,
+       CAST(sum(d.c * r.ratio_e6) // sum(d.c) AS BIGINT) AS weight_e6
+FROM dc d JOIN ratios r ON r.b = d.b
+GROUP BY d.doc_id
+"""
+
+
+@query("dsir_weights", oracle=DSIR_ORACLE)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weight per document (see the module
+    comment above for the paper mapping and the integer-exact ratio
+    form). Emits (doc_id, n_tokens, score_e6, weight_e6); a sampler
+    consumes weight_e6 exactly like weighted_sample_systematic
+    consumes n_chars.
+
+    Scale: tokens shuffle once for the (doc_id, bucket) rollup
+    (map-side combinable; the bucket key is a 60-bit md5 prefix mod
+    {DSIR_BUCKETS}); the raw and target bucket marginals are
+    DSIR_BUCKETS-row aggregates joined back as ONE broadcast; the
+    target selector is a 1-row broadcast crossJoin. Nothing wider
+    than the corpus' own token count ever moves, and the per-doc
+    score is a bigint sum — order-independent under any
+    partitioning."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10
+        ).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    wrds = (
+        d.select(
+            "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .select("doc_id", "source", b.alias("b"))
+    )
+    wrds = track_cache(wrds)
+    tgt = d.agg(F.min("source").alias("target_src"))
+    rw = wrds.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    ts = (
+        wrds.crossJoin(F.broadcast(tgt))
+        .where(F.col("source") == F.col("target_src"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    ratios = rw.join(ts, "b", "left").select(
+        "b",
+        F.expr(f"(1000000 * coalesce(t, 0)) div r").alias("ratio_e6"),
+    )
+    dc = wrds.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dc.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("ratio_e6"))
+            .cast("bigint")
+            .alias("score_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_e6",
+            F.expr("score_e6 div n_tokens").alias("weight_e6"),
+        )
+    )

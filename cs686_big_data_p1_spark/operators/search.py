@@ -483,3 +483,209 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("rrf_e12").desc(), F.col("doc_id"))
     return fused.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+# --------------------------------------------------------------------
+# mmr_rerank: maximal-marginal-relevance diversified top-k
+# --------------------------------------------------------------------
+#
+# MMR (Carbonell & Goldstein, SIGIR 1998): greedily re-rank a
+# retrieval candidate list so each pick maximizes
+#   lambda * relevance(d) - (1 - lambda) * max_{s in picked} sim(d, s)
+# — the standard redundancy-removal pass between retrieval and a
+# context window (and the same shape as facility-location coreset
+# selection over training data). lambda = 0.7 at integer scale 10:
+#   mmr_e6 = 7 * rel_e6 - 3 * max(sim_e6)
+# with rel_e6 = the BM25 micro-score and sim_e6 = floor(cosine * 1e6)
+# from the engine-standard fixed-point dot/norm folds, so every
+# comparison in the greedy argmax is over bigints (ties on doc_id)
+# and the whole trajectory replays bit-identically in DuckDB via an
+# unrolled CTE chain (the bpe_merges pattern applied to selection).
+
+MMR_K = 5
+_MMR_REL_W = 7   # lambda numerator at scale 10
+_MMR_SIM_W = 3   # (1 - lambda) numerator
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    prev = "p1"
+    for i in range(2, MMR_K + 1):
+        steps.append(
+            f"""
+m{i} AS (
+  SELECT t.doc_id, t.rel_e6,
+         CAST({_MMR_REL_W} * t.rel_e6
+              - {_MMR_SIM_W} * max(s.sim_e6) AS BIGINT) AS mmr_e6
+  FROM cands t
+  JOIN sims s ON s.da = t.doc_id
+             AND s.db IN (SELECT doc_id FROM {prev})
+  WHERE t.doc_id NOT IN (SELECT doc_id FROM {prev})
+  GROUP BY t.doc_id, t.rel_e6
+),
+s{i} AS (SELECT doc_id, rel_e6, mmr_e6 FROM m{i}
+         ORDER BY mmr_e6 DESC, doc_id LIMIT 1),
+p{i} AS (SELECT doc_id FROM {prev} UNION ALL SELECT doc_id FROM s{i})"""
+        )
+        prev = f"p{i}"
+    chain = ",".join(steps)
+    picks = "\nUNION ALL\n".join(
+        [
+            f"SELECT CAST(1 AS INTEGER) AS pick, doc_id, rel_e6,"
+            f" CAST({_MMR_REL_W} * rel_e6 AS BIGINT) AS mmr_e6 FROM s1"
+        ]
+        + [
+            f"SELECT CAST({i} AS INTEGER), doc_id, rel_e6, mmr_e6 FROM s{i}"
+            for i in range(2, MMR_K + 1)
+        ]
+    )
+    return f"""
+WITH cands AS (
+  SELECT doc_id, score_e6 AS rel_e6 FROM ({BM25_SEARCH_ORACLE})
+),
+ex AS (
+  SELECT vec_id, i, CAST(x AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+  WHERE vec_id IN (SELECT doc_id FROM cands)
+),
+nrm AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS nn
+  FROM ex GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS da, b.vec_id AS db,
+         CAST(sum(CAST(floor(a.x * b.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dt
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+sims AS (
+  SELECT da, db,
+         CAST(floor(d.dt / (na.nn * nb.nn) * 1000000.0) AS BIGINT) AS sim_e6
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.da
+  JOIN nrm nb ON nb.vec_id = d.db
+),
+s1 AS (SELECT doc_id, rel_e6 FROM cands ORDER BY rel_e6 DESC, doc_id LIMIT 1),
+p1 AS (SELECT doc_id FROM s1),
+{chain}
+{picks}
+"""
+
+
+@query("mmr_rerank", oracle=_mmr_oracle())
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{MMR_K} over the BM25 top-{BM25_K} (see
+    module comment: integer-exact lambda=0.7 greedy, sim = fixed-point
+    embedding cosine, doc_id == vec_id per the doc_embedding_join
+    contract). Emits (pick, doc_id, rel_e6, mmr_e6), pick = selection
+    order.
+
+    Scale: the candidate list is top-{BM25_K} REGARDLESS of corpus
+    size (bm25_search is the audited bounded pipeline), so everything
+    downstream — the {BM25_K}x{BM25_K} cosine matrix (broadcast
+    nested-loop over two {BM25_K}-row cached frames), the {MMR_K}
+    greedy rounds (each an argmax over <= {BM25_K} rows,
+    localCheckpoint-cut like dedup_clusters' loop) — is O(K^2 + K*k)
+    driver-coordinated control flow over constant-size frames; the
+    corpus is touched exactly once, inside bm25_search. The greedy
+    chain replays in DuckDB as unrolled CTEs, so the full selection
+    trajectory is hash-exact."""
+    from functools import reduce
+
+    from ..functions.vector import dot as v_dot
+    from ..functions.vector import norm as v_norm
+
+    cands = track_cache(
+        bm25_search(spark, sf_dir).select(
+            "doc_id", F.col("score_e6").alias("rel_e6")
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    ce = track_cache(
+        e.join(
+            cands.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        ).select("vec_id", "embedding", v_norm(F.col("embedding")).alias("nn"))
+    )
+    a = ce.select(
+        F.col("vec_id").alias("da"),
+        F.col("embedding").alias("ea"),
+        F.col("nn").alias("na_"),
+    )
+    bside = ce.select(
+        F.col("vec_id").alias("db"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb_"),
+    )
+    sims = track_cache(
+        a.crossJoin(F.broadcast(bside))
+        .where(F.col("da") != F.col("db"))
+        .select(
+            "da",
+            "db",
+            F.floor(
+                v_dot(F.col("ea"), F.col("eb"))
+                / (F.col("na_") * F.col("nb_"))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("sim_e6"),
+        )
+    )
+    first = (
+        cands.orderBy(F.col("rel_e6").desc(), F.col("doc_id"))
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    picks = [
+        first.select(
+            F.lit(1).cast("int").alias("pick"),
+            "doc_id",
+            "rel_e6",
+            (F.lit(_MMR_REL_W) * F.col("rel_e6"))
+            .cast("bigint")
+            .alias("mmr_e6"),
+        )
+    ]
+    sel = first.select("doc_id")
+    for i in range(2, MMR_K + 1):
+        msim = (
+            sims.join(
+                F.broadcast(sel.withColumnRenamed("doc_id", "db")), "db"
+            )
+            .groupBy("da")
+            .agg(F.max("sim_e6").alias("msim"))
+        )
+        pick = (
+            cands.join(sel, "doc_id", "left_anti")
+            .join(msim, F.col("doc_id") == F.col("da"))
+            .select(
+                "doc_id",
+                "rel_e6",
+                (
+                    F.lit(_MMR_REL_W) * F.col("rel_e6")
+                    - F.lit(_MMR_SIM_W) * F.col("msim")
+                )
+                .cast("bigint")
+                .alias("mmr_e6"),
+            )
+            .orderBy(F.col("mmr_e6").desc(), F.col("doc_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(
+            pick.select(
+                F.lit(i).cast("int").alias("pick"),
+                "doc_id",
+                "rel_e6",
+                "mmr_e6",
+            )
+        )
+        sel = sel.unionByName(pick.select("doc_id"))
+    return reduce(lambda x, y: x.unionByName(y), picks)

@@ -113,7 +113,8 @@ PRIORITY_ORDER = [
     # committed full-sweep artifacts); displaced rotation occupants
     # lead the list
     "triangle_count", "bfs_distances", "heavy_hitters", "allpairs_cosine",
-    "dedup_semantic", "hybrid_search", "corpus_curate_semantic",
+    "dedup_semantic", "hybrid_search", "mmr_rerank", "dsir_weights",
+    "corpus_curate_semantic",
     "corpus_curate", "kmv_set_ops", "zorder_layout", "k_anonymity",
     "customer_rfm", "bm25_search", "lm_score",
     "tpch_q3_shipping", "tpch_q5_localsupp", "topk_orders_per_customer",

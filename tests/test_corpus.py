@@ -457,3 +457,42 @@ def test_mg_retention_bound_property():
             assert 0 < est <= true[term], (term, est, true[term])
 
     check()
+
+
+def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
+    """Planted DSIR check: the target corpus (lexicographically-first
+    source) speaks {alpha, beta}; an off-target doc written in the
+    SAME vocabulary must weigh strictly higher than an off-target doc
+    written in a disjoint vocabulary ({omega, psi}), and a pure-target
+    doc's weight is the maximum possible (every bucket ratio ~1e6,
+    minus only the off-target dilution of the raw marginals). Words
+    chosen to land in four distinct hash buckets (precomputed:
+    alpha=59, beta=43, omega=52, psi=28 mod 64)."""
+    from cs686_big_data_p1_spark.operators.corpus import dsir_weights
+
+    rows = [
+        # target source 'aaa': alpha/beta vocabulary
+        (0, "alpha beta alpha beta", "en", "aaa", 21),
+        (1, "beta alpha beta alpha", "en", "aaa", 21),
+        # off-target source 'zzz': one target-like doc, one disjoint
+        (2, "alpha beta alpha beta", "en", "zzz", 21),
+        (3, "omega psi omega psi", "en", "zzz", 19),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    out = {
+        r.doc_id: r for r in dsir_weights(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    # disjoint-vocab doc: no bucket overlaps the target -> zero weight
+    assert out[3].score_e6 == 0 and out[3].weight_e6 == 0
+    # target-like off-target doc scores exactly like the target docs
+    # (same bucket profile): ratio per bucket = 1e6 * t_b / r_b with
+    # t_b = 4 (two target docs x 2 occurrences), r_b = 6 (plus doc 2)
+    assert out[2].weight_e6 == out[0].weight_e6 == out[1].weight_e6
+    expected_ratio = (1_000_000 * 4) // 6
+    assert out[0].weight_e6 == expected_ratio
+    assert out[0].n_tokens == 4 and out[3].n_tokens == 4
+    assert out[2].weight_e6 > out[3].weight_e6

@@ -418,3 +418,66 @@ def test_phrase_search_overlap_and_positions(spark, tmp_path):
         for r in phrase_search(spark, _write_docs(tmp_path, texts)).collect()
     }
     assert got == {0: (2, 2), 1: (1, 1)}
+
+
+# ------------------------------- mmr_rerank ---------------------------------
+
+
+def test_mmr_rerank_diversifies_planted_neardup(spark, tmp_path):
+    """Planted MMR trajectory: doc 1 is the SECOND-most-relevant
+    candidate but a near-duplicate (cosine ~1) of the top pick, so
+    lambda=0.7 must defer it behind every orthogonal lower-relevance
+    candidate; the greedy order is exactly [0, 2, 3, 4, 1]. Also pins
+    the structural contract: picks are 1..k, doc_ids distinct, pick 1
+    is the pure-relevance argmax, and mmr_e6 == 7*rel_e6 - 3*max_sim
+    (== 7*rel_e6 for the first pick)."""
+    from cs686_big_data_p1_spark.operators.search import (
+        BM25_TERMS,
+        MMR_K,
+        mmr_rerank,
+    )
+
+    t = BM25_TERMS[0]
+    docs = [
+        (0, " ".join([t] * 5), "en", "src0", 10),
+        (1, " ".join([t] * 4), "en", "src0", 10),  # near-dup of 0
+        (2, " ".join([t] * 3), "en", "src0", 10),
+        (3, " ".join([t] * 2), "en", "src0", 10),
+        (4, t, "en", "src0", 10),
+    ]
+    embs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.01, 0.0, 0.0], 0),  # cos(0,1) ~ 0.99995
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.0], 0),
+        (4, [0.0, 0.0, 0.0, 1.0], 0),
+    ]
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([e[0] for e in embs], pa.int64()),
+                "embedding": pa.array(
+                    [e[1] for e in embs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([e[2] for e in embs], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    out = mmr_rerank(spark, str(tmp_path)).toPandas().sort_values("pick")
+    assert list(out["pick"]) == list(range(1, MMR_K + 1))
+    assert list(out["doc_id"]) == [0, 2, 3, 4, 1]
+    assert out["doc_id"].is_unique
+    first = out.iloc[0]
+    assert first["mmr_e6"] == 7 * first["rel_e6"]
+    # relevance strictly decreasing in the planted corpus: the pure
+    # BM25 order would be [0,1,2,3,4]; MMR demoted the near-dup to last
+    rels = out.sort_values("doc_id")["rel_e6"].tolist()
+    assert rels == sorted(rels, reverse=True)

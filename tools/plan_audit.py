@@ -364,6 +364,21 @@ AUDITS: dict[str, dict] = {
         "corpus stats = 1-row aggregate",
         "max_waived": 2,
     },
+    "dsir_weights": {
+        "pruned": ["documents"],
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "target selector = 1-row aggregate; bucket "
+        "ratio table = DSIR_BUCKETS-row aggregate",
+        "max_waived": 2,
+    },
+    # mmr_rerank's greedy rounds execute behind eager localCheckpoints
+    # during plan construction (the customer_rfm two-phase-rank
+    # treatment), so its FINAL plan is a union of checkpointed 1-row
+    # scans — nothing left to census. The per-round shapes (bounded
+    # BM25_K-row broadcast nested-loop sim matrix, argmax TakeOrdered)
+    # are pinned by tests/test_search_graph.py instead.
+    "mmr_rerank": {},
     "collocations_lift": {
         "pruned": ["documents"],
         "broadcast": True,
