@@ -1089,3 +1089,53 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("score_e6 div n_tokens").alias("weight_e6"),
         )
     )
+
+
+from .pipeline import WS_K as _WS_K  # no cycle: pipeline never imports corpus
+
+DSIR_SAMPLE_ORACLE = f"""
+WITH dw AS (
+  SELECT doc_id, weight_e6 FROM ({DSIR_ORACLE})
+),
+w AS (
+  SELECT doc_id, weight_e6 AS weight,
+         sum(weight_e6) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hi
+  FROM dw
+),
+p AS (
+  SELECT (sum(weight_e6) // {_WS_K}) AS stride,
+         (sum(weight_e6) // {_WS_K}) // 2 AS off
+  FROM dw
+)
+SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+       CAST(cum_hi AS BIGINT) AS cum_hi,
+       CAST(((cum_hi - 1 - off + stride) // stride)
+            - ((cum_hi - weight - 1 - off + stride) // stride)
+            AS BIGINT) AS n_picks
+FROM w, p
+WHERE ((cum_hi - 1 - off + stride) // stride)
+      - ((cum_hi - weight - 1 - off + stride) // stride) >= 1
+"""
+
+
+@query("dsir_sample", oracle=DSIR_SAMPLE_ORACLE)
+def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR pipeline completed: importance-RESAMPLE the corpus by
+    the dsir_weights scores — exact weight-proportional systematic
+    sampling (weighted_sample_frame, the zero-variance grid sampler)
+    with weight = weight_e6 and the shared WS_K sample points. Zero-weight documents
+    (no bucket overlap with the target) occupy zero length on the
+    sample line and can never be picked, so the output is the
+    target-like subsample the paper's sampler would draw with a
+    deterministic grid in place of its Gumbel draw.
+
+    Scale: dsir_weights' bounded pipeline plus the audited
+    pack_sequences two-phase cumsum — the only unpartitioned window
+    rides the O(#shards) per-shard totals."""
+    from .pipeline import WS_K, weighted_sample_frame
+
+    dw = dsir_weights(spark, sf_dir).select(
+        "doc_id", F.col("weight_e6").alias("weight")
+    )
+    return weighted_sample_frame(dw, WS_K)

@@ -496,3 +496,32 @@ def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
     assert out[0].weight_e6 == expected_ratio
     assert out[0].n_tokens == 4 and out[3].n_tokens == 4
     assert out[2].weight_e6 > out[3].weight_e6
+
+
+def test_dsir_sample_excludes_zero_weight_docs(spark, tmp_path):
+    """dsir_sample = dsir_weights composed with the exact systematic
+    sampler: on the planted two-vocabulary corpus the disjoint-vocab
+    doc has weight 0 — zero length on the sample line — so it can
+    never be picked; the three equal-weight target-like docs split the
+    WS_K grid points near-evenly (systematic sampling's zero-variance
+    guarantee: |picks - K/3| <= 1)."""
+    from cs686_big_data_p1_spark.operators.corpus import dsir_sample
+    from cs686_big_data_p1_spark.operators.pipeline import WS_K
+
+    rows = [
+        (0, "alpha beta alpha beta", "en", "aaa", 21),
+        (1, "beta alpha beta alpha", "en", "aaa", 21),
+        (2, "alpha beta alpha beta", "en", "zzz", 21),
+        (3, "omega psi omega psi", "en", "zzz", 19),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    out = {r.doc_id: r for r in dsir_sample(spark, str(tmp_path)).collect()}
+    assert 3 not in out
+    assert set(out) == {0, 1, 2}
+    total = sum(r.n_picks for r in out.values())
+    assert total == WS_K
+    for r in out.values():
+        assert abs(r.n_picks - WS_K / 3) <= 1

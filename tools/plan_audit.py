@@ -379,6 +379,15 @@ AUDITS: dict[str, dict] = {
     # BM25_K-row broadcast nested-loop sim matrix, argmax TakeOrdered)
     # are pinned by tests/test_search_graph.py instead.
     "mmr_rerank": {},
+    "dsir_sample": {
+        "pruned": ["documents"],
+        "broadcast": True,
+        "codegen": True,
+        "bounded_broadcast": "dsir_weights' 1-row target + bucket-ratio "
+        "aggregates, plus the sampler's O(#shards) offsets and 1-row "
+        "stride params",
+        "max_waived": 4,
+    },
     "collocations_lift": {
         "pruned": ["documents"],
         "broadcast": True,
