@@ -385,8 +385,12 @@ AUDITS: dict[str, dict] = {
         "codegen": True,
         "bounded_broadcast": "dsir_weights' 1-row target + bucket-ratio "
         "aggregates, plus the sampler's O(#shards) offsets and 1-row "
-        "stride params",
-        "max_waived": 4,
+        "stride params — the cached dsir subtree (which contains the "
+        "target+ratio exchanges) is spliced into the sampler's cum/"
+        "offsets/params branches by the InMemoryRelation printout, so "
+        "the census sees each bounded exchange several times (the "
+        "zorder_layout precedent)",
+        "max_waived": 10,
     },
     "collocations_lift": {
         "pruned": ["documents"],
@@ -490,6 +494,12 @@ GLOBAL_WINDOW_WAIVERS: dict[str, dict] = {
         "max": 1,
         "reason": "carry-in over the O(#shards) per-shard weight "
         "aggregate (pack_sequences two-phase cumsum, phase 2)",
+    },
+    "dsir_sample": {
+        "max": 1,
+        "reason": "the composed sampler's carry-in over the O(#shards) "
+        "per-shard weight aggregate (same window weighted_sample_"
+        "systematic waives)",
     },
     "kmv_set_ops": {
         "max": 1,
