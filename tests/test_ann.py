@@ -573,3 +573,24 @@ def test_ann_recall_all_covers_every_method_with_floor(spark, registry):
     # quality floor
     for m in ("lsh", "ivf", "ivf_trained", "ivfpq"):
         assert rows[m].recall >= 0.2, f"{m} recall collapsed"
+
+
+def test_corpus_count_memo_lifetime(spark):
+    """ADVICE r10: _corpus_n memoizes the embeddings count per sf_dir
+    so composed queries (ann_recall_all's five legs) stop re-counting
+    the corpus — but the memo must live exactly ONE query invocation:
+    registry.clear_caches(), which every driver fires after
+    materializing each query, must clear it, so a rewritten fixture
+    dir can never serve a stale count across queries."""
+    from cs686_big_data_p1_spark import registry
+    from cs686_big_data_p1_spark.operators.ann import _CORPUS_N, _corpus_n
+
+    registry.clear_caches()
+    assert _CORPUS_N == {}
+    n1 = _corpus_n(spark, SF_SMALL)
+    assert n1 > 0 and _CORPUS_N[SF_SMALL] == n1
+    # second call within the same "query": served from the memo
+    assert _corpus_n(spark, SF_SMALL) == n1
+    # driver-side clear ends the lifetime
+    registry.clear_caches()
+    assert _CORPUS_N == {}
