@@ -295,3 +295,136 @@ def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(
         project, "vec_id long, proj array<double>"
     )
+
+
+# --- gram_power_topvec: ORACLE-EXACT dominant eigendirection ---------------
+#
+# pca_project's eigh() is necessarily rows-only (LAPACK is not
+# cross-engine-replayable). This operator is its exact sibling: the
+# dominant eigendirection of the (uncentered) Gram / second-moment
+# matrix via POWER ITERATION carried out entirely in bigint
+# arithmetic, so the whole trajectory — including every rescale —
+# replays bit-identically in DuckDB as an unrolled CTE chain (the
+# pagerank_copurchase treatment applied to linear algebra):
+#
+#   G_ij = (sum_v floor(x_vi * x_vj * 1e6)) div n     (<= 1e6, any n)
+#   v_0  = [1e6] * d
+#   w    = G v                 (bigint matvec, <= d * 1e12 per entry)
+#   v'   = w div max(1, max_i|w_i| div 1e6)           (re-scale to ~1e6)
+#
+# The integer rescale replaces the usual 2-norm normalization — it
+# preserves direction exactly, needs no sqrt, and bounds every value
+# independent of corpus size (G is count-normalized, v is capped at
+# ~1e6, so |w| <= d * 1e12 << int64). POWER_ITERS = 8 rounds. The
+# pytests pin BOTH properties separately: a bit-exact numpy replay of
+# the integer recurrence on the real fixture (replay fidelity is
+# eigengap-independent), and |cos| > 0.99 against numpy eigh on a
+# planted-spike corpus whose Gram actually has a dominant eigenvalue
+# (the fixture's random embeddings are near-isotropic, where NO
+# 8-round power method converges — spectrum, not a defect).
+
+POWER_ITERS = 8
+_PQ_SCALE = 1_000_000  # fixed-point scale for G entries and v
+
+
+def _gram_power_oracle() -> str:
+    steps = []
+    for k in range(1, POWER_ITERS + 1):
+        steps.append(
+            f"""
+w{k} AS (
+  SELECT g.i, sum(g.q * v.v) AS w
+  FROM gram g JOIN v{k - 1} v ON v.i = g.j
+  GROUP BY g.i
+),
+m{k} AS (SELECT greatest(1, max(abs(w)) // {_PQ_SCALE}) AS d FROM w{k}),
+v{k} AS (SELECT i, CAST(w // d AS BIGINT) AS v FROM w{k}, m{k})"""
+        )
+        chain = ",".join(steps)
+    return f"""
+WITH ex AS (
+  SELECT vec_id, i, CAST(x AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+n AS (SELECT count(DISTINCT vec_id) AS n_vecs FROM ex),
+gram AS (
+  SELECT a.i, b.i AS j,
+         CAST(sum(CAST(floor(a.x * b.x * {_PQ_SCALE}.0) AS BIGINT))
+              // n.n_vecs AS BIGINT) AS q
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+  CROSS JOIN n
+  GROUP BY a.i, b.i, n.n_vecs
+),
+dims AS (SELECT DISTINCT i FROM ex),
+v0 AS (SELECT i, CAST({_PQ_SCALE} AS BIGINT) AS v FROM dims),
+{chain}
+SELECT i AS dim, v AS v_q FROM v{POWER_ITERS}
+"""
+
+
+@query("gram_power_topvec", oracle=_gram_power_oracle())
+def gram_power_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigendirection of the embeddings' Gram matrix by
+    {POWER_ITERS}-round fixed-point power iteration (module comment
+    above: bigint matvec + integer max-abs rescale, hash-exact in
+    DuckDB via unrolled CTEs — the oracle-exact sibling of
+    pca_project's rows-only eigh).
+
+    Scale: the Gram build is the ONE corpus-sized pass — a component
+    self-join keyed on vec_id (never materializing n x d^2; the
+    groupBy key is (i, j), d^2 = bounded by embedding width) with the
+    count-normalization folded in as an exact integer division, so
+    every entry is <= 1e6 regardless of corpus size. Each iteration
+    is then O(d^2) work on BROADCAST d-row vectors — 64-row frames,
+    localCheckpoint-cut like pagerank's rounds; corpus size never
+    re-enters."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "x"
+        ),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    ex = track_cache(ex)
+    nn = ex.agg(F.countDistinct("vec_id").alias("n_vecs"))
+    a = ex.select("vec_id", "i", F.col("x").alias("xa"))
+    b = ex.select("vec_id", F.col("i").alias("j"), F.col("x").alias("xb"))
+    gram = track_cache(
+        a.join(b, "vec_id")
+        .select(
+            "i",
+            "j",
+            F.floor(F.col("xa") * F.col("xb") * F.lit(float(_PQ_SCALE)))
+            .cast("bigint")
+            .alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s"))
+        .crossJoin(F.broadcast(nn))
+        .select("i", "j", F.expr("s div n_vecs").alias("q"))
+    )
+    v = (
+        gram.select("i")
+        .distinct()
+        .select("i", F.lit(_PQ_SCALE).cast("bigint").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(POWER_ITERS):
+        w = (
+            gram.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("q") * F.col("v")).alias("w"))
+        )
+        d = w.agg(
+            F.expr(f"greatest(1, max(abs(w)) div {_PQ_SCALE}) AS d")
+        )
+        v = (
+            w.crossJoin(F.broadcast(d))
+            .select("i", F.expr("w div d").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return v.select(F.col("i").alias("dim"), F.col("v").alias("v_q"))

@@ -113,7 +113,7 @@ PRIORITY_ORDER = [
     # committed full-sweep artifacts); displaced rotation occupants
     # lead the list
     "triangle_count", "bfs_distances", "heavy_hitters", "allpairs_cosine",
-    "dedup_semantic", "hybrid_search", "mmr_rerank", "dsir_weights", "dsir_sample",
+    "dedup_semantic", "hybrid_search", "mmr_rerank", "dsir_weights", "dsir_sample", "gram_power_topvec",
     "corpus_curate_semantic",
     "corpus_curate", "kmv_set_ops", "zorder_layout", "k_anonymity",
     "customer_rfm", "bm25_search", "lm_score",
