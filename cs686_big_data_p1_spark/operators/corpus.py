@@ -1103,11 +1103,13 @@ w AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hi
   FROM dw
 ),
-p AS (
-  SELECT (sum(weight_e6) // {_WS_K}) AS stride,
-         (sum(weight_e6) // {_WS_K}) // 2 AS off
+p0 AS (
+  SELECT CASE WHEN coalesce(sum(weight_e6), 0) < {_WS_K}
+              THEN CAST(error('weighted_sample: total weight < sample points (stride 0)') AS BIGINT)
+              ELSE sum(weight_e6) // {_WS_K} END AS stride
   FROM dw
-)
+),
+p AS (SELECT stride, stride // 2 AS off FROM p0)
 SELECT doc_id, CAST(weight AS BIGINT) AS weight,
        CAST(cum_hi AS BIGINT) AS cum_hi,
        CAST(((cum_hi - 1 - off + stride) // stride)

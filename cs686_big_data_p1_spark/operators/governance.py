@@ -245,10 +245,17 @@ T_NUM, T_DEN = 1, 5  # t = 0.2
 # values past BIGINT max raise loudly BEFORE the cast to the (30,0)
 # working precision (needed to keep the t_ok cross-multiply within
 # DuckDB's p1+p2<=38 rule), so non-ANSI Spark can never render an
-# overflow as silent NULLs in t_num/t_dist/t_ok. Module-level so
+# overflow as silent NULLs in t_num/t_dist/t_ok. The IS NULL arm
+# (ADVICE r11) closes the residual window ABOVE the guard: if the
+# decimal(38,0) sum itself overflows 38 digits, non-ANSI Spark yields
+# NULL, and a bare `NULL > bound` falls through to ELSE where
+# CAST(NULL) is silent — the exact failure class the guard targets,
+# one threshold higher (~1e38, plausible at 100 TB since the summand
+# is already a 37-digit product). Module-level so
 # tests/test_governance.py pins the raise on a planted 1e31 sum.
 T_SUM_GUARD_SQL = (
-    "CASE WHEN t_sum_raw > CAST(9223372036854775807 AS DECIMAL(38,0))"
+    "CASE WHEN t_sum_raw IS NULL"
+    " OR t_sum_raw > CAST(9223372036854775807 AS DECIMAL(38,0))"
     " THEN CAST(raise_error('t_closeness: t_num exceeds BIGINT')"
     " AS DECIMAL(30,0))"
     " ELSE CAST(t_sum_raw AS DECIMAL(30,0)) END"

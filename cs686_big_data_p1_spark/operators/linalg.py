@@ -372,36 +372,60 @@ def gram_power_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB via unrolled CTEs — the oracle-exact sibling of
     pca_project's rows-only eigh).
 
-    Scale: the Gram build is the ONE corpus-sized pass — a component
-    self-join keyed on vec_id (never materializing n x d^2; the
-    groupBy key is (i, j), d^2 = bounded by embedding width) with the
-    count-normalization folded in as an exact integer division, so
-    every entry is <= 1e6 regardless of corpus size. Each iteration
-    is then O(d^2) work on BROADCAST d-row vectors — 64-row frames,
-    localCheckpoint-cut like pagerank's rounds; corpus size never
-    re-enters."""
+    Scale: the Gram build is the ONE corpus-sized pass — each Arrow
+    batch folds its rows' quantized outer products into a d x d int64
+    partial Gram INSIDE the task (numpy, the pair_sqdist_q_pd kernel
+    family) and emits only the d^2 sufficient-statistic cells, so NO
+    join ever forms the pairs and the only shuffle is the final
+    groupBy over O(d^2 * partitions) partial rows — constant in the
+    row count, the provably minimal movement (embedding_covariance's
+    plan judgment). The r11 verdict flagged the original vec_id
+    component self-join (shuffled the exploded corpus twice); the
+    first map-side cut, flatten(transform(transform)), fixed the
+    shuffle but materialized a 4096-struct array per row and measured
+    4.5x SLOWER at sf0.1 — the kernel form keeps the zero-shuffle
+    plan and the vectorized CPU. floor((x_i * x_j) * 1e6) in float64
+    is bit-identical across numpy / Spark / DuckDB (IEEE, same
+    association). Count-normalization folds in as an exact integer
+    division, so every entry is <= 1e6 regardless of corpus size;
+    partial sums stay < 2^63 up to ~9e12 rows per partition. Each
+    iteration is then O(d^2) work on BROADCAST d-row vectors — 64-row
+    frames, localCheckpoint-cut like pagerank's rounds; corpus size
+    never re-enters."""
     e = load_table(spark, sf_dir, "embeddings")
-    ex = e.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "i0", "x"
-        ),
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
-    ex = track_cache(ex)
-    nn = ex.agg(F.countDistinct("vec_id").alias("n_vecs"))
-    a = ex.select("vec_id", "i", F.col("x").alias("xa"))
-    b = ex.select("vec_id", F.col("i").alias("j"), F.col("x").alias("xb"))
+    nn = e.agg(F.countDistinct("vec_id").alias("n_vecs"))
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            for lo in range(0, len(X), 512):
+                c = X[lo : lo + 512]
+                p = np.floor(
+                    (c[:, :, None] * c[:, None, :]) * float(_PQ_SCALE)
+                ).astype(np.int64)
+                s = p.sum(axis=0)
+                acc = s if acc is None else acc + s
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).ravel().astype(np.int32),
+                    "j": (jj + 1).ravel().astype(np.int32),
+                    "s": acc.ravel(),
+                }
+            )
+
+    partials = e.select("embedding").mapInPandas(
+        gram_partials, "i int, j int, s long"
+    )
     gram = track_cache(
-        a.join(b, "vec_id")
-        .select(
-            "i",
-            "j",
-            F.floor(F.col("xa") * F.col("xb") * F.lit(float(_PQ_SCALE)))
-            .cast("bigint")
-            .alias("p"),
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("s"))
+        partials.groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
         .crossJoin(F.broadcast(nn))
         .select("i", "j", F.expr("s div n_vecs").alias("q"))
     )

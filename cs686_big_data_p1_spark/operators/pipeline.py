@@ -1241,11 +1241,13 @@ WITH w AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hi
   FROM documents
 ),
-p AS (
-  SELECT (sum(n_chars) // {WS_K}) AS stride,
-         (sum(n_chars) // {WS_K}) // 2 AS off
+p0 AS (
+  SELECT CASE WHEN coalesce(sum(n_chars), 0) < {WS_K}
+              THEN CAST(error('weighted_sample: total weight < sample points (stride 0)') AS BIGINT)
+              ELSE sum(n_chars) // {WS_K} END AS stride
   FROM documents
-)
+),
+p AS (SELECT stride, stride // 2 AS off FROM p0)
 SELECT doc_id, weight, CAST(cum_hi AS BIGINT) AS cum_hi,
        CAST(((cum_hi - 1 - off + stride) // stride)
             - ((cum_hi - weight - 1 - off + stride) // stride)
@@ -1279,10 +1281,21 @@ def weighted_sample_frame(d: DataFrame, n_points: int) -> DataFrame:
         "shard",
         F.coalesce(F.sum("shard_total").over(w_off), F.lit(0)).alias("base"),
     )
-    params = d.agg(
-        F.expr(f"sum(weight) div {n_points}").alias("stride"),
-        F.expr(f"(sum(weight) div {n_points}) div 2").alias("off"),
-    )
+    # Degenerate-corpus guard (ADVICE r11): a frame whose total weight
+    # is < n_points (legal for DSIR — weights CAN be 0 for most docs,
+    # unlike n_chars) makes stride = 0; non-ANSI Spark renders `div 0`
+    # as NULL so every pick silently filters out (empty sample) while
+    # the DuckDB oracle errors on // 0 — divergent engine/oracle
+    # behavior. Both sides now raise identically on the degenerate
+    # corpus (oracle: the CASE/error() arm in p0).
+    params = d.agg(F.sum("weight").alias("tw")).select(
+        F.expr(
+            f"CASE WHEN tw IS NULL OR tw < {n_points}"
+            " THEN CAST(raise_error('weighted_sample: total weight <"
+            " sample points (stride 0)') AS BIGINT)"
+            f" ELSE tw div {n_points} END"
+        ).alias("stride")
+    ).withColumn("off", F.expr("stride div 2"))
     cum = (
         local.join(F.broadcast(offsets), "shard")
         .select(

@@ -164,22 +164,43 @@ def _stage_tables(
     fs.create(jpath(f"{staging}/_swap-{tag}")).close()
 
 
-def _swap_begin(spark: SparkSession, path: str, tag: str) -> str:
+def _swap_tokens(fs, jvm, path: str) -> tuple:
+    """Sorted tuple of ``_swap-*`` identity-token names directly under
+    ``path`` (empty if the path is missing). Every store published by
+    this machinery carries exactly one; the tuple is the store's
+    identity fingerprint across renames."""
+    jpath = jvm.org.apache.hadoop.fs.Path
+    p = jpath(path)
+    if not fs.exists(p):
+        return ()
+    names = [st.getPath().getName() for st in fs.listStatus(p)]
+    return tuple(sorted(n for n in names if n.startswith("_swap-")))
+
+
+def _swap_begin(spark: SparkSession, path: str, tag: str) -> tuple:
     """First half of the swap: rename the live store out of the way
     (verified — Hadoop rename returns false instead of throwing on
-    several failure shapes). Returns the .old sibling path."""
+    several failure shapes). Returns ``(old_path, prev_tokens)`` where
+    ``prev_tokens`` is the live store's identity-token fingerprint
+    captured immediately before the rename — _swap_finish uses it to
+    prove that a re-created live path really is OUR rolled-back
+    previous state and not another writer's committed store (ADVICE
+    r11: with the .old name consumed by a reader rollback, the two
+    worlds are otherwise indistinguishable, and re-asiding the wrong
+    one ends in fs.delete destroying committed data)."""
     from ..sources.snapshots import _fs
 
     fs, p, jvm = _fs(spark, path)
     jpath = jvm.org.apache.hadoop.fs.Path
     old = f"{path}.old-{tag}"
+    prev_tokens = _swap_tokens(fs, jvm, path)
     if fs.exists(p) and not fs.rename(p, jpath(old)):
         raise IOError(
             f"neardup store swap: rename {path} -> {old} failed "
             "(leftover .old dir or concurrent drain?) — state not "
             f"updated; staging left at {path}.staging-{tag}"
         )
-    return old
+    return old, prev_tokens
 
 
 # Bound on reader-rollback ping-pong rounds in _swap_finish. Each
@@ -191,7 +212,13 @@ def _swap_begin(spark: SparkSession, path: str, tag: str) -> str:
 _SWAP_RETRIES = 5
 
 
-def _swap_finish(spark: SparkSession, path: str, tag: str, old: str) -> None:
+def _swap_finish(
+    spark: SparkSession,
+    path: str,
+    tag: str,
+    old: str,
+    prev_tokens: tuple = (),
+) -> None:
     """Second half of the swap: publish staging at the live path and
     verify THIS WRITE'S identity landed there — retrying until the
     publish sticks (VERDICT r10 #5: prevention, not just detection).
@@ -216,7 +243,16 @@ def _swap_finish(spark: SparkSession, path: str, tag: str, old: str) -> None:
     once, so the loop converges; _SWAP_RETRIES bounds the pathological
     case and the loud IOError remains as the backstop. A missing token
     WITHOUT our nested staging still raises immediately — that live
-    store is some OTHER writer's data and no automatic choice is safe."""
+    store is some OTHER writer's data and no automatic choice is safe.
+
+    The re-aside itself is gated on ``prev_tokens`` (ADVICE r11): the
+    re-created live store must carry exactly the identity tokens the
+    previous live store carried at _swap_begin. A concurrent writer
+    that completed a FULL begin/publish cycle after a reader rollback
+    consumed our .old leaves the live path with its own fresh token
+    and our .old absent — without the fingerprint check that world is
+    indistinguishable from a bare rollback, and re-asiding it would
+    end with fs.delete(old) destroying that writer's committed data."""
     from ..sources.snapshots import _fs
 
     staging = f"{path}.staging-{tag}"
@@ -242,6 +278,23 @@ def _swap_finish(spark: SparkSession, path: str, tag: str, old: str) -> None:
                     f"{old} still exists — a concurrent writer, not a "
                     "reader rollback; manual recovery needed (staging "
                     f"preserved at {staging})"
+                )
+            # .old absent alone does NOT prove a reader rollback: a
+            # concurrent writer whose full begin/publish cycle ran
+            # after the rollback consumed our .old leaves the same
+            # shape (ADVICE r11). Demand the live store carry EXACTLY
+            # the identity tokens captured at _swap_begin — only our
+            # rolled-back previous state can — before re-asiding it
+            # into a name the final fs.delete will destroy.
+            live_tokens = _swap_tokens(fs, jvm, path)
+            if not prev_tokens or live_tokens != prev_tokens:
+                raise IOError(
+                    f"neardup store swap: {path} was re-created with "
+                    f"identity tokens {list(live_tokens)} != the "
+                    f"pre-swap fingerprint {list(prev_tokens)} — a "
+                    "concurrent writer's committed store, not our "
+                    "reader-rolled-back state; manual recovery needed "
+                    f"(staging preserved at {staging})"
                 )
             if not fs.rename(p, jpath(old)):
                 raise IOError(
@@ -316,8 +369,8 @@ def write_neardup_store(store: dict[str, DataFrame], path: str) -> None:
     spark = next(iter(store.values())).sparkSession
     tag = _uuid.uuid4().hex[:8]
     _stage_tables(store, f"{path}.staging-{tag}", tag)
-    old = _swap_begin(spark, path, tag)
-    _swap_finish(spark, path, tag, old)
+    old, prev_tokens = _swap_begin(spark, path, tag)
+    _swap_finish(spark, path, tag, old, prev_tokens)
 
 
 def neardup_stream_pairs(

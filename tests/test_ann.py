@@ -588,9 +588,44 @@ def test_corpus_count_memo_lifetime(spark):
     registry.clear_caches()
     assert _CORPUS_N == {}
     n1 = _corpus_n(spark, SF_SMALL)
-    assert n1 > 0 and _CORPUS_N[SF_SMALL] == n1
+    assert n1 > 0 and list(_CORPUS_N.values()) == [n1]
+    [key] = _CORPUS_N
+    assert key[0] == SF_SMALL
     # second call within the same "query": served from the memo
     assert _corpus_n(spark, SF_SMALL) == n1
+    assert len(_CORPUS_N) == 1
     # driver-side clear ends the lifetime
     registry.clear_caches()
     assert _CORPUS_N == {}
+
+
+def test_corpus_count_memo_structural_staleness_guard(spark, tmp_path):
+    """ADVICE r11: the memo's correctness must not rest on every
+    caller remembering clear_caches(). The key now carries a
+    (size, mtime_ns) fingerprint of the embeddings parquet, so a
+    REWRITTEN fixture dir yields the fresh count even when nobody
+    cleared the memo between queries."""
+    import os
+
+    from cs686_big_data_p1_spark import registry
+    from cs686_big_data_p1_spark.operators.ann import _corpus_n
+
+    registry.clear_caches()
+    sf_dir = str(tmp_path)
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = [float(i) for i in range(8)]
+    spark.createDataFrame(
+        [(i, emb) for i in range(5)], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    assert _corpus_n(spark, sf_dir) == 5
+
+    # Rewrite the fixture IN PLACE with a different row count and a
+    # bumped mtime — no clear_caches() in between.
+    spark.createDataFrame(
+        [(i, emb) for i in range(9)], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    os.utime(
+        path, ns=(os.stat(path).st_mtime_ns + 1, os.stat(path).st_mtime_ns + 1)
+    )
+    assert _corpus_n(spark, sf_dir) == 9
+    registry.clear_caches()

@@ -120,3 +120,13 @@ def test_t_closeness_overflow_guard_is_loud(spark):
     ).withColumn("t_sum", F.expr(T_SUM_GUARD_SQL))
     [row] = under.collect()
     assert row.t_sum == 9223372036854775807
+
+    # ADVICE r11: a sum that overflowed decimal(38,0) ITSELF arrives
+    # here as NULL under non-ANSI Spark; `NULL > bound` is NULL, so a
+    # bare comparison falls through to ELSE and CAST(NULL) is silent —
+    # the IS NULL arm must raise loudly instead.
+    null_sum = spark.sql(
+        "SELECT CAST(NULL AS DECIMAL(38,0)) AS t_sum_raw"
+    ).withColumn("t_sum", F.expr(T_SUM_GUARD_SQL))
+    with pytest.raises(Exception, match="t_num exceeds BIGINT"):
+        null_sum.collect()

@@ -158,6 +158,32 @@ def test_weighted_sample_total_picks_and_pigeonhole(spark):
     assert by_id[123] >= 1
 
 
+def test_weighted_sample_degenerate_corpus_raises(spark):
+    """ADVICE r11: total weight < n_points => stride 0. Pre-guard,
+    non-ANSI Spark rendered `div 0` as NULL and every pick filtered
+    out — a silently EMPTY sample — while the DuckDB oracle errored on
+    // 0. Both sides now raise loudly and identically; this pins the
+    Spark side (DSIR weights can legitimately be 0 for most docs, so
+    a barely-target-overlapping corpus reaches this state)."""
+    import pytest
+
+    from cs686_big_data_p1_spark.operators.pipeline import (
+        WS_K,
+        weighted_sample_frame,
+    )
+
+    d = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, 3).otherwise(0).cast("bigint").alias("weight"),
+    )  # total weight 3 < WS_K=64
+    with pytest.raises(Exception, match="stride 0"):
+        weighted_sample_frame(d, WS_K).collect()
+    # (A fully EMPTY frame short-circuits to an empty result before the
+    # guard's 1-row agg evaluates — AQE empty-relation propagation
+    # cancels the broadcast stage. The guarded class is the ADVICE one:
+    # a NON-empty corpus whose total weight is below the grid size.)
+
+
 def test_reservoir_sample_deterministic_and_sized(spark, registry):
     from cs686_big_data_p1_spark.operators.pipeline import RESERVOIR_K
 

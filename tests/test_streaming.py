@@ -966,15 +966,17 @@ def test_neardup_store_reader_rollback_race_converges(spark, tmp_path):
     )
     tag = "racetag1"
     _stage_tables(store2, f"{store_path}.staging-{tag}", tag)
-    old = _swap_begin(spark, store_path, tag)
+    old, prev_tokens = _swap_begin(spark, store_path, tag)
     assert not os.path.isdir(store_path)  # mid-swap crash window
 
     # Reader races in: sees the store missing, rolls .old back.
     _recover_orphan_store(spark, store_path)
     assert os.path.isdir(store_path)
 
-    # Writer resumes: the publish must converge despite the rollback.
-    _swap_finish(spark, store_path, tag, old)
+    # Writer resumes: the publish must converge despite the rollback
+    # (the rolled-back store carries the pre-swap identity tokens, so
+    # the ADVICE-r11 fingerprint gate lets the re-aside through).
+    _swap_finish(spark, store_path, tag, old, prev_tokens)
 
     served = load_neardup_store(spark, store_path)
     assert {r.th for r in served["hashes"].collect()} == {"prior", "drained"}
@@ -1017,7 +1019,7 @@ def test_neardup_store_concurrent_writer_still_raises(spark, tmp_path):
     )
     tag = "racetag2"
     _stage_tables(store2, f"{store_path}.staging-{tag}", tag)
-    old = _swap_begin(spark, store_path, tag)
+    old, prev_tokens = _swap_begin(spark, store_path, tag)
 
     # A concurrent writer publishes its own store at the live path
     # while our .old-<tag> still exists.
@@ -1028,11 +1030,75 @@ def test_neardup_store_concurrent_writer_still_raises(spark, tmp_path):
     write_neardup_store(foreign, store_path)
 
     with _pytest.raises(IOError, match="concurrent writer"):
-        _swap_finish(spark, store_path, tag, old)
+        _swap_finish(spark, store_path, tag, old, prev_tokens)
 
     # All three states preserved for the operator: the foreign live
     # store, our pre-drain .old, and our staged update.
     served = load_neardup_store(spark, store_path)
     assert {r.th for r in served["hashes"].collect()} == {"foreign"}
     assert os.path.isdir(old)
+    assert os.path.isdir(f"{store_path}.staging-{tag}")
+
+
+def test_neardup_store_rollback_then_foreign_writer_raises(
+    spark, tmp_path
+):
+    """ADVICE r11 (medium): a reader rollback CONSUMES our .old, and a
+    concurrent writer then completes a FULL begin/publish cycle before
+    our retry — the live path now holds the OTHER writer's committed
+    store with our .old absent, byte-for-byte indistinguishable from a
+    bare rollback by directory shape alone. Pre-fix, _swap_finish
+    re-asided that store, published over it, and the terminal
+    fs.delete(old) destroyed the other writer's committed data. The
+    identity-token fingerprint captured at _swap_begin must make this
+    raise instead, preserving the foreign store."""
+    import os
+
+    import pytest as _pytest
+
+    from cs686_big_data_p1_spark.streaming.neardup import (
+        _STORE_SCHEMAS,
+        _recover_orphan_store,
+        _stage_tables,
+        _swap_begin,
+        _swap_finish,
+        load_neardup_store,
+        write_neardup_store,
+    )
+
+    store_path = str(tmp_path / "store")
+    store = load_neardup_store(spark, None)
+    store["hashes"] = spark.createDataFrame(
+        [("prior",)], _STORE_SCHEMAS["hashes"]
+    )
+    write_neardup_store(store, store_path)
+
+    store2 = load_neardup_store(spark, store_path)
+    store2["hashes"] = spark.createDataFrame(
+        [("prior",), ("drained",)], _STORE_SCHEMAS["hashes"]
+    )
+    tag = "racetag3"
+    _stage_tables(store2, f"{store_path}.staging-{tag}", tag)
+    old, prev_tokens = _swap_begin(spark, store_path, tag)
+
+    # Reader rollback consumes our .old name...
+    _recover_orphan_store(spark, store_path)
+    assert not os.path.isdir(old)
+
+    # ...then a concurrent writer runs a COMPLETE cycle: its own
+    # begin (live -> its .old), publish, verify, delete-its-old. The
+    # live path now carries a fresh foreign token and our .old is gone.
+    foreign = load_neardup_store(spark, None)
+    foreign["hashes"] = spark.createDataFrame(
+        [("foreign",)], _STORE_SCHEMAS["hashes"]
+    )
+    write_neardup_store(foreign, store_path)
+
+    with _pytest.raises(IOError, match="identity tokens"):
+        _swap_finish(spark, store_path, tag, old, prev_tokens)
+
+    # The foreign writer's committed store survives, and our staged
+    # update is preserved for the operator.
+    served = load_neardup_store(spark, store_path)
+    assert {r.th for r in served["hashes"].collect()} == {"foreign"}
     assert os.path.isdir(f"{store_path}.staging-{tag}")
