@@ -2302,3 +2302,250 @@ def ann_recall_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_hits.cast("double") / F.col("n_true")).alias("recall"),
         )
     )
+
+
+# --- knn_ivf_append: incremental index maintenance (VERDICT r11 #8) -------
+#
+# Every trained index above re-derives its structure from the full
+# corpus per invocation; a real 100 TB pipeline APPENDS embeddings and
+# folds them into an EXISTING index: assign the new vectors to FROZEN
+# centroids, merge their inverted-list entries with the stored base
+# assignment, and search the union — retraining only when cell
+# imbalance says so (max occupancy / mean over a threshold, derivable
+# from the merged assignment with one groupBy). The delta split is
+# deterministic and oracle-replayable: candidates with
+# vec_id % DELTA_MOD == DELTA_RES are "the batch that arrived after
+# the index was built", so the frozen quantizer is sized and seeded
+# from the BASE candidates only (nlist = ceil(sqrt(n_base)); seeds =
+# the first nlist base candidates, taken from a bounded id-slice so
+# the seed window is O(nlist) rows, never a corpus-wide sort).
+
+DELTA_MOD = 10
+DELTA_RES = 7
+
+
+def _assign_frozen(part: DataFrame, cents: DataFrame) -> DataFrame:
+    """Rank a (vec_id, embedding, norm) slice against a FROZEN
+    broadcast codebook by fixed-point cosine: the one kernel all three
+    knn_ivf_append passes (stored base, appended delta, query probes)
+    share — and the reason an append is mergeable: assignment depends
+    only on (row, codebook), never on other rows."""
+    cscore = (
+        pair_dot_pd(F.col("embedding"), F.col("cent_emb"))
+        / (F.col("norm") * F.col("cent_norm"))
+    ).alias("cscore")
+    scores = part.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cscore
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cid"))
+    return scores.withColumn("rk", F.row_number().over(w))
+
+
+def _append_parts(spark: SparkSession, sf_dir: str):
+    """Build the frozen-index pieces knn_ivf_append searches over:
+    (vecs, base, delta, cents, merged_assignment, probes). Split out so
+    tests can compare the merged incremental assignment against a
+    single-pass batch assignment over the same frozen codebook."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = track_cache(
+        e.select(
+            "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+        )
+    )
+    is_delta = (F.col("vec_id") % DELTA_MOD) == DELTA_RES
+    base = vecs.where((F.col("vec_id") >= ANN_N_QUERIES) & ~is_delta)
+    delta = vecs.where((F.col("vec_id") >= ANN_N_QUERIES) & is_delta)
+    n_base = base.count()
+    nlist = _nlist(n_base)
+    span = ((nlist + 8) // 9) * 10 + 10
+    w_seed = Window.orderBy("vec_id")  # bounded: <= span-row id slice
+    cents = (
+        base.where(F.col("vec_id") < ANN_N_QUERIES + span)
+        .withColumn("rk", F.row_number().over(w_seed))
+        .where(F.col("rk") <= nlist)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("norm").alias("cent_norm"),
+        )
+    )
+    cents = cents.localCheckpoint(eager=True)  # freeze the codebook
+
+    # Stored base lists, appended delta lists, query probes — three
+    # independent passes against the same broadcast frozen codebook.
+    assigned_base = (
+        _assign_frozen(base, cents)
+        .where(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "cid")
+    )
+    assigned_delta = (
+        _assign_frozen(delta, cents)
+        .where(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "cid")
+    )
+    merged = assigned_base.unionByName(assigned_delta)
+    probes = (
+        _assign_frozen(vecs.where(F.col("vec_id") < ANN_N_QUERIES), cents)
+        .where(F.col("rk") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    return vecs, base, delta, cents, merged, probes
+
+KNN_IVF_APPEND_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM ex GROUP BY vec_id
+),
+base AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id >= {ANN_N_QUERIES} AND vec_id % {DELTA_MOD} <> {DELTA_RES}
+),
+nl AS (
+  SELECT greatest(1, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))
+      AS nlist
+  FROM base
+),
+sp AS (SELECT nlist, ((nlist + 8) // 9) * 10 + 10 AS w FROM nl),
+cents AS (
+  SELECT vec_id AS cid FROM (
+    SELECT b.vec_id, row_number() OVER (ORDER BY b.vec_id) AS rk, s.nlist
+    FROM base b, sp s WHERE b.vec_id < {ANN_N_QUERIES} + s.w)
+  WHERE rk <= nlist
+),
+cdots AS (
+  SELECT v.vec_id, c.cid,
+         CAST(sum(CAST(floor(v.x * ce.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM ex v
+  JOIN cents c ON true
+  JOIN ex ce ON ce.vec_id = c.cid AND ce.i = v.i
+  GROUP BY v.vec_id, c.cid
+),
+cscores AS (
+  SELECT d.vec_id, d.cid, d.dot / (nv.norm * nc.norm) AS cscore
+  FROM cdots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cid
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores WHERE vec_id >= {ANN_N_QUERIES})
+  WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores WHERE vec_id < {ANN_N_QUERIES})
+  WHERE rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST(sum(CAST(floor(q.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM cand cd
+  JOIN ex q ON q.vec_id = cd.query_id
+  JOIN ex c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank,
+       (neighbor_id % {DELTA_MOD} = {DELTA_RES}) AS from_delta
+FROM (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / (nq.norm * nc.norm) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot / (nq.norm * nc.norm) DESC,
+                                     d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id)
+WHERE rank <= {ANN_K}
+"""
+
+
+@query("knn_ivf_append", oracle=KNN_IVF_APPEND_ORACLE)
+def knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance + merged search (FAISS
+    IndexIVF.add on a trained index): the coarse quantizer is FROZEN
+    on the base corpus (candidates outside the delta residue class),
+    the delta batch is assigned to those frozen centroids in its OWN
+    pass — the base corpus is never re-touched by the append — and
+    search probes the UNION of the stored base inverted lists and the
+    delta's new entries. Output = knn_ivf's shape plus ``from_delta``
+    so a result row is attributable to the appended batch.
+
+    Cell-imbalance retrain trigger: one groupBy(cid).count() over the
+    merged assignment vs mean occupancy — not emitted here, the merged
+    `assigned` union is exactly its input.
+
+    Scale: the delta assignment is O(|delta| x nlist) against a
+    BROADCAST frozen codebook — the mergeable-partial pattern
+    (sources/incremental.py): appends never reshuffle the base, whose
+    assignment is the stored partitionBy(cid) layout (write_ivf_store).
+    The seed window sorts a BOUNDED O(nlist) id-slice, not the corpus;
+    n_base is one column-pruned count off the cached vecs frame
+    (control flow, the _ivf_cells convention). tests/test_ann.py pins
+    merged == single-pass batch assignment over base ∪ delta against
+    the same frozen codebook (an append loses nothing vs a rebuild),
+    a recall floor vs brute force, and that delta vectors are
+    retrievable."""
+    vecs, _base, _delta, cents, merged, probes = _append_parts(
+        spark, sf_dir
+    )
+    cand = F.broadcast(probes).join(merged, "cid").select(
+        "query_id", "neighbor_id"
+    )
+    qv = vecs.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                pair_dot_pd(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "rank",
+            ((F.col("neighbor_id") % DELTA_MOD) == DELTA_RES).alias(
+                "from_delta"
+            ),
+        )
+    )

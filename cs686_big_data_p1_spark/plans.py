@@ -17,6 +17,41 @@ def formatted_plan(df, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+_ORDER_SORTERS = ("sort_array", "array_sort")
+_ORDER_COLLECTORS = r"\b(collect_list|collect_set|array_agg)\("
+
+
+def unsorted_collector_violations(plan: str) -> list[str]:
+    """PARITY.md §7's nested-column rule, made structural (VERDICT r11
+    #6): an ArrayType output built by an aggregation collector
+    (collect_list / collect_set / array_agg) carries SHUFFLE order —
+    nondeterministic run to run — unless some enclosing call is
+    sort_array / array_sort. Scans an analyzed-plan string and returns
+    a snippet per collector occurrence with NO sorter anywhere in its
+    enclosing-call chain (so sort_array(flatten(collect_list(...)))
+    passes: the outer sort fixes the order of the whole union). Window
+    collectors (collect_list OVER an ordered frame) are still flagged —
+    frame order is deterministic only when the ordering key is unique,
+    which a plan string cannot prove; such queries must be waived BY
+    NAME with their ordering argument (tools/check_oracle.py
+    NESTED_ORDER_WAIVERS)."""
+    out = []
+    for m in re.finditer(_ORDER_COLLECTORS, plan):
+        seg = plan[: m.start()]
+        stack: list[str] = []
+        for j, ch in enumerate(seg):
+            if ch == "(":
+                k = j - 1
+                while k >= 0 and (seg[k].isalnum() or seg[k] == "_"):
+                    k -= 1
+                stack.append(seg[k + 1 : j])
+            elif ch == ")" and stack:
+                stack.pop()
+        if not any(s in _ORDER_SORTERS for s in stack):
+            out.append(plan[m.start() : m.start() + 80].replace("\n", " "))
+    return out
+
+
 def split_top_level(schema: str) -> list[str]:
     """Split a ReadSchema struct body on top-level commas only."""
     out, depth, cur = [], 0, []

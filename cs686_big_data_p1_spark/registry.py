@@ -100,20 +100,24 @@ PRIORITY_ORDER = [
     # ROTATING WINDOW, slots 44-50 (VERDICT r8 #10): these seven slots
     # change every round across the extension surface so queries past
     # the driver's 50-row window eventually earn a driver-grade
-    # correctness row. Round 11 picks (VERDICT r10 #3): the three r10
-    # driver failures STAY for re-verification after their oracle
-    # dtype-contract fix (CAST ... AS BIGINT — the values were always
-    # equal, the declared types were not), plus four never-checked r10
-    # newcomers. Displaced r10 occupants move to the head of the
-    # post-window list.
-    "pagerank_copurchase", "bpe_merges", "knn_pq_adc",
-    "substring_dedup", "kll_quantiles", "stream_attribution_outer",
-    "ann_recall_all",
+    # correctness row. Round 12 picks (VERDICT r11 #3, all with zero
+    # driver history): retention_cohorts (driver-confirm the PARITY §4
+    # DATE-vs-timestamp class fixed in r11), gram_power_topvec (this
+    # round's Arrow-kernel Gram rebuild), t_closeness (this round's
+    # NULL-overflow guard), the r11 newcomers mmr_rerank/dsir_sample,
+    # substring_scrub, and knn_ivf_trained (the Lloyd-trained leg).
+    # Displaced r11 occupants move to the head of the post-window list.
+    "retention_cohorts", "gram_power_topvec", "t_closeness",
+    "mmr_rerank", "dsir_sample", "substring_scrub",
+    "knn_ivf_trained",
     # extras past the driver window (judge self-checks these via the
     # committed full-sweep artifacts); displaced rotation occupants
     # lead the list
+    "pagerank_copurchase", "bpe_merges", "knn_pq_adc",
+    "substring_dedup", "kll_quantiles", "stream_attribution_outer",
+    "ann_recall_all",
     "triangle_count", "bfs_distances", "heavy_hitters", "allpairs_cosine",
-    "dedup_semantic", "hybrid_search", "mmr_rerank", "dsir_weights", "dsir_sample", "gram_power_topvec",
+    "dedup_semantic", "hybrid_search", "dsir_weights",
     "corpus_curate_semantic",
     "corpus_curate", "kmv_set_ops", "zorder_layout", "k_anonymity",
     "customer_rfm", "bm25_search", "lm_score",
@@ -140,6 +144,38 @@ PRIORITY_ORDER = [
     "stream_node_last_seen", "stream_hb_session", "stream_corruption_alerts",
     "stream_liveness_state", "stream_replication_orders",
     "stream_dedup_exact", "stream_event_dispatch",
+    # The remainder, in their historical registration order, listed
+    # EXPLICITLY (VERDICT r11 #9): the driver window's contents depend
+    # on this ordering being deliberate, so no query may ride on
+    # import-order accident — tests/test_entry.py pins
+    # len(PRIORITY_ORDER) == len(QUERIES).
+    "priority_unpivot", "asof_join_bucketed", "customer_value_deciles",
+    "skyline_orders", "priority_sets", "aqp_revenue", "dau_wau",
+    "ab_test_conversion", "supplier_balance_ranks", "dedup_simhash_pairs",
+    "bloom_prefilter", "minhash_estimate_error", "hard_negatives",
+    "ann_recall", "kmeans_lloyd", "pq_encode_lloyd", "knn_ivfpq",
+    "knn_ivf_append",
+    "embedding_stats", "knn_graph", "bpe_encode", "remove_boilerplate",
+    "domain_resample", "negative_sampling", "domain_caps",
+    "corpus_curate_capped", "lm_quality_band", "reservoir_sample",
+    "weighted_sample_systematic", "rendezvous_placement",
+    "compaction_plan", "l_diversity", "embedding_covariance",
+    "knn_label_eval", "pca_project", "media_phash_dedup",
+    "media_audio_dedup", "media_video_dedup", "referential_integrity",
+    "table_profile", "nation_reconcile", "value_histogram",
+    "inverted_index", "collocations_lift", "phrase_search",
+    "event_props_extract", "scd2_user_state", "event_debounce",
+    "event_throttle", "max_concurrency", "event_transitions",
+    "event_session_assign", "attribution_credit", "coverage_time",
+    "hll_distinct", "cms_topk", "rolling_stats", "event_value_quantiles",
+    "anomaly_zscore", "approx_quantiles", "cusum_changepoints",
+    "ohlc_hourly", "tpch_q12_shipmode", "tpch_q15_topsupplier",
+    "tpch_q17_smallqty", "tpch_q21_waiting", "tpch_q2_mincost",
+    "tpch_q9_profit", "tpch_q11_stockvalue", "tpch_q16_partcount",
+    "tpch_q20_promotion", "stream_dedup_near", "stream_trending",
+    "stream_attribution", "stream_throttle", "stream_dedup_ttl",
+    "stream_distinct_users", "stream_sessionize", "stream_ohlc",
+    "stream_hot_keys",
 ]
 
 

@@ -629,3 +629,65 @@ def test_corpus_count_memo_structural_staleness_guard(spark, tmp_path):
     )
     assert _corpus_n(spark, sf_dir) == 9
     registry.clear_caches()
+
+
+def test_ivf_append_merge_equals_batch_and_is_searchable(spark):
+    """knn_ivf_append (VERDICT r11 #8): the append contract is that
+    folding a delta batch into a FROZEN index loses nothing vs
+    rebuilding the index's assignment from scratch with the same
+    codebook — assignment depends only on (row, codebook). Pin:
+    (1) merged incremental assignment == single-pass batch assignment
+    over base ∪ delta against the same frozen centroids, row for row;
+    (2) delta vectors are retrievable through the merged search (the
+    fixture surfaces from_delta rows) and every from_delta row is
+    genuinely in the delta residue class;
+    (3) recall vs brute force clears the same floor the other
+    approximate methods are held to (the frozen quantizer is sized on
+    the base only, so parity with the full-retrain knn_ivf is NOT
+    expected — measured 0.36 vs 0.48 at sf0.001, the honest price of
+    not retraining)."""
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark import registry
+    from cs686_big_data_p1_spark.operators.ann import (
+        ANN_N_QUERIES,
+        DELTA_MOD,
+        DELTA_RES,
+        _append_parts,
+        _assign_frozen,
+        knn_ivf_append,
+    )
+    from cs686_big_data_p1_spark.operators.llm import knn_bruteforce
+
+    vecs, _base, delta, cents, merged, _probes = _append_parts(
+        spark, SF_SMALL
+    )
+    assert delta.count() > 0  # the residue class is populated
+    batch = (
+        _assign_frozen(
+            vecs.where(F.col("vec_id") >= ANN_N_QUERIES), cents
+        )
+        .where(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "cid")
+    )
+    m = {(r.neighbor_id, r.cid) for r in merged.collect()}
+    b = {(r.neighbor_id, r.cid) for r in batch.collect()}
+    assert m == b, "incremental merge diverged from batch assignment"
+    registry.clear_caches()
+
+    rows = knn_ivf_append(spark, SF_SMALL).collect()
+    registry.clear_caches()
+    assert {r.query_id for r in rows} == set(range(ANN_N_QUERIES))
+    for r in rows:
+        assert r.from_delta == (r.neighbor_id % DELTA_MOD == DELTA_RES)
+    assert any(r.from_delta for r in rows), (
+        "no delta vector retrievable through the merged search"
+    )
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(spark, SF_SMALL).collect()
+    }
+    registry.clear_caches()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(got & truth) / len(truth) >= 0.2, "append recall collapsed"

@@ -160,6 +160,12 @@ def test_priority_order_is_clean_permutation_prefix(registry):
     # Registration order actually honors the list: the first 50 QUERIES
     # keys are exactly PRIORITY_ORDER[:50] (the driver's window).
     assert list(registry.QUERIES)[:50] == PRIORITY_ORDER[:50]
+    # VERDICT r11 #9: EVERY registered query is named explicitly — the
+    # post-window ordering is deliberate, never import-order-accidental.
+    # A new @query registration without a PRIORITY_ORDER row fails here.
+    unlisted = [n for n in registry.QUERIES if n not in PRIORITY_ORDER]
+    assert not unlisted, f"queries missing from PRIORITY_ORDER: {unlisted}"
+    assert len(PRIORITY_ORDER) == len(registry.QUERIES)
 
 
 def test_scaling_artifact_records_sublinear_exponents():

@@ -219,3 +219,83 @@ def test_ntile_arithmetic_matches_builtin(spark):
             ).collect()
         }
         assert got == want, f"n={n} k={k}"
+
+
+def test_unsorted_collector_checker_catches_probe(spark):
+    """VERDICT r11 #6: PARITY §7's "any nested output must be
+    explicitly sorted on both sides" was enforced by example only. The
+    rule is now structural — tools/check_oracle.py scans every
+    registered query's analyzed plan with
+    plans.unsorted_collector_violations and FAILS the sweep on an
+    unwaived shuffle-ordered collector. This pins the checker itself
+    on live plans: a deliberately unsorted probe is flagged, each
+    sorted/derived form is not (so a parser regression cannot silently
+    pass everything)."""
+    from cs686_big_data_p1_spark.plans import unsorted_collector_violations
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    base = spark.range(10).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("x")
+    )
+
+    # Deliberately unsorted: collect_list straight off a groupBy.
+    bad = base.groupBy("g").agg(F.collect_list("x").alias("xs"))
+    v = unsorted_collector_violations(analyzed(bad))
+    assert v and "collect_list" in v[0]
+
+    # collect_set is the same class.
+    bad2 = base.groupBy("g").agg(F.collect_set("x").alias("xs"))
+    assert unsorted_collector_violations(analyzed(bad2))
+
+    # Directly wrapped: fine.
+    ok = base.groupBy("g").agg(F.sort_array(F.collect_list("x")).alias("xs"))
+    assert unsorted_collector_violations(analyzed(ok)) == []
+
+    # Sorter ANYWHERE in the enclosing chain: the two-phase salted
+    # rollup shape sort_array(flatten(collect_list(...))) is fine —
+    # the outer sort fixes the whole union's order.
+    ok2 = base.groupBy("g").agg(
+        F.sort_array(F.flatten(F.collect_list(F.array("x")))).alias("xs")
+    )
+    assert unsorted_collector_violations(analyzed(ok2)) == []
+
+    # array_sort over struct-collect (the _cents_to_arr idiom).
+    ok3 = base.groupBy("g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("x"))), lambda s: s["x"]
+        ).alias("xs")
+    )
+    assert unsorted_collector_violations(analyzed(ok3)) == []
+
+
+def test_registry_wide_nested_order_rule_is_wired():
+    """The checker only bites if the sweep actually runs it over the
+    whole registry: pin that check_oracle imports it, consults the
+    by-name waiver dict, and that the waiver dict carries a
+    justification string per entry (currently empty — every in-tree
+    collector is sorter-wrapped)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        pathlib.Path(__file__).resolve().parent.parent
+        / "tools"
+        / "check_oracle.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert hasattr(mod, "NESTED_ORDER_WAIVERS")
+    assert all(
+        isinstance(k, str) and isinstance(v, str) and v
+        for k, v in mod.NESTED_ORDER_WAIVERS.items()
+    )
+    src = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "tools"
+        / "check_oracle.py"
+    ).read_text()
+    assert "unsorted_collector_violations(" in src
+    assert "NESTED_ORDER_WAIVERS" in src

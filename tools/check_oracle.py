@@ -41,7 +41,19 @@ sys.path.insert(
 import duckdb
 import pandas as pd
 
+from cs686_big_data_p1_spark.plans import unsorted_collector_violations
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# Nested-column ordering rule (VERDICT r11 #6, PARITY.md §7): every
+# registered query's ANALYZED plan is scanned for aggregation
+# collectors (collect_list / collect_set / array_agg) with no
+# enclosing sort_array / array_sort — shuffle-ordered output that
+# hash-compares nondeterministically. Violations FAIL the sweep unless
+# the query is waived here BY NAME with the ordering that makes it
+# deterministic anyway. Currently empty: every in-tree collector is
+# sorter-wrapped; a new entry requires its justification reviewed.
+NESTED_ORDER_WAIVERS: dict[str, str] = {}
 
 # Derived from THIS file's location, not a hardcoded absolute path
 # (ADVICE r9): with a constant path, relocating the repo made os.walk
@@ -197,7 +209,26 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            viols = unsorted_collector_violations(
+                df._jdf.queryExecution().analyzed().toString()
+            )
+            if viols and name not in NESTED_ORDER_WAIVERS:
+                print(
+                    f"FAIL  {name}: unsorted nested collector(s) — "
+                    "shuffle-ordered ArrayType output (PARITY §7); wrap "
+                    "in sort_array/array_sort or waive by name: "
+                    + " | ".join(viols)
+                )
+                failed.append(name)
+                result[name] = {
+                    "status": "fail",
+                    "error": "unsorted nested collector",
+                    "nested_unsorted": viols,
+                }
+                registry.clear_caches()
+                continue
+            sdf = df.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
@@ -241,6 +272,7 @@ def main() -> int:
                         1 for r in result.values() if r["status"] == "rows_only"
                     ),
                     "n_failed": len(failed),
+                    "nested_order_checked": True,
                     "queries": result,
                 },
                 fh,

@@ -172,6 +172,13 @@ AUDITS: dict[str, dict] = {
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
         "max_waived": 4,  # centroids, probes, probe-join reuse, query side
     },
+    "knn_ivf_append": {
+        "broadcast": True,
+        "bounded_broadcast": "frozen codebook (nlist-row checkpoint) + "
+        "query side bounded by vec_id < ANN_N_QUERIES predicate",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 5,  # codebook x3 passes, probes, refine query side
+    },
     "dedup_embedding": {"codegen": True},
     # embeddings is 3 columns, all genuinely needed (id, label, vector)
     "doc_embedding_join": {"pruned": ["documents"], "codegen": True},
@@ -536,6 +543,11 @@ GLOBAL_WINDOW_WAIVERS: dict[str, dict] = {
         "max": 1,
         "reason": "the composed knn_ivfpq leg's md5-order rank over "
         "its post-LIMIT PQ_TRAIN_CAP training sample (cap-bounded)",
+    },
+    "knn_ivf_append": {
+        "max": 1,
+        "reason": "seed row_number over the bounded O(nlist) base-id "
+        "slice (vec_id < ANN_N_QUERIES + span filter), never the corpus",
     },
 }
 
