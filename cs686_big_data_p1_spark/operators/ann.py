@@ -2549,3 +2549,137 @@ def knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- ivf_imbalance: the retrain trigger knn_ivf_append defers to ----------
+
+# A cell is "hot" past this occupancy-to-mean ratio; the index wants a
+# retrain when any cell is hot (FAISS's imbalance_factor heuristic).
+# Integer threshold so the flag is exact: hot <=> occupancy * DEN >
+# mean * NUM <=> occupancy * n_cells * DEN > n_total * NUM.
+IMBALANCE_NUM, IMBALANCE_DEN = 3, 1  # hot = >3x mean occupancy
+
+IVF_IMBALANCE_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM ex GROUP BY vec_id
+),
+base AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id >= {ANN_N_QUERIES} AND vec_id % {DELTA_MOD} <> {DELTA_RES}
+),
+nl AS (
+  SELECT greatest(1, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))
+      AS nlist
+  FROM base
+),
+sp AS (SELECT nlist, ((nlist + 8) // 9) * 10 + 10 AS w FROM nl),
+cents AS (
+  SELECT vec_id AS cid FROM (
+    SELECT b.vec_id, row_number() OVER (ORDER BY b.vec_id) AS rk, s.nlist
+    FROM base b, sp s WHERE b.vec_id < {ANN_N_QUERIES} + s.w)
+  WHERE rk <= nlist
+),
+cdots AS (
+  SELECT v.vec_id, c.cid,
+         CAST(sum(CAST(floor(v.x * ce.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM ex v
+  JOIN cents c ON true
+  JOIN ex ce ON ce.vec_id = c.cid AND ce.i = v.i
+  GROUP BY v.vec_id, c.cid
+),
+cscores AS (
+  SELECT d.vec_id, d.cid, d.dot / (nv.norm * nc.norm) AS cscore
+  FROM cdots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cid
+),
+assigned AS (
+  SELECT vec_id, cid,
+         (vec_id % {DELTA_MOD} = {DELTA_RES}) AS is_delta
+  FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores WHERE vec_id >= {ANN_N_QUERIES})
+  WHERE rk = 1
+),
+occ AS (
+  SELECT c.cid,
+         CAST(count(a.vec_id) AS BIGINT) AS occupancy,
+         CAST(coalesce(sum(CASE WHEN a.is_delta THEN 1 END), 0) AS BIGINT)
+             AS n_delta
+  FROM cents c LEFT JOIN assigned a ON a.cid = c.cid
+  GROUP BY c.cid
+),
+tot AS (
+  SELECT CAST(sum(occupancy) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM occ
+)
+SELECT o.cid, o.occupancy, o.n_delta,
+       (o.occupancy * t.n_cells * {IMBALANCE_DEN}
+        > t.n_total * {IMBALANCE_NUM}) AS hot
+FROM occ o CROSS JOIN tot t
+"""
+
+
+@query("ivf_imbalance", oracle=IVF_IMBALANCE_ORACLE)
+def ivf_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrain trigger knn_ivf_append's docstring promises: per-cell
+    occupancy of the merged (base ∪ delta) assignment over the FROZEN
+    quantizer, how much of each cell is appended data, and an exact
+    integer `hot` flag (occupancy > {IMBALANCE_NUM}x mean — FAISS's
+    imbalance_factor heuristic, cross-multiplied so no division enters
+    the boolean). A pipeline retrains when any cell is hot: appends
+    skew cells precisely when the delta's distribution drifts from the
+    base the codebook was trained on. Empty cells are kept (LEFT join
+    from the codebook) — a dead cell is the other drift signal.
+
+    Scale: _append_parts' audited pieces + ONE groupBy(cid) over the
+    merged assignment (map-side combinable int pairs) + a broadcast
+    2-value total. The report is O(nlist) rows."""
+    _vecs, _base, _delta, cents, merged, _probes = _append_parts(
+        spark, sf_dir
+    )
+    is_delta = (F.col("neighbor_id") % DELTA_MOD) == DELTA_RES
+    occ = (
+        cents.select("cid")
+        .join(
+            merged.select(
+                "cid",
+                F.col("neighbor_id"),
+                is_delta.cast("int").alias("d"),
+            ),
+            "cid",
+            "left",
+        )
+        .groupBy("cid")
+        .agg(
+            F.count("neighbor_id").alias("occupancy"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_delta"),
+        )
+    )
+    occ = track_cache(occ)
+    tot = occ.agg(
+        F.sum("occupancy").alias("n_total"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "occupancy",
+        "n_delta",
+        (
+            F.col("occupancy") * F.col("n_cells") * F.lit(IMBALANCE_DEN)
+            > F.col("n_total") * F.lit(IMBALANCE_NUM)
+        ).alias("hot"),
+    )

@@ -691,3 +691,49 @@ def test_ivf_append_merge_equals_batch_and_is_searchable(spark):
     registry.clear_caches()
     got = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(got & truth) / len(truth) >= 0.2, "append recall collapsed"
+
+
+def test_ivf_imbalance_flags_exact_integer_hot(spark):
+    """ivf_imbalance completes knn_ivf_append's story: per-cell
+    occupancy of the merged frozen-quantizer assignment with the exact
+    cross-multiplied hot flag (occupancy > 3x mean, no division in the
+    boolean). Pin end-to-end: occupancies sum to the candidate count,
+    every codebook cell is present (empty cells kept — the dead-cell
+    drift signal), n_delta counts exactly the residue class, and the
+    hot flag equals the integer cross-multiply recomputed in python on
+    BOTH branches' inputs."""
+    from cs686_big_data_p1_spark import registry
+    from cs686_big_data_p1_spark.operators.ann import (
+        ANN_N_QUERIES,
+        DELTA_MOD,
+        DELTA_RES,
+        IMBALANCE_DEN,
+        IMBALANCE_NUM,
+        _append_parts,
+        ivf_imbalance,
+    )
+
+    rows = ivf_imbalance(spark, SF_SMALL).collect()
+    registry.clear_caches()
+    _v, base, delta, cents, merged, _p = _append_parts(spark, SF_SMALL)
+    n_cand = base.count() + delta.count()
+    n_cents = cents.count()
+    n_delta_total = delta.count()
+    m = [(r.neighbor_id, r.cid) for r in merged.collect()]
+    registry.clear_caches()
+
+    assert len(rows) == n_cents  # every cell reported, empty included
+    assert sum(r.occupancy for r in rows) == n_cand == len(m)
+    assert sum(r.n_delta for r in rows) == n_delta_total
+    by_cid = {}
+    for nid, cid in m:
+        by_cid.setdefault(cid, [0, 0])
+        by_cid[cid][0] += 1
+        by_cid[cid][1] += int(nid % DELTA_MOD == DELTA_RES)
+    n_total, n_cells = len(m), len(rows)
+    for r in rows:
+        occ, nd = by_cid.get(r.cid, [0, 0])
+        assert (r.occupancy, r.n_delta) == (occ, nd), r.cid
+        assert r.hot == (
+            occ * n_cells * IMBALANCE_DEN > n_total * IMBALANCE_NUM
+        ), r.cid

@@ -179,6 +179,13 @@ AUDITS: dict[str, dict] = {
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
         "max_waived": 5,  # codebook x3 passes, probes, refine query side
     },
+    "ivf_imbalance": {
+        "broadcast": True,
+        "bounded_broadcast": "frozen codebook (nlist-row checkpoint) + "
+        "the 1-row (n_total, n_cells) aggregate",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 4,  # codebook x2 passes + totals row
+    },
     "dedup_embedding": {"codegen": True},
     # embeddings is 3 columns, all genuinely needed (id, label, vector)
     "doc_embedding_join": {"pruned": ["documents"], "codegen": True},
@@ -548,6 +555,11 @@ GLOBAL_WINDOW_WAIVERS: dict[str, dict] = {
         "max": 1,
         "reason": "seed row_number over the bounded O(nlist) base-id "
         "slice (vec_id < ANN_N_QUERIES + span filter), never the corpus",
+    },
+    "ivf_imbalance": {
+        "max": 1,
+        "reason": "the composed _append_parts seed row_number over the "
+        "bounded O(nlist) base-id slice, never the corpus",
     },
 }
 
