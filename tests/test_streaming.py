@@ -1102,3 +1102,35 @@ def test_neardup_store_rollback_then_foreign_writer_raises(
     served = load_neardup_store(spark, store_path)
     assert {r.th for r in served["hashes"].collect()} == {"foreign"}
     assert os.path.isdir(f"{store_path}.staging-{tag}")
+
+
+def test_stream_ivf_assign_matches_batch_append(spark):
+    """stream_ivf_assign is knn_ivf_append's assignment pass run from a
+    stream: the SAME fixed-point kernel against the SAME frozen
+    codebook must give the SAME cell per new vector — pin the drained
+    stream output row-for-row against the batch merged assignment's
+    delta subset, and that ONLY the delta residue class is assigned."""
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark import registry
+    from cs686_big_data_p1_spark.operators.ann import (
+        DELTA_MOD,
+        DELTA_RES,
+        _append_parts,
+    )
+    from cs686_big_data_p1_spark.streaming.vectors import stream_ivf_assign
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.new_vec, r.cid) for r in stream_ivf_assign(spark, sf).collect()}
+    registry.clear_caches()
+    _v, _b, _d, _c, merged, _p = _append_parts(spark, sf)
+    want = {
+        (r.neighbor_id, r.cid)
+        for r in merged.where(
+            (F.col("neighbor_id") % DELTA_MOD) == DELTA_RES
+        ).collect()
+    }
+    registry.clear_caches()
+    assert got == want
+    assert got  # the residue class is populated
+    assert all(v % DELTA_MOD == DELTA_RES for v, _ in got)
