@@ -429,26 +429,35 @@ def gram_power_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nn))
         .select("i", "j", F.expr("s div n_vecs").alias("q"))
     )
-    v = (
-        gram.select("i")
-        .distinct()
-        .select("i", F.lit(_PQ_SCALE).cast("bigint").alias("v"))
-        .localCheckpoint(eager=True)
-    )
+    # The iterations are BOUNDED driver-side control flow (the PCA
+    # O(d^2)-moments class, plan-audit waived): the Gram is d^2 = 4096
+    # bigints, so after the one distributed corpus pass the 8 matvec +
+    # truncating-rescale rounds run in numpy int64 — exact, |w| <=
+    # d * 1e12 << 2^63, and `div` truncates toward zero so negative
+    # components need sign * (abs // d), NOT numpy's flooring // (the
+    # tests' _trunc_div pins this). The first cut iterated as 8
+    # broadcast-join jobs behind eager localCheckpoints; those barriers
+    # were ~5 s of the 5.5-7.6 s sf0.1 total while the corpus pass is
+    # ~1 s — paying per-round job overhead to "distribute" a 64x64
+    # integer matmul was the whole cost.
+    import numpy as np
+
+    rows = gram.collect()  # d^2 bounded rows: driver-side by design
+    if not rows:
+        return spark.createDataFrame([], "dim int, v_q long")
+    d = max(r.i for r in rows)
+    g = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        g[r.i - 1, r.j - 1] = r.q
+
+    def trunc_div(a, b):
+        return np.sign(a) * (np.abs(a) // b)
+
+    v = np.full(d, _PQ_SCALE, dtype=np.int64)
     for _ in range(POWER_ITERS):
-        w = (
-            gram.join(
-                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("q") * F.col("v")).alias("w"))
-        )
-        d = w.agg(
-            F.expr(f"greatest(1, max(abs(w)) div {_PQ_SCALE}) AS d")
-        )
-        v = (
-            w.crossJoin(F.broadcast(d))
-            .select("i", F.expr("w div d").alias("v"))
-            .localCheckpoint(eager=True)
-        )
-    return v.select(F.col("i").alias("dim"), F.col("v").alias("v_q"))
+        w = g @ v
+        dd = max(1, int(trunc_div(np.int64(np.abs(w).max()), _PQ_SCALE)))
+        v = trunc_div(w, dd)
+    return spark.createDataFrame(
+        [(int(i + 1), int(v[i])) for i in range(d)], "dim int, v_q long"
+    )

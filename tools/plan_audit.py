@@ -393,10 +393,12 @@ AUDITS: dict[str, dict] = {
     # BM25_K-row broadcast nested-loop sim matrix, argmax TakeOrdered)
     # are pinned by tests/test_search_graph.py instead.
     "mmr_rerank": {},
-    # gram_power_topvec's iterations run behind eager localCheckpoints
-    # (pagerank treatment); its final plan is a checkpointed 64-row
-    # scan. The Gram build and per-round shapes are pinned by the
-    # bit-exact numpy replay in tests/test_linalg.py.
+    # gram_power_topvec's corpus pass (the Arrow-kernel partial-Gram
+    # mapInPandas + d^2-cell groupBy) runs eagerly at construction; the
+    # iterations are bounded O(d^2) driver-side numpy (the PCA-moments
+    # class), so its final plan is a 64-row LocalTableScan. The Gram
+    # build and the integer recurrence are pinned by the bit-exact
+    # numpy replay in tests/test_linalg.py.
     "gram_power_topvec": {},
     "dsir_sample": {
         "pruned": ["documents"],
