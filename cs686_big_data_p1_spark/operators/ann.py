@@ -2683,3 +2683,108 @@ def ivf_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("n_total") * F.lit(IMBALANCE_NUM)
         ).alias("hot"),
     )
+
+
+# --- embedding_drift: the distribution half of the retrain decision -------
+
+# Per-dimension mean shift past this threshold flags drift; exact via
+# cross-multiply on the fixed-point sums (|Δmean| > NUM/DEN with
+# mean = sx_e6 / (n * 1e6)):
+#   |sxd * nb - sxb * nd| * DRIFT_DEN > nb * nd * 1e6 * DRIFT_NUM
+DRIFT_NUM, DRIFT_DEN = 1, 20  # drift = |Δmean| > 0.05
+
+EMBEDDING_DRIFT_ORACLE = f"""
+WITH el AS (
+  SELECT vec_id,
+         (vec_id % {DELTA_MOD} = {DELTA_RES}) AS is_delta,
+         unnest([{{'i': i, 'x': embedding[i]}}
+                 for i in range(1, len(embedding)+1)]) AS p
+  FROM embeddings WHERE vec_id >= {ANN_N_QUERIES}
+),
+cells AS (
+  SELECT is_delta, p.i AS i,
+         CAST(floor(CAST(p.x AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM el
+),
+sums AS (
+  SELECT i,
+         CAST(sum(CASE WHEN NOT is_delta THEN q END) AS BIGINT) AS sxb,
+         CAST(sum(CASE WHEN is_delta THEN q END) AS BIGINT) AS sxd,
+         CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS nd
+  FROM cells GROUP BY i
+)
+SELECT i AS dim, nb AS n_base, nd AS n_delta,
+       sxb AS base_sum_e6, sxd AS delta_sum_e6,
+       CAST(sxb AS DOUBLE) / (nb * 1000000.0) AS base_mean,
+       CAST(sxd AS DOUBLE) / (nd * 1000000.0) AS delta_mean,
+       (abs(sxd * nb - sxb * nd) * {DRIFT_DEN}
+        > nb * nd * 1000000 * {DRIFT_NUM}) AS drift
+FROM sums
+"""
+
+
+@query("embedding_drift", oracle=EMBEDDING_DRIFT_ORACLE)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution half of the append-then-retrain decision
+    (ivf_imbalance is the occupancy half): per-dimension mean of the
+    APPENDED delta batch vs the base corpus the codebook was trained
+    on, with an exact integer drift flag (|Δmean| > 0.05 via
+    cross-multiplied fixed-point sums — no float enters the boolean).
+    A drifting dimension means new data lives where no centroid was
+    trained; paired with hot cells it distinguishes "skewed arrivals"
+    from "the world changed".
+
+    Scale: ONE map-side pass — each row contributes its d quantized
+    components tagged by split, partial-aggregated onto d cells before
+    the only shuffle (the embedding_covariance means idiom with a
+    split dimension); the report is d rows. At 100 TB only
+    O(d x partitions) bigints ever move."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") >= ANN_N_QUERIES
+    )
+    is_delta = (F.col("vec_id") % DELTA_MOD) == DELTA_RES
+    cells = e.select(
+        is_delta.alias("is_delta"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(embedding)-1),"
+                " i -> struct(i + 1 AS i,"
+                "      CAST(floor(CAST(embedding[i] AS DOUBLE)"
+                "           * 1000000.0) AS BIGINT) AS q))"
+            )
+        ).alias("m"),
+    )
+    sums = cells.groupBy(F.col("m.i").alias("dim")).agg(
+        F.sum(F.when(~F.col("is_delta"), F.col("m.q"))).alias("base_sum_e6"),
+        F.sum(F.when(F.col("is_delta"), F.col("m.q"))).alias("delta_sum_e6"),
+        F.sum(F.when(~F.col("is_delta"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(F.col("is_delta"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta"),
+    )
+    return sums.select(
+        "dim",
+        "n_base",
+        "n_delta",
+        "base_sum_e6",
+        "delta_sum_e6",
+        (
+            F.col("base_sum_e6").cast("double")
+            / (F.col("n_base") * F.lit(1000000.0))
+        ).alias("base_mean"),
+        (
+            F.col("delta_sum_e6").cast("double")
+            / (F.col("n_delta") * F.lit(1000000.0))
+        ).alias("delta_mean"),
+        (
+            F.abs(
+                F.col("delta_sum_e6") * F.col("n_base")
+                - F.col("base_sum_e6") * F.col("n_delta")
+            )
+            * F.lit(DRIFT_DEN)
+            > F.col("n_base") * F.col("n_delta") * F.lit(1000000) * F.lit(DRIFT_NUM)
+        ).alias("drift"),
+    )

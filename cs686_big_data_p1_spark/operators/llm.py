@@ -786,9 +786,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "quality_score",
-    oracle=r"""
+QUALITY_ORACLE = r"""
 SELECT doc_id,
        n_words,
        punct,
@@ -808,8 +806,10 @@ FROM (
          len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is|it)\b')) AS stopwords
   FROM documents
 )
-""",
-)
+"""
+
+
+@query("quality_score", oracle=QUALITY_ORACLE)
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (E4, Gopher/C4-style rules): length
     band, punctuation density, stopword ratio — combined into a [0,1]
@@ -1615,4 +1615,72 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= HARDNEG_K)
         .select("query_id", "neighbor_id", "neg_label", "cosine", "rank")
+    )
+
+
+# --- cluster_keep_best: the curation decision dedup_clusters feeds --------
+
+CLUSTER_KEEP_BEST_ORACLE = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_ORACLE}),
+q AS ({QUALITY_ORACLE}),
+joined AS (
+  SELECT c.cluster_id, c.doc_id, q.quality
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id
+),
+kept AS (
+  SELECT cluster_id, doc_id AS kept_doc, quality AS kept_quality FROM (
+    SELECT cluster_id, doc_id, quality,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality DESC, doc_id ASC) AS rk
+    FROM joined)
+  WHERE rk = 1
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM joined GROUP BY cluster_id
+)
+SELECT k.cluster_id, k.kept_doc, k.kept_quality,
+       s.n_members, s.n_members - 1 AS n_dropped
+FROM kept k JOIN sizes s ON s.cluster_id = k.cluster_id
+"""
+
+
+@query("cluster_keep_best", oracle=CLUSTER_KEEP_BEST_ORACLE)
+def cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision every dedup pipeline actually ships:
+    dedup_clusters labels each near-duplicate component, but "keep the
+    min doc_id" is an arbitrary policy — production keeps the
+    HIGHEST-QUALITY member (RefinedWeb/FineWeb keep-best-of-cluster)
+    and drops the rest. One row per cluster: the kept doc, its
+    quality_score, and how many near-duplicates the choice discards.
+    Ties (quality is a sum of three fixed rule weights, so ties are
+    common) break on ascending doc_id — deterministic in both engines.
+
+    Scale: dedup_clusters' audited label-prop feeds a groupBy(cluster)
+    max_by — one shuffle on int cluster ids with map-side partial
+    argmax, never a per-cluster window (a mega-cluster at crawl scale
+    would skew a window partition; max_by's partial aggregation cannot
+    skew). quality_score is a pure map-side projection joined on the
+    int key."""
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    joined = clusters.join(quality, "doc_id")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.expr(
+                "max_by(doc_id, struct(quality, -doc_id))"
+            ).alias("kept_doc"),
+            F.expr(
+                "max(struct(quality AS q, -doc_id AS nd)).q"
+            ).alias("kept_quality"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            "kept_doc",
+            "kept_quality",
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
     )

@@ -737,3 +737,45 @@ def test_ivf_imbalance_flags_exact_integer_hot(spark):
         assert r.hot == (
             occ * n_cells * IMBALANCE_DEN > n_total * IMBALANCE_NUM
         ), r.cid
+
+
+def test_embedding_drift_flag_is_exact_cross_multiply(spark, registry):
+    """embedding_drift's boolean must equal |Δmean| > 0.05 computed on
+    the exact integer sums (no float in the decision): recompute both
+    the fixed-point sums and the cross-multiplied flag in numpy from
+    the raw parquet and pin every row; on the near-isotropic fixture
+    the residue-class split should drift on no (or almost no)
+    dimension — assert the flag count is small, so a sign error that
+    inverts the comparison cannot pass."""
+    import numpy as np
+    import pandas as pd
+
+    from cs686_big_data_p1_spark.operators.ann import (
+        ANN_N_QUERIES,
+        DELTA_MOD,
+        DELTA_RES,
+        DRIFT_DEN,
+        DRIFT_NUM,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["embedding_drift"](spark, sf).collect()
+    registry.clear_caches()
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    emb = emb[emb.vec_id >= ANN_N_QUERIES]
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(x * 1e6).astype(np.int64)
+    dmask = (emb.vec_id.to_numpy() % DELTA_MOD) == DELTA_RES
+    sxb, sxd = q[~dmask].sum(axis=0), q[dmask].sum(axis=0)
+    nb, nd = int((~dmask).sum()), int(dmask.sum())
+    assert len(rows) == x.shape[1]
+    for r in rows:
+        k = r.dim - 1
+        assert (r.base_sum_e6, r.delta_sum_e6) == (sxb[k], sxd[k])
+        assert (r.n_base, r.n_delta) == (nb, nd)
+        want = (
+            abs(int(sxd[k]) * nb - int(sxb[k]) * nd) * DRIFT_DEN
+            > nb * nd * 1_000_000 * DRIFT_NUM
+        )
+        assert r.drift == want, r.dim
+    assert sum(r.drift for r in rows) <= len(rows) // 4  # isotropic fixture

@@ -186,6 +186,13 @@ AUDITS: dict[str, dict] = {
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
         "max_waived": 4,  # codebook x2 passes + totals row
     },
+    # cluster_keep_best: dedup_clusters' checkpointed labels joined to
+    # the map-side quality projection, then ONE groupBy max_by — the
+    # label-prop rounds themselves are audited under dedup_clusters.
+    "cluster_keep_best": {"codegen": True},
+    # embedding_drift: single map-side explode + d-cell groupBy; no
+    # join at all, so only pruning/codegen to assert.
+    "embedding_drift": {"pruned": ["embeddings"], "codegen": True},
     "dedup_embedding": {"codegen": True},
     # embeddings is 3 columns, all genuinely needed (id, label, vector)
     "doc_embedding_join": {"pruned": ["documents"], "codegen": True},
