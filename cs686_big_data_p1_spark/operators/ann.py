@@ -1206,48 +1206,59 @@ def _pq_lloyd_sampled(sq: DataFrame, samp: DataFrame):
     vector's nearest trained codeword per subspace and codebook =
     (s, cid, cq_arr) after LLOYD_ITERS full assign+recenter rounds.
 
-    Scale: every training frame is cap-bounded (PQ_TRAIN_CAP x PQ_M
-    rows) so training shuffles are O(cap); the one corpus-scale pass
-    is the final encode — a broadcast-codebook equi-join on s with the
-    Arrow int64 distance kernel per pair (the _pq_lloyd shape), never
-    a component fan-out."""
-    sx = track_cache(
-        sq.join(F.broadcast(samp.select("vec_id")), "vec_id")
+    Scale: the training input is cap-BOUNDED by construction
+    (PQ_TRAIN_CAP x PQ_M rows of PQ_SUB ints, ~1 MB at the FAISS-
+    convention cap), so since r12 the Lloyd rounds run DRIVER-SIDE in
+    numpy int64 (the gram_power_topvec / PCA-moments control-flow
+    class) — bit-identical to the old distributed rounds: argmin on
+    int64 squared distance with numpy's first-min = the smallest cid
+    among ties (the ORDER BY dist ASC, cid ASC contract), recenter =
+    sign * (abs // count) truncating division (`div` semantics), and
+    memberless codewords DROP from the codebook exactly as the
+    groupBy-recenter emitted only occupied cells. The distributed
+    form spent ~2 localCheckpoint barriers + per-round shuffles on a
+    4096-row problem. The one corpus-scale pass is the final encode —
+    a broadcast-codebook equi-join on s with the Arrow int64 distance
+    kernel per pair (the _pq_lloyd shape), never a component fan-out;
+    the oracle replays training + encode unchanged, so the sweeps
+    pin the replay bit for bit."""
+    import numpy as np
+
+    spark = sq.sparkSession
+    srows = (
+        sq.join(F.broadcast(samp), "vec_id")
+        .select("s", "rk", "sub_q")
+        .collect()
+    )  # bounded: <= PQ_TRAIN_CAP * PQ_M rows — driver-side by design
+
+    def tdiv(a, b):
+        return np.sign(a) * (np.abs(a) // b)
+
+    cb_rows = []
+    for s in sorted({r.s for r in srows}):
+        rows = sorted((r.rk, r.sub_q) for r in srows if r.s == s)
+        x = np.array([q for _, q in rows], dtype=np.int64)
+        cents = {
+            rk - 1: x[i] for i, (rk, _) in enumerate(rows) if rk <= PQ_K
+        }
+        for _ in range(LLOYD_ITERS):
+            cids = sorted(cents)
+            cmat = np.stack([cents[c] for c in cids])
+            d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            amin = d2.argmin(axis=1)
+            nxt = {}
+            for k, cid in enumerate(cids):
+                members = x[amin == k]
+                if len(members):
+                    nxt[cid] = tdiv(members.sum(axis=0), len(members))
+            cents = nxt
+        cb_rows += [
+            (int(s), int(cid), [int(v) for v in cents[cid]])
+            for cid in sorted(cents)
+        ]
+    codebook = spark.createDataFrame(
+        cb_rows, "s int, cid int, cq_arr array<bigint>"
     )
-    cents = (
-        sq.join(
-            F.broadcast(samp.where(F.col("rk") <= PQ_K)), "vec_id"
-        )
-        .select(
-            "s",
-            (F.col("rk") - 1).alias("cid"),
-            F.col("sub_q").alias("cq_arr"),
-        )
-    )
-    for _ in range(LLOYD_ITERS):
-        sd = sx.join(F.broadcast(cents), "s").select(
-            "vec_id",
-            "s",
-            "cid",
-            pair_sqdist_q_pd(F.col("sub_q"), F.col("cq_arr")).alias(
-                "dist"
-            ),
-        )
-        w = Window.partitionBy("vec_id", "s").orderBy(
-            F.asc("dist"), F.asc("cid")
-        )
-        sa = (
-            sd.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("vec_id", "s", "cid")
-        )
-        cents = _cents_to_arr(
-            sa.join(_pq_long(sx), ["vec_id", "s"])
-            .groupBy("s", "cid", "j")
-            .agg(F.expr("sum(q) div count(*)").alias("cq")),
-            ["s", "cid"],
-        ).localCheckpoint(eager=True)
-    codebook = cents
     ed = sq.join(F.broadcast(codebook), "s").select(
         "vec_id",
         "s",
