@@ -2799,3 +2799,56 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("n_base") * F.col("n_delta") * F.lit(1000000) * F.lit(DRIFT_NUM)
         ).alias("drift"),
     )
+
+
+def write_ivf_base_store(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """The "index built yesterday": ONLY the base corpus (delta residue
+    class excluded), assigned to the frozen codebook and written
+    partitionBy(cid) — the store append_ivf_store later folds arriving
+    deltas into. write_ivf_store remains the full-corpus/fresh-retrain
+    form."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _vecs, base, _delta, cents, _merged, _probes = _append_parts(
+        spark, sf_dir
+    )
+    assigned_base = (
+        _assign_frozen(base, cents)
+        .where(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("bv"), "cid")
+    )
+    (
+        e.join(assigned_base, e.vec_id == F.col("bv"))
+        .select("vec_id", "embedding", "cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def append_ivf_store(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Physically fold the delta batch into an EXISTING cid-partitioned
+    IVF store (the storage half of knn_ivf_append): assign the delta
+    residue class against the FROZEN codebook and APPEND its rows into
+    the store's per-cell directories — dynamic partition append, so
+    only the cells the delta actually lands in gain files and the base
+    corpus's files are never rewritten. After the fold,
+    probe_ivf_store serves base ∪ delta from the same partition-pruned
+    layout, and ivf_imbalance over the merged assignment decides when
+    the codebook has drifted enough to rebuild (write_ivf_store from
+    scratch)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _vecs, _base, delta, cents, _merged, _probes = _append_parts(
+        spark, sf_dir
+    )
+    assigned_delta = (
+        _assign_frozen(delta, cents)
+        .where(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("dv"), "cid")
+    )
+    (
+        e.join(assigned_delta, e.vec_id == F.col("dv"))
+        .select("vec_id", "embedding", "cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(path)
+    )

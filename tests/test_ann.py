@@ -779,3 +779,64 @@ def test_embedding_drift_flag_is_exact_cross_multiply(spark, registry):
         )
         assert r.drift == want, r.dim
     assert sum(r.drift for r in rows) <= len(rows) // 4  # isotropic fixture
+
+
+def test_append_ivf_store_folds_delta_without_rewriting_base(
+    spark, tmp_path
+):
+    """The storage half of the append story: write the base-only store
+    ("the index built yesterday"), fold the delta batch in with
+    append_ivf_store, and pin that (1) the merged store's vec->cid map
+    equals knn_ivf_append's merged assignment exactly, (2) the base
+    corpus's parquet files are byte-identical after the fold (dynamic
+    partition APPEND adds files, never rewrites), and (3)
+    probe_ivf_store still partition-prunes the merged store."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from cs686_big_data_p1_spark import registry
+    from cs686_big_data_p1_spark.operators.ann import (
+        _append_parts,
+        append_ivf_store,
+        probe_ivf_store,
+        write_ivf_base_store,
+    )
+
+    store = str(tmp_path / "ivf")
+    write_ivf_base_store(spark, SF_SMALL, store)
+    registry.clear_caches()
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.path.getsize(p)
+        return out
+
+    before = snapshot(store)
+    append_ivf_store(spark, SF_SMALL, store)
+    registry.clear_caches()
+    after = snapshot(store)
+    # every pre-fold data file survives untouched (same size); the fold
+    # only ADDS files
+    for rel, size in before.items():
+        if rel.endswith(".parquet"):
+            assert after.get(rel) == size, f"base file rewritten: {rel}"
+    assert len(after) > len(before)
+
+    merged_store = {
+        (r.vec_id, r.cid) for r in spark.read.parquet(store).collect()
+    }
+    _v, _b, _d, _c, merged, _p = _append_parts(spark, SF_SMALL)
+    want = {(r.neighbor_id, r.cid) for r in merged.collect()}
+    registry.clear_caches()
+    assert merged_store == want
+
+    probed = probe_ivf_store(spark, store, [7, 9])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain(mode="formatted")
+    pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cid" in ln for ln in pf)
