@@ -359,13 +359,45 @@ def _cluster_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+# Once-per-process memo of the converged cluster labels (the
+# _CURATE_MEMO pattern, pipeline.py:640): the label-prop loop is the
+# suite's most expensive non-ANN computation, and THREE consumers run
+# it — dedup_clusters itself, corpus_curate's curated set, and
+# cluster_keep_best (r12). The final labels frame is an eager
+# localCheckpoint (immutable RDD, lineage cut), so sharing it across
+# queries is safe; one entry, applicationId-scoped so session clones
+# share it, evicted on any key change, and the key carries the
+# documents-parquet fingerprint so a rewritten fixture can never be
+# served stale labels (the ADVICE-r11 structural-staleness rule).
+_CLUSTER_MEMO: dict[tuple, DataFrame] = {}
+
+
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import table_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+    )
+    hit = _CLUSTER_MEMO.get(key)
+    if hit is not None:
+        return hit
+    out = _cluster_labels_uncached(spark, sf_dir)
+    _CLUSTER_MEMO.clear()
+    _CLUSTER_MEMO[key] = out
+    return out
+
+
 @query("dedup_clusters", oracle=DEDUP_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the
     dedup_near pair graph (jaccard >= {CLUSTER_JACCARD}), labeling each
     clustered doc with the min doc_id of its component — the
     "keep one representative per duplicate cluster" step every corpus
-    dedup pipeline ends with.
+    dedup pipeline ends with. The converged labels are memoized once
+    per (application, sf_dir, fixture fingerprint) and shared with
+    corpus_curate and cluster_keep_best — see _CLUSTER_MEMO.
 
     Iterative min-label propagation as DataFrame joins: each round,
     every vertex takes the min of its own and its neighbors' labels;
@@ -381,6 +413,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     flow only (one aggregated long), not a data-path collect. Oracle:
     DuckDB recursive-CTE transitive closure over the same pair SQL.
     """
+    return cluster_labels(spark, sf_dir)
+
+
+def _cluster_labels_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup_near(spark, sf_dir)
         .where(F.col("jaccard") >= CLUSTER_JACCARD)

@@ -183,3 +183,26 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register every base table as a temp view (for spark.sql paths)."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_fingerprint(sf_dir: str, name: str):
+    """Cheap identity stamp of ``{sf_dir}/{name}.parquet`` — (size,
+    mtime_ns) of the file, or the sorted stamps of a directory's
+    children; None when not os.stat-able (remote filesystems). Memo
+    keys include it so a rewritten fixture can never be served a stale
+    derived frame (the ADVICE-r11 structural-staleness rule; the
+    embeddings-specific twin lives in operators/ann.py)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            return tuple(
+                (nm, s.st_size, s.st_mtime_ns)
+                for nm in sorted(os.listdir(path))
+                for s in (os.stat(os.path.join(path, nm)),)
+            )
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_size, st.st_mtime_ns)

@@ -30,3 +30,55 @@ def test_cluster_keep_best_keeps_the_max_quality_member(spark, registry):
         best = max(members, key=lambda d: (quality[d], -d))
         assert r.kept_doc == best, r.cluster_id
         assert r.kept_quality == quality[best]
+
+
+def test_cluster_labels_memo_is_shared_and_fingerprint_keyed(
+    spark, tmp_path, registry
+):
+    """The cluster-labels memo must (a) serve the SAME checkpointed
+    frame to repeat callers within a process — dedup_clusters,
+    corpus_curate, and cluster_keep_best all pay the label-prop loop
+    once — and (b) carry the documents-parquet fingerprint in its key
+    so an in-place fixture rewrite yields fresh labels with no manual
+    cache clear (the ADVICE-r11 structural-staleness rule)."""
+    import os
+
+    from cs686_big_data_p1_spark.operators.llm import (
+        cluster_labels,
+        dedup_clusters,
+    )
+
+    sf = str(tmp_path)
+    path = f"{sf}/documents.parquet"
+
+    def write_docs(texts):
+        spark.createDataFrame(
+            [
+                (i, t, "en", "web", len(t))
+                for i, t in enumerate(texts)
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        os.utime(
+            path,
+            ns=(
+                os.stat(path).st_mtime_ns + 1,
+                os.stat(path).st_mtime_ns + 1,
+            ),
+        )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    write_docs([base, base + "near", "zz totally different text qq " * 9])
+    a = cluster_labels(spark, sf)
+    b = dedup_clusters(spark, sf)
+    assert a is b  # one materialization serves every consumer
+    first = {(r.doc_id, r.cluster_id) for r in a.collect()}
+    assert first  # the two near-dup docs clustered
+
+    # Rewrite the fixture: different docs, different duplicate shape.
+    other = "completely other corpus words flow here nicely " * 8
+    write_docs([other, other + "x", other + "y", "lone doc " * 20])
+    fresh = {(r.doc_id, r.cluster_id) for r in cluster_labels(spark, sf).collect()}
+    assert fresh != first  # stale labels would have been served pre-fix
+    registry.clear_caches()
