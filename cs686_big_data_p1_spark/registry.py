@@ -154,7 +154,7 @@ PRIORITY_ORDER = [
     "ab_test_conversion", "supplier_balance_ranks", "dedup_simhash_pairs",
     "bloom_prefilter", "minhash_estimate_error", "hard_negatives",
     "ann_recall", "kmeans_lloyd", "pq_encode_lloyd", "knn_ivfpq",
-    "knn_ivf_append", "ivf_imbalance", "stream_ivf_assign", "cluster_keep_best", "embedding_drift",
+    "knn_ivf_append", "ivf_imbalance", "stream_ivf_assign", "cluster_keep_best", "embedding_drift", "stream_embedding_drift",
     "embedding_stats", "knn_graph", "bpe_encode", "remove_boilerplate",
     "domain_resample", "negative_sampling", "domain_caps",
     "corpus_curate_capped", "lm_quality_band", "reservoir_sample",

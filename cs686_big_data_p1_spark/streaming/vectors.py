@@ -129,3 +129,84 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(best, "complete")
     return out.select(F.col("vec_id").alias("new_vec"), "cid")
+
+
+def _drift_oracle() -> str:
+    from ..operators.ann import EMBEDDING_DRIFT_ORACLE
+
+    return EMBEDDING_DRIFT_ORACLE
+
+
+@query("stream_embedding_drift", oracle=_drift_oracle())
+def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_drift as a LIVE monitor: candidate embeddings stream
+    in, each micro-batch folds its per-dimension fixed-point sums into
+    the running per-split aggregate (one streaming groupBy on the dim
+    key — d rows of state, bounded by embedding width forever), and
+    the drained state yields the same exact cross-multiplied drift
+    report the batch query computes: same oracle, sweep-exact.
+
+    Scale: the streaming state is 2 x d bigint sums + counts — the
+    mergeable sufficient statistic, so arrival order, batch sizing,
+    and restarts cannot change the answer; the report joins no
+    corpus-sized frame. In production this runs beside
+    stream_ivf_assign on the same ingest: assignments flow to the
+    store, drift flags page the retrain decision."""
+    from ..operators.ann import DRIFT_DEN, DRIFT_NUM
+
+    spark = stream_clone(spark)
+    arrivals = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .where(F.col("vec_id") >= ANN_N_QUERIES)
+    )
+    is_delta = (F.col("vec_id") % DELTA_MOD) == DELTA_RES
+    cells = arrivals.select(
+        is_delta.alias("is_delta"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(embedding)-1),"
+                " i -> struct(i + 1 AS i,"
+                "      CAST(floor(CAST(embedding[i] AS DOUBLE)"
+                "           * 1000000.0) AS BIGINT) AS q))"
+            )
+        ).alias("m"),
+    )
+    sums = cells.groupBy(F.col("m.i").alias("dim")).agg(
+        F.sum(F.when(~F.col("is_delta"), F.col("m.q"))).alias("base_sum_e6"),
+        F.sum(F.when(F.col("is_delta"), F.col("m.q"))).alias("delta_sum_e6"),
+        F.sum(F.when(~F.col("is_delta"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(F.col("is_delta"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta"),
+    )
+    out = _run_to_memory(sums, "complete")
+    return out.select(
+        "dim",
+        "n_base",
+        "n_delta",
+        "base_sum_e6",
+        "delta_sum_e6",
+        (
+            F.col("base_sum_e6").cast("double")
+            / (F.col("n_base") * F.lit(1000000.0))
+        ).alias("base_mean"),
+        (
+            F.col("delta_sum_e6").cast("double")
+            / (F.col("n_delta") * F.lit(1000000.0))
+        ).alias("delta_mean"),
+        (
+            F.abs(
+                F.col("delta_sum_e6") * F.col("n_base")
+                - F.col("base_sum_e6") * F.col("n_delta")
+            )
+            * F.lit(DRIFT_DEN)
+            > F.col("n_base")
+            * F.col("n_delta")
+            * F.lit(1000000)
+            * F.lit(DRIFT_NUM)
+        ).alias("drift"),
+    )

@@ -1134,3 +1134,29 @@ def test_stream_ivf_assign_matches_batch_append(spark):
     assert got == want
     assert got  # the residue class is populated
     assert all(v % DELTA_MOD == DELTA_RES for v, _ in got)
+
+
+def test_stream_embedding_drift_state_is_order_invariant(spark):
+    """stream_embedding_drift's state is the mergeable sufficient
+    statistic (per-dim, per-split sums + counts), so the drained
+    report must equal the batch embedding_drift row for row — pin the
+    equality, which simultaneously pins that micro-batch boundaries
+    and arrival order cannot change the answer."""
+    from cs686_big_data_p1_spark import registry
+    from cs686_big_data_p1_spark.streaming.vectors import (
+        stream_embedding_drift,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.dim: (r.n_base, r.n_delta, r.base_sum_e6, r.delta_sum_e6, r.drift)
+        for r in stream_embedding_drift(spark, sf).collect()
+    }
+    registry.clear_caches()
+    registry.load_all()
+    want = {
+        r.dim: (r.n_base, r.n_delta, r.base_sum_e6, r.delta_sum_e6, r.drift)
+        for r in registry.QUERIES["embedding_drift"](spark, sf).collect()
+    }
+    registry.clear_caches()
+    assert got == want
