@@ -57,6 +57,13 @@ def _check_artifact(path, want_sf_dir, registry, want_sha):
         f"{path.name} was swept against different engine sources — "
         "re-run both full sweeps and commit the artifacts"
     )
+    # Round 12 (VERDICT r11 #6): the sweep also runs the structural
+    # nested-column ordering rule (plans.unsorted_collector_violations
+    # over every query's analyzed plan) — the artifact must prove the
+    # check executed, not merely that no failure happened to land.
+    assert data.get("nested_order_checked") is True, (
+        f"{path.name} predates the nested-order rule — re-run the sweep"
+    )
 
     swept = set(data["queries"])
     live = set(registry.QUERIES)

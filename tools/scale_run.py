@@ -53,6 +53,13 @@ EXTRA_QUERIES = [
     "substring_scrub",
     "kll_quantiles",
     "ann_recall_all",
+    # round-12 newcomers (the incremental-index family + curation)
+    "knn_ivf_append",
+    "ivf_imbalance",
+    "stream_ivf_assign",
+    "cluster_keep_best",
+    "embedding_drift",
+    "stream_embedding_drift",
 ]
 
 # Documented-complexity exponent allowlist (ADVICE r10): operators
@@ -77,6 +84,11 @@ EXPECTED_E = {
     "ann_recall": 1.5,
     "ann_recall_all": 1.5,
     "allpairs_cosine": 1.5,  # PPJoin prefix-filtered pair stage
+    # frozen-codebook assignment is the same n x ceil(sqrt(n_base))
+    # crossJoin family as knn_ivf
+    "knn_ivf_append": 1.5,
+    "ivf_imbalance": 1.5,
+    "stream_ivf_assign": 1.5,
 }
 
 
