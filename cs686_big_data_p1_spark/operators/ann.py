@@ -2845,8 +2845,22 @@ def append_ivf_store(spark: SparkSession, sf_dir: str, path: str) -> None:
         .where(F.col("rk") == 1)
         .select(F.col("vec_id").alias("dv"), "cid")
     )
+    # Idempotence guard: a RETRIED fold (driver restart between the
+    # assignment job and the write, an orchestrator re-running the
+    # step) must not duplicate delta rows in the store — duplicates
+    # would silently inflate probe results and ivf_imbalance
+    # occupancies. Anti-join on the store's existing vec_ids BEFORE
+    # appending; assignment is deterministic, so a delta row already
+    # present is exactly this fold's prior attempt. The existing-id
+    # scan reads only the vec_id column (column-pruned parquet
+    # footprint), and at deployment it would be partition-pruned to
+    # the delta's target cells.
+    existing = spark.read.parquet(path).select(
+        F.col("vec_id").alias("dv")
+    )
+    fresh = assigned_delta.join(existing, "dv", "left_anti")
     (
-        e.join(assigned_delta, e.vec_id == F.col("dv"))
+        e.join(fresh, e.vec_id == F.col("dv"))
         .select("vec_id", "embedding", "cid")
         .write.mode("append")
         .partitionBy("cid")

@@ -423,12 +423,12 @@ def gram_power_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = e.select("embedding").mapInPandas(
         gram_partials, "i int, j int, s long"
     )
-    gram = track_cache(
+    gram = (
         partials.groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
         .crossJoin(F.broadcast(nn))
         .select("i", "j", F.expr("s div n_vecs").alias("q"))
-    )
+    )  # consumed exactly once (the bounded collect below) — no cache
     # The iterations are BOUNDED driver-side control flow (the PCA
     # O(d^2)-moments class, plan-audit waived): the Gram is d^2 = 4096
     # bigints, so after the one distributed corpus pass the 8 matvec +

@@ -840,3 +840,14 @@ def test_append_ivf_store_folds_delta_without_rewriting_base(
         probed.explain(mode="formatted")
     pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
     assert pf and any("cid" in ln for ln in pf)
+
+    # Idempotence: a RETRIED fold (orchestrator re-run) must be a
+    # no-op — the anti-join on existing vec_ids keeps the store free
+    # of duplicate delta rows.
+    append_ivf_store(spark, SF_SMALL, store)
+    registry.clear_caches()
+    again = {
+        (r.vec_id, r.cid) for r in spark.read.parquet(store).collect()
+    }
+    assert again == want
+    assert spark.read.parquet(store).count() == len(want)
