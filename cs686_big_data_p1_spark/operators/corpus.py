@@ -1112,12 +1112,12 @@ p0 AS (
 p AS (SELECT stride, stride // 2 AS off FROM p0)
 SELECT doc_id, CAST(weight AS BIGINT) AS weight,
        CAST(cum_hi AS BIGINT) AS cum_hi,
-       CAST(((cum_hi - 1 - off + stride) // stride)
-            - ((cum_hi - weight - 1 - off + stride) // stride)
+       CAST(least((cum_hi - 1 - off + stride) // stride, {_WS_K})
+            - least((cum_hi - weight - 1 - off + stride) // stride, {_WS_K})
             AS BIGINT) AS n_picks
 FROM w, p
-WHERE ((cum_hi - 1 - off + stride) // stride)
-      - ((cum_hi - weight - 1 - off + stride) // stride) >= 1
+WHERE least((cum_hi - 1 - off + stride) // stride, {_WS_K})
+      - least((cum_hi - weight - 1 - off + stride) // stride, {_WS_K}) >= 1
 """
 
 

@@ -1249,12 +1249,12 @@ p0 AS (
 ),
 p AS (SELECT stride, stride // 2 AS off FROM p0)
 SELECT doc_id, weight, CAST(cum_hi AS BIGINT) AS cum_hi,
-       CAST(((cum_hi - 1 - off + stride) // stride)
-            - ((cum_hi - weight - 1 - off + stride) // stride)
+       CAST(least((cum_hi - 1 - off + stride) // stride, {WS_K})
+            - least((cum_hi - weight - 1 - off + stride) // stride, {WS_K})
             AS BIGINT) AS n_picks
 FROM w, p
-WHERE ((cum_hi - 1 - off + stride) // stride)
-      - ((cum_hi - weight - 1 - off + stride) // stride) >= 1
+WHERE least((cum_hi - 1 - off + stride) // stride, {WS_K})
+      - least((cum_hi - weight - 1 - off + stride) // stride, {WS_K}) >= 1
 """
 
 
@@ -1305,9 +1305,18 @@ def weighted_sample_frame(d: DataFrame, n_points: int) -> DataFrame:
         )
         .crossJoin(F.broadcast(params))
     )
+    # The grid is EXACTLY n_points sample points p_k = off + k*stride,
+    # k in [0, n_points): both floor-counts clamp at n_points, else the
+    # residue total - n_points*stride leaves up to r//stride extra grid
+    # points past the K-th inside (0, total] and the sampler emits
+    # K+1 (or, at stride ~1, up to 2K-1) picks — found by the
+    # hypothesis property test, weights=[65]/K=64 gave 65 picks. With
+    # the clamp, total picks telescope to exactly
+    # min(hi_total, K) - 0 = K for every total >= n_points.
     n_picks = F.expr(
-        "((cum_hi - 1 - off + stride) div stride)"
-        " - ((cum_hi - weight - 1 - off + stride) div stride)"
+        f"least((cum_hi - 1 - off + stride) div stride, {n_points})"
+        f" - least((cum_hi - weight - 1 - off + stride) div stride,"
+        f" {n_points})"
     )
     return (
         cum.withColumn("n_picks", n_picks)

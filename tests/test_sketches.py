@@ -366,3 +366,56 @@ def test_kll_quantiles_error_band_and_merge_invariance(spark):
         base.repartition(16, "event_id")
     ).collect()[0]
     assert a == b == row
+
+
+def test_weighted_sample_arithmetic_properties():
+    """Hypothesis over the systematic sampler's pure integer pick
+    formula (the exact arithmetic weighted_sample_frame and both
+    DSIR/systematic oracles share — every operand is non-negative, so
+    python // replays Spark's div and DuckDB's // identically). The
+    K-clamp on both floor-counts is load-bearing: THIS TEST found that
+    the unclamped form emits K+1 picks whenever total % K > stride//2
+    (weights=[65], K=64 gave 65) because the grid extends past the
+    K-th point — the fix clamps the grid to exactly K points on engine
+    and oracles alike. For ANY non-negative weights with total >= K,
+      * total picks == K exactly (telescoping),
+      * zero-weight docs are never picked,
+      * any doc with weight >= stride is picked at least once
+        (pigeonhole), and
+      * no doc exceeds weight//stride + 1 picks."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    K = 64
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        weights=st.lists(
+            st.integers(min_value=0, max_value=5000),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    def check(weights):
+        total = sum(weights)
+        if total < K:
+            return  # the guarded degenerate class raises; covered above
+        stride = total // K
+        off = stride // 2
+        cum = 0
+        picks = []
+        for w in weights:
+            cum += w
+            hi = min((cum - 1 - off + stride) // stride, K)
+            lo = min((cum - w - 1 - off + stride) // stride, K)
+            picks.append(hi - lo)
+        assert sum(picks) == K, (weights, picks)
+        for w, p in zip(weights, picks):
+            assert p >= 0
+            if w == 0:
+                assert p == 0
+            if w >= stride:
+                assert p >= 1, (w, stride, p)
+            assert p <= w // stride + 1, (w, stride, p)
+
+    check()
