@@ -291,29 +291,13 @@ _CORPUS_N: dict[tuple, int] = {}
 CLEAR_HOOKS.append(_CORPUS_N.clear)
 
 
-def _embeddings_fingerprint(sf_dir: str):
-    """Cheap identity stamp of ``{sf_dir}/embeddings.parquet``: the
-    (name, size, mtime_ns) of the file, or the sorted stamps of a
-    directory's children. None when the path is not os.stat-able
-    (remote filesystems) — the CLEAR_HOOKS lifetime covers that case."""
-    import os
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        if os.path.isdir(path):
-            return tuple(
-                (nm, s.st_size, s.st_mtime_ns)
-                for nm in sorted(os.listdir(path))
-                for s in (os.stat(os.path.join(path, nm)),)
-            )
-        st = os.stat(path)
-    except OSError:
-        return None
-    return (st.st_size, st.st_mtime_ns)
-
-
 def _corpus_n(spark: SparkSession, sf_dir: str) -> int:
-    key = (sf_dir, _embeddings_fingerprint(sf_dir))
+    # Identity stamp shared with every other memo in the tree
+    # (ADVICE r12: the local twin of table_fingerprint is deleted —
+    # one copy of the staleness-guard logic, one place to fix it).
+    from ..tables import table_fingerprint
+
+    key = (sf_dir, table_fingerprint(sf_dir, "embeddings"))
     if key not in _CORPUS_N:
         _CORPUS_N[key] = load_table(spark, sf_dir, "embeddings").count()
     return _CORPUS_N[key]
@@ -2729,10 +2713,34 @@ SELECT i AS dim, nb AS n_base, nd AS n_delta,
        sxb AS base_sum_e6, sxd AS delta_sum_e6,
        CAST(sxb AS DOUBLE) / (nb * 1000000.0) AS base_mean,
        CAST(sxd AS DOUBLE) / (nd * 1000000.0) AS delta_mean,
-       (abs(sxd * nb - sxb * nd) * {DRIFT_DEN}
-        > nb * nd * 1000000 * {DRIFT_NUM}) AS drift
+       (abs(CAST(sxd AS HUGEINT) * nb - CAST(sxb AS HUGEINT) * nd)
+            * {DRIFT_DEN}
+        > CAST(nb AS HUGEINT) * nd * 1000000 * {DRIFT_NUM}) AS drift
 FROM sums
 """
+
+# The drift boolean's cross-multiplies exceed int64 once
+# n_base * n_delta * 1e6 > 2^63 (~9.2e12 — plausible at the 100 TB
+# target); non-ANSI Spark would wrap silently while DuckDB stays exact
+# (the t_closeness T_SUM_GUARD class, ADVICE r12). Both engines
+# therefore compute the comparison in 128-bit: DECIMAL(38,0) in Spark
+# (exact to 1e38; worst case here is ~1e12 * 1e12 * 1e6 = 1e30),
+# HUGEINT in DuckDB.
+_DEC38 = "decimal(38,0)"
+
+
+def _drift_flag_col() -> "F.Column":
+    return (
+        F.abs(
+            F.col("delta_sum_e6").cast(_DEC38) * F.col("n_base")
+            - F.col("base_sum_e6").cast(_DEC38) * F.col("n_delta")
+        )
+        * F.lit(DRIFT_DEN)
+        > F.col("n_base").cast(_DEC38)
+        * F.col("n_delta")
+        * F.lit(1000000)
+        * F.lit(DRIFT_NUM)
+    ).alias("drift")
 
 
 @query("embedding_drift", oracle=EMBEDDING_DRIFT_ORACLE)
@@ -2790,14 +2798,7 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("delta_sum_e6").cast("double")
             / (F.col("n_delta") * F.lit(1000000.0))
         ).alias("delta_mean"),
-        (
-            F.abs(
-                F.col("delta_sum_e6") * F.col("n_base")
-                - F.col("base_sum_e6") * F.col("n_delta")
-            )
-            * F.lit(DRIFT_DEN)
-            > F.col("n_base") * F.col("n_delta") * F.lit(1000000) * F.lit(DRIFT_NUM)
-        ).alias("drift"),
+        _drift_flag_col(),
     )
 
 
@@ -2854,9 +2855,17 @@ def append_ivf_store(spark: SparkSession, sf_dir: str, path: str) -> None:
     # present is exactly this fold's prior attempt. The existing-id
     # scan reads only the vec_id column (column-pruned parquet
     # footprint), and at deployment it would be partition-pruned to
-    # the delta's target cells.
-    existing = spark.read.parquet(path).select(
-        F.col("vec_id").alias("dv")
+    # the delta's target cells. The id set is MATERIALIZED
+    # (localCheckpoint) before the append write starts: a lazy read of
+    # the same path the job appends to would depend on the read-time
+    # file-index snapshot surviving task retries and
+    # eventually-consistent object-store listings (ADVICE r12) —
+    # pinning the ids into block storage makes the guard's view of
+    # "existing" a fixed set no matter when tasks re-execute.
+    existing = (
+        spark.read.parquet(path)
+        .select(F.col("vec_id").alias("dv"))
+        .localCheckpoint(eager=True)
     )
     fresh = assigned_delta.join(existing, "dv", "left_anti")
     (

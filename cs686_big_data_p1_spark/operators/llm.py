@@ -382,7 +382,18 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit = _CLUSTER_MEMO.get(key)
     if hit is not None:
-        return hit
+        # localCheckpoint blocks live on executors; if an executor
+        # holding them was lost (dynamic allocation, OOM-kill), every
+        # later consumer would fail with missing-checkpoint-block
+        # errors instead of recomputing (ADVICE r12). Probe the blocks
+        # with a bounded action and fall through to a recompute on ANY
+        # failure — the memo is an optimization, never a correctness
+        # dependency.
+        try:
+            hit.count()
+            return hit
+        except Exception:
+            _CLUSTER_MEMO.pop(key, None)
     out = _cluster_labels_uncached(spark, sf_dir)
     _CLUSTER_MEMO.clear()
     _CLUSTER_MEMO[key] = out

@@ -21,6 +21,31 @@ _ORDER_SORTERS = ("sort_array", "array_sort")
 _ORDER_COLLECTORS = r"\b(collect_list|collect_set|array_agg)\("
 
 
+def _mask_quoted(plan: str) -> str:
+    """Blank the inside of single-quoted literals, preserving length.
+
+    The enclosing-call scan below counts '(' / ')' to build its call
+    stack; a paren inside a string literal (a regexp or delimiter
+    argument in the plan, e.g. quality_score's patterns) would
+    misalign the stack and silently suppress violations (ADVICE r12).
+    Replacing literal bodies with spaces keeps every index identical
+    while removing their parens from the scan. Quote state resets at
+    each newline so one unpaired quote cannot blank the rest of the
+    plan."""
+    out = []
+    in_q = False
+    for ch in plan:
+        if ch == "\n":
+            in_q = False
+            out.append(ch)
+        elif ch == "'":
+            in_q = not in_q
+            out.append(ch)
+        else:
+            out.append(" " if in_q else ch)
+    return "".join(out)
+
+
 def unsorted_collector_violations(plan: str) -> list[str]:
     """PARITY.md §7's nested-column rule, made structural (VERDICT r11
     #6): an ArrayType output built by an aggregation collector
@@ -36,8 +61,9 @@ def unsorted_collector_violations(plan: str) -> list[str]:
     NAME with their ordering argument (tools/check_oracle.py
     NESTED_ORDER_WAIVERS)."""
     out = []
-    for m in re.finditer(_ORDER_COLLECTORS, plan):
-        seg = plan[: m.start()]
+    masked = _mask_quoted(plan)
+    for m in re.finditer(_ORDER_COLLECTORS, masked):
+        seg = masked[: m.start()]
         stack: list[str] = []
         for j, ch in enumerate(seg):
             if ch == "(":

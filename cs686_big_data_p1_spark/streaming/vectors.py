@@ -152,7 +152,7 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized frame. In production this runs beside
     stream_ivf_assign on the same ingest: assignments flow to the
     store, drift flags page the retrain decision."""
-    from ..operators.ann import DRIFT_DEN, DRIFT_NUM
+    from ..operators.ann import _drift_flag_col
 
     spark = stream_clone(spark)
     arrivals = (
@@ -198,15 +198,5 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("delta_sum_e6").cast("double")
             / (F.col("n_delta") * F.lit(1000000.0))
         ).alias("delta_mean"),
-        (
-            F.abs(
-                F.col("delta_sum_e6") * F.col("n_base")
-                - F.col("base_sum_e6") * F.col("n_delta")
-            )
-            * F.lit(DRIFT_DEN)
-            > F.col("n_base")
-            * F.col("n_delta")
-            * F.lit(1000000)
-            * F.lit(DRIFT_NUM)
-        ).alias("drift"),
+        _drift_flag_col(),
     )

@@ -190,18 +190,26 @@ def table_fingerprint(sf_dir: str, name: str):
     mtime_ns) of the file, or the sorted stamps of a directory's
     children; None when not os.stat-able (remote filesystems). Memo
     keys include it so a rewritten fixture can never be served a stale
-    derived frame (the ADVICE-r11 structural-staleness rule; the
-    embeddings-specific twin lives in operators/ann.py)."""
+    derived frame (the ADVICE-r11 structural-staleness rule). The ONE
+    copy of this logic in the tree — every memo keys through here."""
     import os
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         if os.path.isdir(path):
-            return tuple(
-                (nm, s.st_size, s.st_mtime_ns)
-                for nm in sorted(os.listdir(path))
-                for s in (os.stat(os.path.join(path, nm)),)
-            )
+            # Recursive walk (ADVICE r12): a partitioned layout nests
+            # its files under key=value subdirs; fingerprinting only
+            # the top level would miss a rewritten leaf file.
+            stamps = []
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
+                rel = os.path.relpath(root, path)
+                for nm in sorted(files):
+                    s = os.stat(os.path.join(root, nm))
+                    stamps.append(
+                        (os.path.join(rel, nm), s.st_size, s.st_mtime_ns)
+                    )
+            return tuple(stamps)
         st = os.stat(path)
     except OSError:
         return None

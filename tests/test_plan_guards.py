@@ -269,6 +269,33 @@ def test_unsorted_collector_checker_catches_probe(spark):
     )
     assert unsorted_collector_violations(analyzed(ok3)) == []
 
+    # ADVICE r12: parens inside STRING LITERALS must not derail the
+    # enclosing-call stack. An unbalanced '(' in a regexp literal
+    # upstream of an unsorted collector previously pushed a phantom
+    # frame and could silently suppress the violation; with literal
+    # masking the collector is still flagged...
+    lit_bad = (
+        "Aggregate [g], [g, collect_list(regexp_extract(x, '([0-9]+', 1),"
+        " 0, 0) AS xs]"
+    )
+    v = unsorted_collector_violations(lit_bad)
+    assert v and "collect_list" in v[0]
+
+    # ...and a SORTED collector with literal parens stays clean (the
+    # mask must not invent violations either).
+    lit_ok = (
+        "Aggregate [g], [g, sort_array(collect_list("
+        "regexp_extract(x, '([0-9]+', 1), 0, 0), true) AS xs]"
+    )
+    assert unsorted_collector_violations(lit_ok) == []
+
+    # Live-plan variant: a real regexp_extract with parens in its
+    # pattern literal, unsorted collector — flagged.
+    lit_live = base.select(
+        "g", F.regexp_extract(F.col("x").cast("string"), r"(\d+)", 1).alias("sx")
+    ).groupBy("g").agg(F.collect_list("sx").alias("xs"))
+    assert unsorted_collector_violations(analyzed(lit_live))
+
 
 def test_registry_wide_nested_order_rule_is_wired():
     """The checker only bites if the sweep actually runs it over the
