@@ -2875,3 +2875,208 @@ def append_ivf_store(spark: SparkSession, sf_dir: str, path: str) -> None:
         .partitionBy("cid")
         .parquet(path)
     )
+
+
+# --- ivf_store_prune: the physical store's pruning payoff, oracle-checked --
+
+# Once-per-process "store is built" memo (path, not DataFrame): keyed on
+# (applicationId, sf_dir, embeddings fingerprint) per the structural-
+# staleness rule, NOT registered in CLEAR_HOOKS — the store is an
+# on-disk artifact whose rebuild is write_ivf_base_store +
+# append_ivf_store, and both halves are idempotent (overwrite; anti-join
+# fold), so a crashed earlier build in the same process is repaired by
+# rebuilding, and other processes never share the path (appId in it).
+_STORE_READY: dict[tuple, str] = {}
+
+
+def _ivf_store_ready(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from ..tables import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    hit = _STORE_READY.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    digest = hashlib.md5(repr((sf_dir, fp)).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_store_{spark.sparkContext.applicationId}_{digest}",
+    )
+    write_ivf_base_store(spark, sf_dir, path)
+    append_ivf_store(spark, sf_dir, path)
+    _STORE_READY.clear()
+    _STORE_READY[key] = path
+    return path
+
+
+IVF_STORE_PRUNE_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM ex GROUP BY vec_id
+),
+base AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id >= {ANN_N_QUERIES} AND vec_id % {DELTA_MOD} <> {DELTA_RES}
+),
+nl AS (
+  SELECT greatest(1, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))
+      AS nlist
+  FROM base
+),
+sp AS (SELECT nlist, ((nlist + 8) // 9) * 10 + 10 AS w FROM nl),
+cents AS (
+  SELECT vec_id AS cid FROM (
+    SELECT b.vec_id, row_number() OVER (ORDER BY b.vec_id) AS rk, s.nlist
+    FROM base b, sp s WHERE b.vec_id < {ANN_N_QUERIES} + s.w)
+  WHERE rk <= nlist
+),
+cdots AS (
+  SELECT v.vec_id, c.cid,
+         CAST(sum(CAST(floor(v.x * ce.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM ex v
+  JOIN cents c ON true
+  JOIN ex ce ON ce.vec_id = c.cid AND ce.i = v.i
+  GROUP BY v.vec_id, c.cid
+),
+cscores AS (
+  SELECT d.vec_id, d.cid, d.dot / (nv.norm * nc.norm) AS cscore
+  FROM cdots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cid
+),
+assigned AS (
+  SELECT vec_id, cid,
+         (vec_id % {DELTA_MOD} = {DELTA_RES}) AS is_delta
+  FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores WHERE vec_id >= {ANN_N_QUERIES})
+  WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores WHERE vec_id < {ANN_N_QUERIES})
+  WHERE rk <= {IVF_NPROBE}
+),
+occ AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(coalesce(sum(CASE WHEN is_delta THEN 1 END), 0) AS BIGINT)
+             AS n_delta
+  FROM assigned GROUP BY cid
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS rows_total,
+         (SELECT CAST(count(*) AS BIGINT) FROM cents) AS cells_total
+  FROM assigned
+)
+SELECT p.query_id,
+       CAST(count(*) AS BIGINT) AS cells_probed,
+       CAST(sum(CASE WHEN o.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS cells_nonempty,
+       t.cells_total,
+       CAST(coalesce(sum(o.n_rows), 0) AS BIGINT) AS rows_scanned,
+       CAST(coalesce(sum(o.n_delta), 0) AS BIGINT) AS delta_rows_scanned,
+       t.rows_total,
+       CAST(coalesce(sum(o.n_rows), 0) AS DOUBLE) / t.rows_total
+           AS scan_fraction
+FROM probes p
+LEFT JOIN occ o ON o.cid = p.cid
+CROSS JOIN tot t
+GROUP BY p.query_id, t.cells_total, t.rows_total
+"""
+
+
+@query("ivf_store_prune", oracle=IVF_STORE_PRUNE_ORACLE)
+def ivf_store_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-12 store trio (write_ivf_base_store / append_ivf_store
+    / probe_ivf_store) as a first-class oracle-checked query (VERDICT
+    r12 #1): physically build the cid-partitioned store, fold the delta
+    batch in, then MEASURE what each query's probe pass reads from the
+    on-disk layout — cells touched vs cells total, rows scanned vs
+    rows total, and how many of the scanned rows arrived via the
+    append. The zorder_layout idiom: the pruning ratio IS the query
+    result. Because every reported number is recomputed relationally by
+    the DuckDB oracle from the embeddings table alone, a hash match
+    proves the PHYSICAL store's content equals the frozen-codebook
+    assignment — fold idempotence and append visibility become
+    oracle-checked instead of pytest-only.
+
+    Scale: the probe scan reads ONLY the probed cells' directories —
+    the cid IN (...) predicate is a PartitionFilter (pytest-pinned on
+    this query's plan), with the probed-cid list bounded by
+    n_queries x nprobe (control metadata, the probe_ivf_store contract;
+    a dimension-side filter would ride dynamic partition pruning
+    instead). The denominator pass reads the vec_id column only
+    (column-pruned footprint; at deployment row counts come from
+    partition metadata). Report is O(n_queries) rows."""
+    import os
+
+    path = _ivf_store_ready(spark, sf_dir)
+    _v, _b, _d, cents, _m, probes = _append_parts(spark, sf_dir)
+    probes = track_cache(probes)
+    # Bounded control flow: <= ANN_N_QUERIES * IVF_NPROBE cell ids.
+    probed = sorted(
+        r[0] for r in probes.select("cid").distinct().collect()
+    )
+    store = spark.read.parquet(path).select("vec_id", "cid")
+    is_delta = (F.col("vec_id") % DELTA_MOD) == DELTA_RES
+    occ = (
+        store.where(F.col("cid").isin(probed))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(is_delta.cast("int")).cast("long").alias("n_delta"),
+        )
+    )
+    tot = store.groupBy().agg(
+        F.count(F.lit(1)).alias("rows_total")
+    )
+    cells = cents.groupBy().agg(F.count(F.lit(1)).alias("cells_total"))
+    per_q = (
+        probes.join(occ, "cid", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("cells_probed"),
+            F.sum(F.when(F.col("n_rows").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("cells_nonempty"),
+            F.coalesce(F.sum("n_rows"), F.lit(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.coalesce(F.sum("n_delta"), F.lit(0))
+            .cast("long")
+            .alias("delta_rows_scanned"),
+        )
+    )
+    return (
+        per_q.crossJoin(F.broadcast(cells))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "query_id",
+            "cells_probed",
+            "cells_nonempty",
+            "cells_total",
+            "rows_scanned",
+            "delta_rows_scanned",
+            "rows_total",
+            (
+                F.col("rows_scanned").cast("double") / F.col("rows_total")
+            ).alias("scan_fraction"),
+        )
+    )
