@@ -100,19 +100,22 @@ PRIORITY_ORDER = [
     # ROTATING WINDOW, slots 44-50 (VERDICT r8 #10): these seven slots
     # change every round across the extension surface so queries past
     # the driver's 50-row window eventually earn a driver-grade
-    # correctness row. Round 12 picks (VERDICT r11 #3, all with zero
-    # driver history): retention_cohorts (driver-confirm the PARITY §4
-    # DATE-vs-timestamp class fixed in r11), gram_power_topvec (this
-    # round's Arrow-kernel Gram rebuild), t_closeness (this round's
-    # NULL-overflow guard), the r11 newcomers mmr_rerank/dsir_sample,
-    # substring_scrub, and knn_ivf_trained (the Lloyd-trained leg).
-    # Displaced r11 occupants move to the head of the post-window list.
-    "retention_cohorts", "gram_power_topvec", "t_closeness",
-    "mmr_rerank", "dsir_sample", "substring_scrub",
-    "knn_ivf_trained",
+    # correctness row. Round 13 picks (VERDICT r12 #2, all with zero
+    # driver history): the six r12 newcomers — the incremental-IVF trio
+    # knn_ivf_append / ivf_imbalance / stream_ivf_assign, the curation
+    # keeper cluster_keep_best, and the drift pair embedding_drift /
+    # stream_embedding_drift (both now 128-bit exact per ADVICE r12) —
+    # plus embedding_covariance (never driver-checked). Displaced r12
+    # occupants move to the head of the post-window list.
+    "knn_ivf_append", "ivf_imbalance", "stream_ivf_assign",
+    "cluster_keep_best", "embedding_drift", "stream_embedding_drift",
+    "embedding_covariance",
     # extras past the driver window (judge self-checks these via the
     # committed full-sweep artifacts); displaced rotation occupants
     # lead the list
+    "retention_cohorts", "gram_power_topvec", "t_closeness",
+    "mmr_rerank", "dsir_sample", "substring_scrub", "knn_ivf_trained",
+    "ivf_store_prune",
     "pagerank_copurchase", "bpe_merges", "knn_pq_adc",
     "substring_dedup", "kll_quantiles", "stream_attribution_outer",
     "ann_recall_all",
@@ -154,12 +157,11 @@ PRIORITY_ORDER = [
     "ab_test_conversion", "supplier_balance_ranks", "dedup_simhash_pairs",
     "bloom_prefilter", "minhash_estimate_error", "hard_negatives",
     "ann_recall", "kmeans_lloyd", "pq_encode_lloyd", "knn_ivfpq",
-    "knn_ivf_append", "ivf_imbalance", "stream_ivf_assign", "cluster_keep_best", "embedding_drift", "stream_embedding_drift",
     "embedding_stats", "knn_graph", "bpe_encode", "remove_boilerplate",
     "domain_resample", "negative_sampling", "domain_caps",
     "corpus_curate_capped", "lm_quality_band", "reservoir_sample",
     "weighted_sample_systematic", "rendezvous_placement",
-    "compaction_plan", "l_diversity", "embedding_covariance",
+    "compaction_plan", "l_diversity",
     "knn_label_eval", "pca_project", "media_phash_dedup",
     "media_audio_dedup", "media_video_dedup", "referential_integrity",
     "table_profile", "nation_reconcile", "value_histogram",
