@@ -296,7 +296,7 @@ def near_pairs(sh: DataFrame) -> DataFrame:
 
 
 CLUSTER_JACCARD = 0.5  # standard near-dup cut over candidate pairs
-CLUSTER_MAX_ITERS = 20  # >= pair-graph diameter at any realistic SF
+CLUSTER_MAX_ITERS = 20  # reach doubles per round: covers diameter ~3*2^20
 
 DEDUP_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE near AS ({DEDUP_NEAR_ORACLE}),
@@ -410,11 +410,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (application, sf_dir, fixture fingerprint) and shared with
     corpus_curate and cluster_keep_best — see _CLUSTER_MEMO.
 
-    Iterative min-label propagation as DataFrame joins: each round,
-    every vertex takes the min of its own and its neighbors' labels;
-    converged when the (monotonically decreasing) label sum stops
-    falling — O(component diameter) rounds, each one shuffle on int
-    keys. The edge list is localCheckpoint'ed ONCE before the loop:
+    Iterative min-label propagation WITH pointer jumping as DataFrame
+    joins: each round every vertex takes the min of its own and its
+    neighbors' labels, then composes the label map with itself
+    (label(v) <- min(label(v), label(label(v))) — the path-doubling
+    half of large-star/small-star); converged when the (monotonically
+    decreasing) label sum stops falling. Reach grows r -> 2r + 2 per
+    round, so a chain-shaped duplicate graph — the adversarial case
+    for plain propagation, O(diameter) rounds — converges in
+    O(log diameter) rounds (measured on a 512-vertex chain by
+    tests/test_dedup.py::test_cluster_rounds_logarithmic_on_chain;
+    VERDICT r12 #5's bound). Each round is two int-key shuffles. The edge list is localCheckpoint'ed ONCE before the loop:
     that both materializes the LSH pipeline a single time and — the
     part that actually matters — cuts its (large) logical plan out of
     the loop's lineage, so each round re-plans a depth-1 tree instead
