@@ -1100,12 +1100,197 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replays the identical trajectory.
 CELLS_ITERS = 4
 
+# --- Sample-capped coarse-quantizer train (VERDICT r12 #3) ----------------
+#
+# kmeans_cells / knn_ivf_trained originally ran every Lloyd round as a
+# corpus-scale n x nlist pass — CELLS_ITERS + 1 passes of the suite's
+# most super-linear shape (nlist = sqrt(n), so each pass is n^1.5).
+# FAISS trains the coarse quantizer on a bounded sample (train() cost
+# never scales with the corpus), and the r12 PQ queries already made
+# that convention oracle-exact — this applies the identical trick to
+# the IVF coarse quantizer: the training sample is the IVF_TRAIN_CAP
+# vectors with the smallest md5('ivftrain|'||vec_id) (deterministic,
+# engine/run-stable bottom-k), seeds are the first nlist sample
+# vectors in that same md5 order, CELLS_ITERS fixed-point
+# assign+recenter rounds run DRIVER-SIDE in numpy int64 over the
+# cap-bounded sample (bit-identical to the distributed rounds — see
+# _pq_lloyd_sampled for the argmin/tdiv/drop-empty contract), and the
+# ONE remaining corpus-scale pass is the final broadcast-codebook
+# assignment. The oracle replays sample, training, and assignment
+# unchanged, so both queries stay hash-exact.
+IVF_TRAIN_CAP = 4096
+
+
+def _ivf_train_sample(e: DataFrame) -> DataFrame:
+    """(vec_id, rk): the IVF_TRAIN_CAP corpus vectors with the smallest
+    md5('ivftrain|'||vec_id), ranked in that order (rk 1..cap; the
+    first nlist are the codebook seeds). orderBy+limit is a distributed
+    TakeOrdered; the row_number window runs over the already-capped
+    frame."""
+    h = F.md5(F.format_string("ivftrain|%d", F.col("vec_id")))
+    capped = (
+        e.select("vec_id", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(IVF_TRAIN_CAP)
+    )
+    w = Window.orderBy("h", "vec_id")
+    return capped.withColumn("rk", F.row_number().over(w)).select(
+        "vec_id", "rk"
+    )
+
+
+def _lloyd_train_sampled(e: DataFrame, iters: int, n: int | None = None):
+    """_lloyd_train's production form: driver-side numpy training over
+    the md5 bottom-IVF_TRAIN_CAP sample, one corpus-scale broadcast
+    assignment pass. Returns (qv, assigned, cents, dists) with the
+    same shapes _lloyd_train returns (ex omitted — recentering never
+    touches the corpus here).
+
+    Bit-exactness contract vs the oracle's unrolled CTEs (the
+    _pq_lloyd_sampled rules): argmin on int64 squared distance with
+    numpy's first-min = smallest cid among ties (ORDER BY dist ASC,
+    cid ASC); recenter = sign * (abs // count) truncating division
+    (SQL `div`); memberless cells DROP exactly as a groupBy recenter
+    emits only occupied cells. Distances use the matmul identity
+    |x-c|^2 = |x|^2 + |c|^2 - 2 x.c in int64 (q <= 1e6, d = 64 keeps
+    every term under ~2.6e14 — no overflow).
+
+    Scale: training work is O(IVF_TRAIN_CAP x nlist x d) driver ints
+    per round — bounded by the cap, not the corpus (the cap also
+    bounds a sane nlist: FAISS wants >= ~39 training points per cell,
+    so a cap-trained quantizer never has a corpus-scale k). The
+    corpus-scale work is ONE broadcast-codebook crossJoin with the
+    Arrow int64 kernel + the per-vector argmin window — knn_ivf's
+    exact assignment shape, run once instead of CELLS_ITERS + 1
+    times."""
+    import numpy as np
+
+    spark = e.sparkSession
+    qv = track_cache(
+        e.select("vec_id", _quant_arr(F.col("embedding")).alias("qarr"))
+    )
+    nlist = _nlist(qv.count() if n is None else n)
+    samp = _ivf_train_sample(e)
+    srows = (
+        qv.join(F.broadcast(samp), "vec_id").select("rk", "qarr").collect()
+    )  # bounded: <= IVF_TRAIN_CAP rows — driver-side by design
+    rows = sorted((r.rk, r.qarr) for r in srows)
+    x = np.array([q for _, q in rows], dtype=np.int64)
+    cents = {rk - 1: x[i] for i, (rk, _) in enumerate(rows) if rk <= nlist}
+
+    def tdiv(a, b):
+        return np.sign(a) * (np.abs(a) // b)
+
+    xx = (x * x).sum(axis=1)
+    for _ in range(iters):
+        cids = sorted(cents)
+        cmat = np.stack([cents[c] for c in cids])
+        d2 = (
+            xx[:, None]
+            + (cmat * cmat).sum(axis=1)[None, :]
+            - 2 * (x @ cmat.T)
+        )
+        amin = d2.argmin(axis=1)
+        nxt = {}
+        for k, cid in enumerate(cids):
+            members = x[amin == k]
+            if len(members):
+                nxt[cid] = tdiv(members.sum(axis=0), len(members))
+        cents = nxt
+    cb = spark.createDataFrame(
+        [(int(c), [int(v) for v in cents[c]]) for c in sorted(cents)],
+        "cid int, cq_arr array<bigint>",
+    )
+    dists = qv.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "cid",
+        pair_sqdist_q_pd(F.col("qarr"), F.col("cq_arr")).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    assigned = (
+        dists.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid", "dist")
+    )
+    return qv, assigned, cb, dists
+
+
+def _ivf_sampled_ctes(iters: int) -> str:
+    """Oracle CTE chain mirroring _ivf_train_sample +
+    _lloyd_train_sampled: quantized explode `ex`, md5 bottom-k sample
+    `samp`, sample slice `sx`, seeds `ic0` (first nlist sample vectors,
+    cid = rk - 1), `iters` unrolled assign/recenter rounds over the
+    sample, then the full-corpus final assignment — fd = the complete
+    (vec_id, cid, dist) distance table (probes derive from it), fa =
+    the argmin assignment."""
+    parts = [
+        f"""
+ex AS (
+  SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * {_LQ}) AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+samp AS (
+  SELECT vec_id, rk FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rk
+    FROM (SELECT vec_id, md5(printf('ivftrain|%d', vec_id)) AS h
+          FROM embeddings))
+  WHERE rk <= {IVF_TRAIN_CAP}
+),
+sx AS (
+  SELECT m.rk, e.vec_id, e.i, e.q
+  FROM ex e JOIN samp m ON m.vec_id = e.vec_id
+),
+ic0 AS (
+  SELECT rk - 1 AS cid, i, q FROM sx WHERE rk <= {_NLIST_SQL}
+)"""
+    ]
+    prev = "ic0"
+    for r in range(1, iters + 1):
+        parts.append(f"""
+id{r} AS (
+  SELECT e.vec_id, c.cid, sum((e.q - c.q) * (e.q - c.q)) AS dist
+  FROM sx e JOIN {prev} c ON c.i = e.i
+  GROUP BY e.vec_id, c.cid
+),
+ia{r} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cid ASC) AS rk
+    FROM id{r})
+  WHERE rk = 1
+),
+ic{r} AS (
+  SELECT a.cid, e.i, sum(e.q) // count(*) AS q
+  FROM ia{r} a JOIN sx e ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.i
+)""")
+        prev = f"ic{r}"
+    parts.append(f"""
+fd AS (
+  SELECT e.vec_id, c.cid, sum((e.q - c.q) * (e.q - c.q)) AS dist
+  FROM ex e JOIN ic{iters} c ON c.i = e.i
+  GROUP BY e.vec_id, c.cid
+),
+fa AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cid ASC) AS rk
+    FROM fd)
+  WHERE rk = 1
+)""")
+    return ",".join(parts)
+
+
 KMEANS_CELLS_ORACLE = (
     "WITH "
-    + _lloyd_cte_chain(CELLS_ITERS)
-    + f"""
+    + _ivf_sampled_ctes(CELLS_ITERS)
+    + """
 SELECT vec_id, CAST(cid AS INTEGER) AS cell
-FROM a{CELLS_ITERS}
+FROM fa
 """
 )
 
@@ -1113,23 +1298,26 @@ FROM a{CELLS_ITERS}
 @query("kmeans_cells", oracle=KMEANS_CELLS_ORACLE)
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained coarse quantizer for IVF: {CELLS_ITERS}-round FIXED-POINT
-    Lloyd (kmeans_lloyd's arithmetic, trained deeper) over the embedding
-    corpus, emitting each vector's cell — the production index-build
-    step (FAISS's train() analog) that replaces knn_ivf's raw seed
-    vectors when recall matters. Graduated from MLlib k-means|| to the
-    fixed-point recurrence in r10 (VERDICT r9 #1): quantized bigint
-    distances, integer floor-division recentering, (dist ASC, cid ASC)
-    ties — the whole training trajectory replays bit-identically in
-    DuckDB as unrolled CTEs, so this is now hash-exact instead of
-    rows-only-with-a-determinism-pytest. The pytest additionally pins
-    that the trained cells beat the raw seed cells on inertia.
+    Lloyd (kmeans_lloyd's arithmetic, trained deeper) with
+    SAMPLE-CAPPED oracle-exact training, emitting each vector's cell —
+    the production index-build step (FAISS's train() analog) that
+    replaces knn_ivf's raw seed vectors when recall matters. Graduated
+    from MLlib k-means|| to the fixed-point recurrence in r10 (VERDICT
+    r9 #1) and from full-corpus to cap-bounded training in r13
+    (VERDICT r12 #3, the pq_encode convention): the codebook comes
+    from CELLS_ITERS driver-side numpy rounds over the md5
+    bottom-IVF_TRAIN_CAP sample, and the corpus sees exactly ONE
+    broadcast-codebook assignment pass instead of CELLS_ITERS + 1
+    n x nlist passes. DuckDB replays sample, training, and assignment
+    as unrolled CTEs, so this stays hash-exact. The pytest additionally
+    pins that the trained cells beat the raw seed cells on inertia.
 
-    Scale: see _lloyd_train — broadcast centroids, map-side-combinable
-    bigint rollups per round, localCheckpoint lineage cuts; the same
-    shape MLlib's distributed Lloyd takes, minus the float
-    irreproducibility."""
+    Scale: see _lloyd_train_sampled — training cost is bounded by the
+    cap, never the corpus; the one corpus pass is the knn_ivf
+    assignment shape (broadcast k-row codebook, Arrow int64 kernel,
+    map-side-combinable argmin)."""
     e = load_table(spark, sf_dir, "embeddings")
-    _, assigned, _, _ = _lloyd_train(
+    _, assigned, _, _ = _lloyd_train_sampled(
         e, CELLS_ITERS, n=_corpus_n(spark, sf_dir)
     )
     return assigned.select(
@@ -1654,17 +1842,18 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _trained_cells(e: DataFrame, n: int | None = None):
     """Trained-quantizer analog of _ivf_cells: train the fixed-point
     Lloyd coarse quantizer (kmeans_cells' exact configuration —
-    CELLS_ITERS rounds), then derive (vecs, probes, assigned) — each
-    candidate's nearest trained cell and each query's IVF_NPROBE
-    nearest cells by exact integer squared euclidean (the metric Lloyd
-    assigns by), ties broken on cid. Every distance is a bigint, so
-    probes and assignments replay bit-identically in the oracle."""
+    CELLS_ITERS sample-capped driver-side rounds, VERDICT r12 #3),
+    then derive (vecs, probes, assigned) — each candidate's nearest
+    trained cell and each query's IVF_NPROBE nearest cells by exact
+    integer squared euclidean (the metric Lloyd assigns by), ties
+    broken on cid. Every distance is a bigint, so probes and
+    assignments replay bit-identically in the oracle."""
     vecs = track_cache(
         e.select(
             "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
         )
     )
-    _, assigned_all, _, dists = _lloyd_train(e, CELLS_ITERS, n=n)
+    _, assigned_all, _, dists = _lloyd_train_sampled(e, CELLS_ITERS, n=n)
     assigned = assigned_all.where(
         F.col("vec_id") >= ANN_N_QUERIES
     ).select(F.col("vec_id").alias("neighbor_id"), "cid")
@@ -1682,7 +1871,7 @@ def _trained_cells(e: DataFrame, n: int | None = None):
 
 KNN_IVF_TRAINED_ORACLE = (
     "WITH "
-    + _lloyd_cte_chain(CELLS_ITERS)
+    + _ivf_sampled_ctes(CELLS_ITERS)
     + f""",
 exd AS (
   SELECT vec_id, CAST(x AS DOUBLE) AS x, i
@@ -1701,11 +1890,11 @@ probes AS (
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY dist ASC, cid ASC) AS rk
-    FROM d{CELLS_ITERS} WHERE vec_id < {ANN_N_QUERIES})
+    FROM fd WHERE vec_id < {ANN_N_QUERIES})
   WHERE rk <= {IVF_NPROBE}
 ),
 assigned AS (
-  SELECT vec_id AS neighbor_id, cid FROM a{CELLS_ITERS}
+  SELECT vec_id AS neighbor_id, cid FROM fa
   WHERE vec_id >= {ANN_N_QUERIES}
 ),
 cand AS (

@@ -92,6 +92,23 @@ EXPECTED_E = {
 }
 
 
+# Cold-path rows (VERDICT r12 #9): these queries consume a
+# process-lifetime shared memo (_CLUSTER_MEMO's converged label-prop —
+# llm.py), so whichever of them scale_run times FIRST pays the full
+# label propagation while the bench's min-of-2 measures the warm memo
+# hit. Their recorded exponents are therefore COLD-path bounds — the
+# honest worst case — and must not be compared against warm bench
+# seconds. The flag rides in the artifact so the gate's bound stays
+# interpretable.
+COLD_PATH = {
+    "dedup_clusters": "first _CLUSTER_MEMO consumer in the process "
+    "pays the full label propagation (bench min-of-2 measures the "
+    "warm memo hit)",
+    "cluster_keep_best": "shares _CLUSTER_MEMO with dedup_clusters; "
+    "cold when it runs first in the process",
+}
+
+
 def run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -147,6 +164,9 @@ def main() -> None:
         else:
             row["exponent"] = None
         row["expected_e"] = EXPECTED_E.get(name, 1.0)
+        if name in COLD_PATH:
+            row["cold"] = True
+            row["cold_note"] = COLD_PATH[name]
         row["attempts"] = prior.get(name, {}).get("attempts", 0) + 1
         results[name] = row
         print(
