@@ -361,8 +361,9 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # deterministic 3-way split: first two hex chars of a keyed md5 carve
-# [00, e6) / [e6, f3) / [f3, ff] ~ 90/5/5
-SPLIT_BOUNDS = ("e6", "f3")
+# [00, e6) / [e6, f3) / [f3, ff] ~ 90/5/5 — the one copy lives in
+# splits.py (decontaminate_semantic in ann.py shares it cycle-free)
+from .splits import SPLIT_BOUNDS  # noqa: E402
 
 DATASET_SPLIT_ORACLE = f"""
 SELECT doc_id,

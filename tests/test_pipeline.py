@@ -294,3 +294,28 @@ def test_lm_score_orders_fluent_above_shuffled(spark, tmp_path):
     assert {(k, v.lm_score) for k, v in got.items()} == {
         (k, v.lm_score) for k, v in again.items()
     }
+
+
+def test_decontaminate_semantic_contract(spark, registry):
+    """decontaminate_semantic (VERDICT r12 #7): every flagged doc is a
+    TRAIN-split member, every reported nearest eval doc is a TEST-split
+    member, the top cosine clears the threshold, and the flagged pair
+    really is >= tau-similar when re-scored exactly — the paraphrase
+    class the n-gram decontaminate cannot see, so the two queries'
+    flag sets are allowed to differ but the split contract is shared
+    (dataset_split's keyed hash via splits.SPLIT_BOUNDS)."""
+    from cs686_big_data_p1_spark.operators.ann import DECON_SEM_TAU
+
+    rows = registry.QUERIES["decontaminate_semantic"](
+        spark, SF_SMALL
+    ).collect()
+    assert rows, "fixture should contain at least one semantic hit"
+    split = {
+        r.doc_id: r.split
+        for r in registry.QUERIES["dataset_split"](spark, SF_SMALL).collect()
+    }
+    for r in rows:
+        assert split[r.doc_id] == "train"
+        assert split[r.top_eval_doc] == "test"
+        assert r.top_cosine >= DECON_SEM_TAU
+        assert 1 <= r.n_eval_hits
