@@ -200,3 +200,297 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("delta_mean"),
         _drift_flag_col(),
     )
+
+
+# --- stream_ivf_maintenance: the store's standing control-plane loop ------
+
+def _maint_oracle() -> str:
+    from ..operators.ann import (
+        DRIFT_DEN,
+        DRIFT_NUM,
+        IMBALANCE_DEN,
+        IMBALANCE_NUM,
+        _NLIST_SQL,
+    )
+
+    return f"""
+WITH ex AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM ex GROUP BY vec_id
+),
+base AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id >= {ANN_N_QUERIES} AND vec_id % {DELTA_MOD} <> {DELTA_RES}
+),
+nl AS (
+  SELECT greatest(1, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))
+      AS nlist
+  FROM base
+),
+sp AS (SELECT nlist, ((nlist + 8) // 9) * 10 + 10 AS w FROM nl),
+cents AS (
+  SELECT vec_id AS cid FROM (
+    SELECT b.vec_id, row_number() OVER (ORDER BY b.vec_id) AS rk, s.nlist
+    FROM base b, sp s WHERE b.vec_id < {ANN_N_QUERIES} + s.w)
+  WHERE rk <= nlist
+),
+cdots AS (
+  SELECT v.vec_id, c.cid,
+         CAST(sum(CAST(floor(v.x * ce.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM ex v
+  JOIN cents c ON true
+  JOIN ex ce ON ce.vec_id = c.cid AND ce.i = v.i
+  GROUP BY v.vec_id, c.cid
+),
+cscores AS (
+  SELECT d.vec_id, d.cid, d.dot / (nv.norm * nc.norm) AS cscore
+  FROM cdots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cid
+),
+assigned AS (
+  SELECT vec_id, cid,
+         (vec_id % {DELTA_MOD} = {DELTA_RES}) AS is_delta
+  FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores WHERE vec_id >= {ANN_N_QUERIES})
+  WHERE rk = 1
+),
+occ AS (
+  SELECT c.cid,
+         CAST(count(a.vec_id) AS BIGINT) AS occupancy,
+         CAST(coalesce(sum(CASE WHEN a.is_delta THEN 1 END), 0) AS BIGINT)
+             AS n_delta
+  FROM cents c LEFT JOIN assigned a ON a.cid = c.cid
+  GROUP BY c.cid
+),
+tot AS (
+  SELECT CAST(sum(occupancy) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM occ
+),
+dcells AS (
+  SELECT (vec_id % {DELTA_MOD} = {DELTA_RES}) AS is_delta, i,
+         CAST(floor(x * 1000000.0) AS BIGINT) AS q
+  FROM ex WHERE vec_id >= {ANN_N_QUERIES}
+),
+dsums AS (
+  SELECT i,
+         CAST(sum(CASE WHEN NOT is_delta THEN q END) AS BIGINT) AS sxb,
+         CAST(sum(CASE WHEN is_delta THEN q END) AS BIGINT) AS sxd,
+         CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS nd
+  FROM dcells GROUP BY i
+),
+dd AS (
+  SELECT CAST(coalesce(sum(
+      CASE WHEN abs(CAST(sxd AS HUGEINT) * nb - CAST(sxb AS HUGEINT) * nd)
+                    * {DRIFT_DEN}
+                > CAST(nb AS HUGEINT) * nd * 1000000 * {DRIFT_NUM}
+           THEN 1 END), 0) AS BIGINT) AS drift_dims
+  FROM dsums
+)
+SELECT o.cid, o.occupancy, o.n_delta,
+       (o.occupancy * t.n_cells * {IMBALANCE_DEN}
+        > t.n_total * {IMBALANCE_NUM}) AS hot,
+       d.drift_dims,
+       ((o.occupancy * t.n_cells * {IMBALANCE_DEN}
+         > t.n_total * {IMBALANCE_NUM}) OR d.drift_dims > 0) AS retrain
+FROM occ o CROSS JOIN tot t CROSS JOIN dd d
+"""
+
+
+def fold_ivf_batch(batch: DataFrame, store_path: str, cent_rows) -> None:
+    """Fold ONE micro-batch of arriving embeddings into the physical
+    cid-partitioned store: assign against the frozen codebook
+    (reconstructed from the driver-collected cent_rows — bounded
+    O(nlist x d), so the closure never captures a foreign-session
+    DataFrame), anti-join the store's existing vec_ids (materialized
+    before the write — the append_ivf_store retry contract), and
+    dynamic-partition-append only the fresh rows. At-least-once
+    delivery + this idempotent fold = exactly-once store contents: a
+    replayed batch's rows are all "existing" and append nothing."""
+    from ..operators.ann import _assign_frozen
+
+    if batch.isEmpty():
+        return
+    spark_b = batch.sparkSession
+    cents = F.broadcast(
+        spark_b.createDataFrame(
+            cent_rows,
+            "cid bigint, cent_emb array<float>, cent_norm double",
+        )
+    )
+    b = batch.select(
+        "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+    )
+    assigned = (
+        _assign_frozen(b, cents)
+        .where(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("dv"), "cid")
+    )
+    existing = (
+        spark_b.read.parquet(store_path)
+        .select(F.col("vec_id").alias("dv"))
+        .localCheckpoint(eager=True)
+    )
+    fresh = assigned.join(existing, "dv", "left_anti")
+    (
+        batch.join(fresh, batch.vec_id == F.col("dv"))
+        .select("vec_id", "embedding", "cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(store_path)
+    )
+
+
+@query("stream_ivf_maintenance", oracle=_maint_oracle())
+def stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding store's standing control-plane loop (VERDICT r12
+    #8, mirroring T4's re-replication loop): arriving embeddings
+    stream in and each micro-batch is FOLDED into the physical
+    cid-partitioned store via foreachBatch (assign against the frozen
+    codebook, idempotent anti-join append — the cdc_apply_stream
+    pattern), then the drained store yields the retrain decision both
+    batch monitors compute: per-cell occupancy with the exact integer
+    `hot` flag (ivf_imbalance), the corpus-wide count of drifting
+    dimensions (embedding_drift's 128-bit flag), and `retrain` = any
+    trigger fired. Every reported number is recomputed relationally by
+    the oracle from the embeddings table alone, so a hash match proves
+    the STREAMED folds landed exactly once — batch sizing, replays,
+    and arrival order cannot change the report.
+
+    Scale: each fold touches only its batch's target cells (dynamic
+    partition append over the bounded O(nlist x d) broadcast
+    codebook); the post-drain report is one groupBy(cid) over store
+    metadata columns + d rows of drift sufficient statistics. In
+    production this job runs forever beside stream_ivf_assign; the
+    report rows with retrain = true page the rebuild
+    (write_ivf_store)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from ..operators.ann import (
+        DRIFT_DEN,
+        DRIFT_NUM,
+        IMBALANCE_DEN,
+        IMBALANCE_NUM,
+        _append_parts,
+        write_ivf_base_store,
+    )
+    from ..tables import table_fingerprint
+
+    spark = stream_clone(spark)
+    # Yesterday's index: base-only store + frozen codebook.
+    fp = table_fingerprint(sf_dir, "embeddings")
+    digest = _hl.md5(repr((sf_dir, fp)).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_maint_{spark.sparkContext.applicationId}_{digest}",
+    )
+    write_ivf_base_store(spark, sf_dir, path)
+    _v, _b, _d, cents, _m, _p = _append_parts(spark, sf_dir)
+    cent_rows = [
+        (int(r.cid), [float(x) for x in r.cent_emb], float(r.cent_norm))
+        for r in cents.collect()
+    ]  # bounded: nlist rows — the broadcast codebook, driver-pinned
+
+    arrivals = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .where(
+            (F.col("vec_id") >= ANN_N_QUERIES)
+            & ((F.col("vec_id") % DELTA_MOD) == DELTA_RES)
+        )
+    )
+    q = (
+        arrivals.writeStream.foreachBatch(
+            lambda b, _i: fold_ivf_batch(b, path, cent_rows)
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # Drained control-plane report, measured off the PHYSICAL store.
+    store = spark.read.parquet(path)
+    is_delta = (F.col("vec_id") % DELTA_MOD) == DELTA_RES
+    occ = (
+        cents.select("cid")
+        .join(
+            store.select(
+                "cid", "vec_id", is_delta.cast("int").alias("d")
+            ),
+            "cid",
+            "left",
+        )
+        .groupBy("cid")
+        .agg(
+            F.count("vec_id").alias("occupancy"),
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_delta"),
+        )
+    )
+    tot = occ.agg(
+        F.sum("occupancy").alias("n_total"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    dcells = store.select(
+        is_delta.alias("is_delta"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(embedding)-1),"
+                " i -> struct(i + 1 AS i,"
+                "      CAST(floor(CAST(embedding[i] AS DOUBLE)"
+                "           * 1000000.0) AS BIGINT) AS q))"
+            )
+        ).alias("m"),
+    )
+    dsums = dcells.groupBy(F.col("m.i").alias("dim")).agg(
+        F.sum(F.when(~F.col("is_delta"), F.col("m.q"))).alias("base_sum_e6"),
+        F.sum(F.when(F.col("is_delta"), F.col("m.q"))).alias("delta_sum_e6"),
+        F.sum(F.when(~F.col("is_delta"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(F.col("is_delta"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_delta"),
+    )
+    from ..operators.ann import _drift_flag_col
+
+    dd = dsums.select(_drift_flag_col()).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("drift"), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("drift_dims")
+    )
+    hot = (
+        F.col("occupancy") * F.col("n_cells") * F.lit(IMBALANCE_DEN)
+        > F.col("n_total") * F.lit(IMBALANCE_NUM)
+    )
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dd))
+        .select(
+            "cid",
+            "occupancy",
+            "n_delta",
+            hot.alias("hot"),
+            "drift_dims",
+            (hot | (F.col("drift_dims") > 0)).alias("retrain"),
+        )
+    )

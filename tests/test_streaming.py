@@ -1160,3 +1160,81 @@ def test_stream_embedding_drift_state_is_order_invariant(spark):
     }
     registry.clear_caches()
     assert got == want
+
+
+def test_ivf_maintenance_fold_is_exactly_once_and_stream_equals_batch(
+    spark, registry, tmp_path
+):
+    """stream_ivf_maintenance (VERDICT r12 #8): simulate the
+    foreachBatch loop by hand — base store, two DISJOINT delta
+    micro-batches folded in sequence, then the FIRST batch REPLAYED
+    (at-least-once delivery) — and pin that (1) the store's vec->cid
+    map equals knn_ivf_append's merged batch assignment exactly
+    (stream == batch parity, any batch split), (2) the replay appended
+    nothing (the anti-join fold makes delivery exactly-once in
+    effect), and (3) the registry query's drained report equals the
+    composition of the batch monitors: ivf_imbalance's per-cell rows +
+    embedding_drift's drifting-dimension count."""
+    from cs686_big_data_p1_spark.operators.ann import (
+        ANN_N_QUERIES,
+        DELTA_MOD,
+        DELTA_RES,
+        _append_parts,
+        write_ivf_base_store,
+    )
+    from cs686_big_data_p1_spark.streaming.vectors import fold_ivf_batch
+    from cs686_big_data_p1_spark.tables import load_table
+
+    store = str(tmp_path / "maint")
+    write_ivf_base_store(spark, SF_SMALL, store)
+    _v, _b, _d, cents, merged, _p = _append_parts(spark, SF_SMALL)
+    cent_rows = [
+        (int(r.cid), [float(x) for x in r.cent_emb], float(r.cent_norm))
+        for r in cents.collect()
+    ]
+    want = {(r.neighbor_id, r.cid) for r in merged.collect()}
+    registry.clear_caches()
+
+    e = load_table(spark, SF_SMALL, "embeddings")
+    delta = e.where(
+        (F.col("vec_id") >= ANN_N_QUERIES)
+        & ((F.col("vec_id") % DELTA_MOD) == DELTA_RES)
+    )
+    half_a = delta.where((F.col("vec_id") % 2) == 0)
+    half_b = delta.where((F.col("vec_id") % 2) == 1)
+
+    fold_ivf_batch(half_a, store, cent_rows)
+    fold_ivf_batch(half_b, store, cent_rows)
+    got = {(r.vec_id, r.cid) for r in spark.read.parquet(store).collect()}
+    assert got == want  # (1) stream == batch under an arbitrary split
+
+    n_before = spark.read.parquet(store).count()
+    fold_ivf_batch(half_a, store, cent_rows)  # replayed delivery
+    assert spark.read.parquet(store).count() == n_before  # (2)
+
+    # (3) the registry query's report == the composed batch monitors
+    report = {
+        r.cid: (r.occupancy, r.n_delta, r.hot, r.drift_dims, r.retrain)
+        for r in registry.QUERIES["stream_ivf_maintenance"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    registry.clear_caches()
+    imb = {
+        r.cid: (r.occupancy, r.n_delta, r.hot)
+        for r in registry.QUERIES["ivf_imbalance"](spark, SF_SMALL).collect()
+    }
+    registry.clear_caches()
+    drift_dims = sum(
+        1
+        for r in registry.QUERIES["embedding_drift"](
+            spark, SF_SMALL
+        ).collect()
+        if r.drift
+    )
+    assert set(report) == set(imb)
+    for cid, (occ, nd, hot) in imb.items():
+        r_occ, r_nd, r_hot, r_dd, r_retrain = report[cid]
+        assert (r_occ, r_nd, r_hot) == (occ, nd, hot)
+        assert r_dd == drift_dims
+        assert r_retrain == (hot or drift_dims > 0)
