@@ -570,6 +570,12 @@ GLOBAL_WINDOW_WAIVERS: dict[str, dict] = {
         "reason": "the composed _append_parts seed row_number over the "
         "bounded O(nlist) base-id slice, never the corpus",
     },
+    "ivf_store_prune": {
+        "max": 1,
+        "reason": "the composed _append_parts seed row_number over the "
+        "bounded O(nlist) base-id slice, never the corpus (the store "
+        "build itself runs at construction time)",
+    },
 }
 
 
