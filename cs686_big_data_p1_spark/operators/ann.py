@@ -784,18 +784,11 @@ FROM ranked r LEFT JOIN drops dr ON dr.vec_id = r.vec_id
 """
 
 
-def semantic_dedup(e: DataFrame, n: int | None = None) -> DataFrame:
-    """Core of dedup_semantic over any (vec_id, embedding) frame.
-    `n` = known corpus count (ADVICE r10), else counted off the cache."""
-    vecs = track_cache(
-        e.select(
-            "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
-        )
-    )
-    # Corpus-adaptive cell count (VERDICT r9 #3): cells =
-    # ceil(sqrt(n)), so assignment (n * ncells) and within-cell
-    # all-pairs (n * occupancy) are both O(n^1.5) — see _nlist.
-    ncells = _nlist(vecs.count() if n is None else n)
+def _sem_assign(vecs: DataFrame, ncells: int) -> DataFrame:
+    """(vec_id, cid, cent_cosine): every vector's nearest seeded cell
+    by fixed-point cosine — the SemDeDup assignment pass shared by
+    dedup_semantic, corpus_curate_semantic (transitively), and
+    decontaminate_semantic."""
     cents = vecs.where(
         (F.col("vec_id") >= ANN_N_QUERIES)
         & (F.col("vec_id") < ANN_N_QUERIES + ncells)
@@ -812,11 +805,71 @@ def semantic_dedup(e: DataFrame, n: int | None = None) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cscore"), F.asc("cid")
     )
-    assigned = (
+    return (
         scores.withColumn("rk", F.row_number().over(w_assign))
         .where(F.col("rk") == 1)
         .select("vec_id", "cid", F.col("cscore").alias("cent_cosine"))
     )
+
+
+# Once-per-process memo of the fixture corpus's cell assignment (the
+# _CLUSTER_MEMO pattern, llm.py): THREE queries consume the identical
+# n x sqrt(n) assignment pass — dedup_semantic, corpus_curate_semantic
+# (via dedup_semantic), and decontaminate_semantic (r13). Eager
+# localCheckpoint (lineage cut, immutable blocks), applicationId-scoped,
+# fingerprint-keyed (structural staleness), block-probed on every hit
+# with recompute-on-failure (the ADVICE-r12 executor-loss rule).
+_SEM_ASSIGN_MEMO: dict[tuple, DataFrame] = {}
+
+
+def sem_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import table_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "embeddings"),
+    )
+    hit = _SEM_ASSIGN_MEMO.get(key)
+    if hit is not None:
+        try:
+            hit.count()
+            return hit
+        except Exception:
+            _SEM_ASSIGN_MEMO.pop(key, None)
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = track_cache(
+        e.select(
+            "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+        )
+    )
+    out = _sem_assign(
+        vecs, _nlist(_corpus_n(spark, sf_dir))
+    ).localCheckpoint(eager=True)
+    _SEM_ASSIGN_MEMO.clear()
+    _SEM_ASSIGN_MEMO[key] = out
+    return out
+
+
+def semantic_dedup(
+    e: DataFrame,
+    n: int | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Core of dedup_semantic over any (vec_id, embedding) frame.
+    `n` = known corpus count (ADVICE r10), else counted off the cache;
+    `assigned` = a prebuilt (vec_id, cid, cent_cosine) assignment
+    (sem_assignment's memo for the fixture corpus), else derived."""
+    vecs = track_cache(
+        e.select(
+            "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+        )
+    )
+    if assigned is None:
+        # Corpus-adaptive cell count (VERDICT r9 #3): cells =
+        # ceil(sqrt(n)), so assignment (n * ncells) and within-cell
+        # all-pairs (n * occupancy) are both O(n^1.5) — see _nlist.
+        assigned = _sem_assign(vecs, _nlist(vecs.count() if n is None else n))
     w_cell = Window.partitionBy("cid").orderBy(
         F.desc("cent_cosine"), F.asc("vec_id")
     )
@@ -898,6 +951,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         load_table(spark, sf_dir, "embeddings"),
         n=_corpus_n(spark, sf_dir),
+        assigned=sem_assignment(spark, sf_dir),
     )
 
 
@@ -3406,29 +3460,9 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
         )
     )
-    ncells = _nlist(_corpus_n(spark, sf_dir))
-    cents = vecs.where(
-        (F.col("vec_id") >= ANN_N_QUERIES)
-        & (F.col("vec_id") < ANN_N_QUERIES + ncells)
-    ).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    cscore = (
-        pair_dot_pd(F.col("embedding"), F.col("c_emb"))
-        / (F.col("norm") * F.col("c_norm"))
-    ).alias("cscore")
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cscore"), F.asc("cid")
-    )
-    assigned = (
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cid", cscore)
-        .withColumn("rk", F.row_number().over(w_assign))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "cid")
-    )
+    # The n x sqrt(n) assignment pass is shared with dedup_semantic /
+    # corpus_curate_semantic via the sem_assignment memo.
+    assigned = sem_assignment(spark, sf_dir).select("vec_id", "cid")
     b = F.substring(
         F.md5(F.format_string("split|%d", F.col("doc_id"))), 1, 2
     )

