@@ -3509,3 +3509,209 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_eval_doc"),
         F.max("cosine").alias("top_cosine"),
     )
+
+
+# --- ivf_nprobe_sweep: the recall-vs-nprobe tuning curve ------------------
+
+IVF_NPROBE_SWEEP_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM ex GROUP BY vec_id
+),
+cdots AS (
+  SELECT v.vec_id, c.vec_id AS cid,
+         CAST(sum(CAST(floor(v.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM ex v JOIN ex c ON c.i = v.i
+  WHERE c.vec_id >= {ANN_N_QUERIES}
+    AND c.vec_id < {ANN_N_QUERIES} + {_NLIST_SQL}
+  GROUP BY v.vec_id, c.vec_id
+),
+cscores AS (
+  SELECT d.vec_id, d.cid, d.dot / (nv.norm * nc.norm) AS cscore
+  FROM cdots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cid
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores WHERE vec_id >= {ANN_N_QUERIES})
+  WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid, rk AS prk FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM cscores WHERE vec_id < {ANN_N_QUERIES})
+  WHERE rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id, p.prk
+  FROM probes p JOIN assigned a ON a.cid = p.cid
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id, cd.prk,
+         CAST(sum(CAST(floor(q.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM cand cd
+  JOIN ex q ON q.vec_id = cd.query_id
+  JOIN ex c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+  GROUP BY cd.query_id, cd.neighbor_id, cd.prk
+),
+pcos AS (
+  SELECT d.query_id, d.neighbor_id, d.prk,
+         d.dot / (nq.norm * nc.norm) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+),
+levels AS (SELECT unnest(generate_series(1, {IVF_NPROBE})) AS p),
+topk AS (
+  SELECT p, query_id, neighbor_id FROM (
+    SELECT l.p, c.query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY l.p, c.query_id
+                              ORDER BY c.cosine DESC,
+                                       c.neighbor_id ASC) AS rank
+    FROM pcos c JOIN levels l ON c.prk <= l.p)
+  WHERE rank <= {ANN_K}
+),
+truth AS (SELECT query_id, neighbor_id FROM ({KNN_ORACLE})),
+hits AS (
+  SELECT k.p, count(*) AS n_hits
+  FROM topk k JOIN truth t
+    ON t.query_id = k.query_id AND t.neighbor_id = k.neighbor_id
+  GROUP BY k.p
+),
+tc AS (SELECT count(*) AS n_true FROM truth)
+SELECT CAST(l.p AS INTEGER) AS nprobe,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(tc.n_true AS BIGINT) AS n_true,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / tc.n_true AS recall
+FROM levels l
+LEFT JOIN hits h ON h.p = l.p
+CROSS JOIN tc
+"""
+
+
+@query("ivf_nprobe_sweep", oracle=IVF_NPROBE_SWEEP_ORACLE)
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{ANN_K} as a function of nprobe — the FAISS tuning curve
+    every IVF deployment plots before picking its probe width (the
+    knob trades scan fraction against recall; ivf_store_prune measures
+    the other side of the same trade, scan cost per probe). One row
+    per nprobe in 1..{IVF_NPROBE}: hit count vs the brute-force truth,
+    micro-averaged recall.
+
+    Shape: the probe ranking is computed ONCE with its rank kept
+    (prk); a candidate admitted at probe-rank r is in the nprobe=p
+    candidate set for every p >= r, so the sweep is a bounded
+    level-expansion join (candidates x {IVF_NPROBE} levels — never a
+    re-run of the pipeline per level) followed by the per-(p, query)
+    top-k window over candidate rows only. Truth is knn_bruteforce's
+    audited pipeline. At 100 TB the expansion rides on
+    O(q x nprobe x occupancy) candidate rows — the same envelope as
+    one knn_ivf invocation, times the (constant) level count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = track_cache(
+        e.select(
+            "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+        )
+    )
+    nlist = _nlist(_corpus_n(spark, sf_dir))
+    cents = vecs.where(
+        (F.col("vec_id") >= ANN_N_QUERIES)
+        & (F.col("vec_id") < ANN_N_QUERIES + nlist)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("norm").alias("cent_norm"),
+    )
+    cscore = (
+        pair_dot_pd(F.col("embedding"), F.col("cent_emb"))
+        / (F.col("norm") * F.col("cent_norm"))
+    ).alias("cscore")
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.asc("cid")
+    )
+    ranked = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", cscore)
+        .withColumn("rk", F.row_number().over(w_assign))
+    )
+    ranked = track_cache(ranked)
+    assigned = ranked.where(
+        (F.col("rk") == 1) & (F.col("vec_id") >= ANN_N_QUERIES)
+    ).select(F.col("vec_id").alias("neighbor_id"), "cid")
+    probes = ranked.where(
+        (F.col("rk") <= IVF_NPROBE) & (F.col("vec_id") < ANN_N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"), "cid", F.col("rk").alias("prk")
+    )
+    cand = F.broadcast(probes).join(assigned, "cid").select(
+        "query_id", "neighbor_id", "prk"
+    )
+    qv = vecs.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    pcos = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "prk",
+            (
+                pair_dot_pd(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    levels = spark.range(1, IVF_NPROBE + 1).select(
+        F.col("id").cast("int").alias("p")
+    )
+    w_topk = Window.partitionBy("p", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = (
+        pcos.join(F.broadcast(levels), F.col("prk") <= F.col("p"))
+        .withColumn("rank", F.row_number().over(w_topk))
+        .where(F.col("rank") <= ANN_K)
+        .select("p", "query_id", "neighbor_id")
+    )
+    truth = track_cache(
+        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    hits = topk.join(truth, ["query_id", "neighbor_id"]).groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    tc = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (
+        levels.join(hits, "p", "left")
+        .crossJoin(F.broadcast(tc))
+        .select(
+            F.col("p").alias("nprobe"),
+            n_hits.alias("n_hits"),
+            F.col("n_true").cast("long").alias("n_true"),
+            (n_hits.cast("double") / F.col("n_true")).alias("recall"),
+        )
+    )

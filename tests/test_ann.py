@@ -890,3 +890,46 @@ def test_ivf_store_prune_scan_is_partition_pruned(spark, registry):
     plan = formatted_plan(probed)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("cid" in ln for ln in pf)
+
+
+def test_ivf_nprobe_sweep_monotone_and_agrees_with_full_probe(
+    spark, registry
+):
+    """ivf_nprobe_sweep: recall must be monotone nondecreasing in
+    nprobe (a wider probe never removes candidates), every row shares
+    the same truth denominator, and the nprobe = IVF_NPROBE row must
+    agree EXACTLY with recall computed from knn_ivf's own top-k (the
+    sweep's last level IS the production probe width)."""
+    from pyspark.sql import functions as F
+
+    from cs686_big_data_p1_spark.operators.ann import ANN_K, IVF_NPROBE
+
+    rows = sorted(
+        registry.QUERIES["ivf_nprobe_sweep"](spark, SF_SMALL).collect(),
+        key=lambda r: r.nprobe,
+    )
+    registry.clear_caches()
+    assert [r.nprobe for r in rows] == list(range(1, IVF_NPROBE + 1))
+    assert len({r.n_true for r in rows}) == 1
+    recalls = [r.recall for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert abs(r.recall - r.n_hits / r.n_true) < 1e-12
+
+    truth = {
+        (x.query_id, x.neighbor_id)
+        for x in registry.QUERIES["knn_bruteforce"](spark, SF_SMALL)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    registry.clear_caches()
+    ivf = {
+        (x.query_id, x.neighbor_id)
+        for x in registry.QUERIES["knn_ivf"](spark, SF_SMALL)
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    registry.clear_caches()
+    assert rows[-1].n_hits == len(ivf & truth)
