@@ -49,8 +49,8 @@ from pyspark.sql import functions as F
 
 from ..operators.llm import MAX_BUCKET_DOCS, band_signatures, shingles_of
 from ..registry import query
-from ..tables import SCHEMAS
-from .liveness import stream_clone
+from ..tables import SCHEMAS, load_table
+from .liveness import _run_to_memory, stream_clone
 
 STREAM_NEARDUP_MIN_JACCARD = 0.5  # same cut as dedup_clusters' edges
 
@@ -530,4 +530,121 @@ def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return neardup_stream_pairs(spark, docs).select(
         "doc_a", "doc_b", "jaccard"
+    )
+
+
+# --- stream_decontaminate: live ingest hygiene vs the static eval set -----
+
+def _decon_oracle() -> str:
+    from ..operators.pipeline import DECONTAMINATE_ORACLE
+
+    return DECONTAMINATE_ORACLE
+
+
+@query("stream_decontaminate", oracle=_decon_oracle())
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination as a LIVE ingest check: documents
+    stream in, each arriving train-split doc's word {DECON_N}-grams
+    (computed IN-ROW — split, slice, md5, array_distinct; the doc's
+    text never outlives its projection) are matched against the
+    STATIC held-out eval gram set via a stream-static join, and the
+    per-doc running (n_grams, n_shared) aggregate yields exactly the
+    batch `decontaminate` report: same oracle, sweep-exact. This is
+    the shape a crawl pipeline actually wants — flag contamination AT
+    ingest instead of re-scanning the corpus after the fact.
+
+    Scale: the eval set is ~5 % of the corpus as two-bigint gram keys
+    (the md5-split birthday-safe form decontaminate documents); grams
+    shuffle only to the per-doc aggregate, whose state is one row per
+    IN-FLIGHT contaminated-or-not doc — emitted on drain, bounded by
+    the micro-batch horizon in production (a doc's verdict is final
+    the moment its own grams are counted; no cross-doc state). The
+    static side is a broadcastable distinct-gram frame rebuilt only
+    when the eval suite changes."""
+    from ..operators.pipeline import DECON_N, SPLIT_BOUNDS
+
+    spark = stream_clone(spark)
+    d = load_table(spark, sf_dir, "documents")
+    b_static = F.substring(
+        F.md5(F.format_string("split|%d", F.col("doc_id"))), 1, 2
+    )
+    # Static eval side: distinct test-split grams as two 60-bit ints.
+    w_s = F.split("text", " ")
+    i_s = F.explode(
+        F.sequence(F.lit(1), F.size(w_s) - (DECON_N - 1))
+    ).alias("i")
+    g_txt_s = F.md5(
+        F.array_join(F.slice(w_s, F.col("i"), DECON_N), " ")
+    )
+    test_grams = (
+        d.where(b_static >= SPLIT_BOUNDS[1])
+        .where(F.size(w_s) >= DECON_N)
+        .select("doc_id", "text", i_s)
+        .select(
+            F.conv(F.substring(g_txt_s, 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("g_lo"),
+            F.conv(F.substring(g_txt_s, 16, 15), 16, 10)
+            .cast("bigint")
+            .alias("g_hi"),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+
+    import os as _os
+
+    # The fixture ships documents.parquet as a single FILE (streamed
+    # via pathGlobFilter over sf_dir — a streaming source's path must
+    # be a directory), but a multi-part DIRECTORY of the same name —
+    # the shape a real ingest lands — must stream identically (pytest
+    # pins the 3-part split).
+    tbl = _os.path.join(sf_dir, "documents.parquet")
+    rs = spark.readStream.schema(SCHEMAS["documents"])
+    if _os.path.isdir(tbl):
+        arrivals = rs.parquet(tbl)
+    else:
+        arrivals = rs.option(
+            "pathGlobFilter", "documents.parquet"
+        ).parquet(sf_dir)
+    b = F.substring(
+        F.md5(F.format_string("split|%d", F.col("doc_id"))), 1, 2
+    )
+    w = F.split("text", " ")
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (DECON_N - 1)),
+            lambda i: F.md5(F.array_join(F.slice(w, i, DECON_N), " ")),
+        )
+    )
+    train = (
+        arrivals.where(b < SPLIT_BOUNDS[0])
+        .where(F.size(w) >= DECON_N)
+        .select("doc_id", F.explode(grams_arr).alias("g"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("g", 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("g_lo"),
+            F.conv(F.substring("g", 16, 15), 16, 10)
+            .cast("bigint")
+            .alias("g_hi"),
+        )
+    )
+    joined = train.join(
+        F.broadcast(test_grams), ["g_lo", "g_hi"], "left"
+    )
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_shared"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.where(F.col("n_shared") > 0).select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        (
+            F.col("n_shared").cast("double") / F.col("n_grams")
+        ).alias("contamination"),
     )

@@ -1238,3 +1238,43 @@ def test_ivf_maintenance_fold_is_exactly_once_and_stream_equals_batch(
         assert (r_occ, r_nd, r_hot) == (occ, nd, hot)
         assert r_dd == drift_dims
         assert r_retrain == (hot or drift_dims > 0)
+
+
+def test_stream_decontaminate_matches_batch(spark, registry, tmp_path):
+    """stream_decontaminate: the drained per-doc (n_grams, n_shared)
+    report must equal batch `decontaminate` row for row (they share
+    one oracle), and batch sizing must not matter — re-running the
+    stream over the SAME corpus split into three parquet part-files
+    (multiple source files, the multi-batch arrival shape) yields the
+    identical report, because the per-doc aggregate is a mergeable
+    sufficient statistic and the eval gram set is static."""
+    batch = {
+        (r.doc_id, r.n_grams, r.n_shared)
+        for r in registry.QUERIES["decontaminate"](spark, SF_SMALL).collect()
+    }
+    registry.clear_caches()
+    stream = {
+        (r.doc_id, r.n_grams, r.n_shared)
+        for r in registry.QUERIES["stream_decontaminate"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    registry.clear_caches()
+    assert stream == batch and batch
+
+    # multi-file arrival: same docs, 3 part files
+    import shutil
+
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    alt = tmp_path / "alt"
+    alt.mkdir()
+    src.repartition(3).write.parquet(str(alt / "documents.parquet"))
+    stream3 = {
+        (r.doc_id, r.n_grams, r.n_shared)
+        for r in registry.QUERIES["stream_decontaminate"](
+            spark, str(alt)
+        ).collect()
+    }
+    registry.clear_caches()
+    assert stream3 == batch
+    shutil.rmtree(alt, ignore_errors=True)
