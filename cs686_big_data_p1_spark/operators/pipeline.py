@@ -1353,3 +1353,104 @@ def weighted_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_chars").alias("weight")
     )
     return weighted_sample_frame(d, WS_K)
+
+
+# --- the hygiene family's closing compositions (r13) ----------------------
+
+def _decon_report_oracle() -> str:
+    from .ann import DECONTAMINATE_SEMANTIC_ORACLE
+
+    return f"""
+WITH ng AS (SELECT doc_id FROM ({DECONTAMINATE_ORACLE})),
+sem AS (SELECT doc_id FROM ({DECONTAMINATE_SEMANTIC_ORACLE}))
+SELECT 'ngram' AS method, CAST(count(*) AS BIGINT) AS n_flagged FROM ng
+UNION ALL
+SELECT 'semantic', CAST(count(*) AS BIGINT) FROM sem
+UNION ALL
+SELECT 'both', CAST(count(*) AS BIGINT)
+FROM (SELECT sem.doc_id FROM sem JOIN ng ON ng.doc_id = sem.doc_id)
+UNION ALL
+SELECT 'either', CAST(count(*) AS BIGINT)
+FROM (SELECT doc_id FROM ng UNION SELECT doc_id FROM sem)
+"""
+
+
+@query("decontaminate_report", oracle=_decon_report_oracle())
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination Venn the curation decision actually reads:
+    how many train docs each hygiene method flags — verbatim n-gram
+    overlap (`decontaminate`), embedding-space paraphrase
+    (`decontaminate_semantic`), their intersection, and their union.
+    A large semantic-only count is the operational signal that verbatim
+    screening alone is leaking paraphrased eval data into training;
+    both legs' flag sets are independently oracle-checked queries, and
+    this report's oracle nests both, so the Venn itself hash-compares.
+
+    Scale: both legs are audited bounded pipelines (the semantic leg
+    rides the sem_assignment memo); this adds four counting aggregates
+    over int doc_id sets."""
+    from .ann import decontaminate_semantic
+
+    ng = track_cache(decontaminate(spark, sf_dir).select("doc_id"))
+    sem = track_cache(
+        decontaminate_semantic(spark, sf_dir).select("doc_id")
+    )
+
+    def tag(df: DataFrame, method: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_flagged")
+        ).select(F.lit(method).alias("method"), "n_flagged")
+
+    return (
+        tag(ng, "ngram")
+        .unionByName(tag(sem, "semantic"))
+        .unionByName(tag(ng.join(sem, "doc_id"), "both"))
+        .unionByName(tag(ng.union(sem).distinct(), "either"))
+    )
+
+
+def _curate_decon_oracle() -> str:
+    from .ann import DECONTAMINATE_SEMANTIC_ORACLE
+
+    return f"""
+WITH curated AS ({_curate_oracle()}),
+ng AS (SELECT doc_id FROM ({DECONTAMINATE_ORACLE})),
+sem AS (SELECT doc_id FROM ({DECONTAMINATE_SEMANTIC_ORACLE}))
+SELECT c.doc_id, c.lang FROM curated c
+WHERE substr(md5('split|' || CAST(c.doc_id AS VARCHAR)), 1, 2)
+          < '{SPLIT_BOUNDS[0]}'
+  AND NOT EXISTS (SELECT 1 FROM ng WHERE ng.doc_id = c.doc_id)
+  AND NOT EXISTS (SELECT 1 FROM sem WHERE sem.doc_id = c.doc_id)
+"""
+
+
+@query("corpus_curate_decontaminated", oracle=_curate_decon_oracle())
+def corpus_curate_decontaminated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE training set a Llama-style pipeline ships, as one query:
+    the curated survivors (quality filter + exact-dup keeper +
+    near-dup representative — corpus_curate's shared materialization)
+    restricted to the TRAIN split and with every contaminated doc
+    removed by BOTH hygiene passes — verbatim n-gram overlap and
+    embedding-space paraphrase similarity vs the held-out eval split.
+    The oracle nests the curation, split, and both decontamination
+    oracles, so the final shipped set hash-compares end to end.
+
+    Scale: two anti joins and one keyed-hash filter on int doc_id over
+    the memoized curated set; the hygiene legs are the audited bounded
+    pipelines (the semantic leg rides sem_assignment's memo, the
+    n-gram leg's gram join is the decontaminate semi-join shape)."""
+    from .ann import decontaminate_semantic
+
+    b = F.substring(
+        F.md5(F.format_string("split|%d", F.col("doc_id"))), 1, 2
+    )
+    ng = decontaminate(spark, sf_dir).select("doc_id")
+    sem = decontaminate_semantic(spark, sf_dir).select("doc_id")
+    return (
+        _curated_set(spark, sf_dir)
+        .where(b < SPLIT_BOUNDS[0])
+        .join(ng, "doc_id", "left_anti")
+        .join(sem, "doc_id", "left_anti")
+    )

@@ -116,7 +116,8 @@ PRIORITY_ORDER = [
     "retention_cohorts", "gram_power_topvec", "t_closeness",
     "mmr_rerank", "dsir_sample", "substring_scrub", "knn_ivf_trained",
     "ivf_store_prune", "decontaminate_semantic", "stream_ivf_maintenance",
-    "ivf_nprobe_sweep", "stream_decontaminate",
+    "ivf_nprobe_sweep", "stream_decontaminate", "decontaminate_report",
+    "corpus_curate_decontaminated",
     "pagerank_copurchase", "bpe_merges", "knn_pq_adc",
     "substring_dedup", "kll_quantiles", "stream_attribution_outer",
     "ann_recall_all",

@@ -319,3 +319,55 @@ def test_decontaminate_semantic_contract(spark, registry):
         assert split[r.top_eval_doc] == "test"
         assert r.top_cosine >= DECON_SEM_TAU
         assert 1 <= r.n_eval_hits
+
+
+def test_hygiene_compositions_are_consistent(spark, registry):
+    """decontaminate_report's Venn must be arithmetic over the two
+    legs' actual flag sets (ngram + semantic - both = either), and
+    corpus_curate_decontaminated must equal the set algebra it
+    promises: curated ∩ train-split − (ngram ∪ semantic flagged)."""
+    rpt = {
+        r.method: r.n_flagged
+        for r in registry.QUERIES["decontaminate_report"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    registry.clear_caches()
+    ng = {
+        r.doc_id
+        for r in registry.QUERIES["decontaminate"](spark, SF_SMALL).collect()
+    }
+    registry.clear_caches()
+    sem = {
+        r.doc_id
+        for r in registry.QUERIES["decontaminate_semantic"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    registry.clear_caches()
+    assert rpt == {
+        "ngram": len(ng),
+        "semantic": len(sem),
+        "both": len(ng & sem),
+        "either": len(ng | sem),
+    }
+
+    shipped = {
+        r.doc_id
+        for r in registry.QUERIES["corpus_curate_decontaminated"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    registry.clear_caches()
+    curated = {
+        r.doc_id
+        for r in registry.QUERIES["corpus_curate"](spark, SF_SMALL).collect()
+    }
+    registry.clear_caches()
+    train = {
+        r.doc_id
+        for r in registry.QUERIES["dataset_split"](spark, SF_SMALL).collect()
+        if r.split == "train"
+    }
+    assert shipped == (curated & train) - (ng | sem)
+    assert shipped  # the fixture ships a non-empty training set
