@@ -60,6 +60,14 @@ EXTRA_QUERIES = [
     "cluster_keep_best",
     "embedding_drift",
     "stream_embedding_drift",
+    # round-13 newcomers (store pruning, hygiene, maintenance loop)
+    "ivf_store_prune",
+    "ivf_nprobe_sweep",
+    "decontaminate_semantic",
+    "stream_decontaminate",
+    "decontaminate_report",
+    "corpus_curate_decontaminated",
+    "stream_ivf_maintenance",
 ]
 
 # Documented-complexity exponent allowlist (ADVICE r10): operators
@@ -89,6 +97,15 @@ EXPECTED_E = {
     "knn_ivf_append": 1.5,
     "ivf_imbalance": 1.5,
     "stream_ivf_assign": 1.5,
+    # r13: store build/probe and maintenance fold ride the same
+    # frozen-codebook assignment family; the hygiene legs ride
+    # SemDeDup's adaptive-cell within-cell pair stage
+    "ivf_store_prune": 1.5,
+    "ivf_nprobe_sweep": 1.5,
+    "stream_ivf_maintenance": 1.5,
+    "decontaminate_semantic": 1.5,
+    "decontaminate_report": 1.5,
+    "corpus_curate_decontaminated": 1.5,
 }
 
 
@@ -106,6 +123,17 @@ COLD_PATH = {
     "warm memo hit)",
     "cluster_keep_best": "shares _CLUSTER_MEMO with dedup_clusters; "
     "cold when it runs first in the process",
+    "decontaminate_semantic": "first _SEM_ASSIGN_MEMO consumer pays "
+    "the n x sqrt(n) cell-assignment pass",
+    "decontaminate_report": "composes both hygiene legs; pays "
+    "whichever memos (_SEM_ASSIGN_MEMO) are still cold",
+    "corpus_curate_decontaminated": "consumes _CURATE_MEMO and "
+    "(transitively) _CLUSTER_MEMO + _SEM_ASSIGN_MEMO; cold when it "
+    "runs before the curation queries",
+    "ivf_store_prune": "first _STORE_READY consumer pays the physical "
+    "base-store write + delta fold",
+    "stream_ivf_maintenance": "first _MAINT_BASE_READY consumer pays "
+    "the base-store write; later drains fold as no-ops",
 }
 
 
