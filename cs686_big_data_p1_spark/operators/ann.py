@@ -3151,6 +3151,14 @@ def _ivf_store_ready(spark: SparkSession, sf_dir: str) -> str:
     )
     write_ivf_base_store(spark, sf_dir, path)
     append_ivf_store(spark, sf_dir, path)
+    # The fixture-scale store is scratch: remove it at interpreter
+    # exit so repeated sweep/bench processes never accumulate dirs in
+    # the temp root (at deployment the store is a managed table
+    # location, not tempdir, and this registration doesn't exist).
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, True)
     _STORE_READY.clear()
     _STORE_READY[key] = path
     return path

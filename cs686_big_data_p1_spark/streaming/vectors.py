@@ -412,6 +412,12 @@ def stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, fp)
     if _MAINT_BASE_READY.get(key) != path or not os.path.isdir(path):
         write_ivf_base_store(spark, sf_dir, path)
+        # scratch store: reaped at interpreter exit (ann._ivf_store_ready
+        # convention) so sweep/bench processes never litter the temp root
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, path, True)
         _MAINT_BASE_READY.clear()
         _MAINT_BASE_READY[key] = path
     _v, _b, _d, cents, _m, _p = _append_parts(spark, sf_dir)
