@@ -390,12 +390,16 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # failure — the memo is an optimization, never a correctness
         # dependency.
         try:
-            hit.count()
+            # bounded liveness probe (ADVICE r13): one block read, not
+            # a full scan of the checkpointed labels per consumer
+            hit.limit(1).count()
             return hit
         except Exception:
             _CLUSTER_MEMO.pop(key, None)
     out = _cluster_labels_uncached(spark, sf_dir)
-    _CLUSTER_MEMO.clear()
+    # keyed per (app, sf_dir, fingerprint) without clear() (ADVICE
+    # r13): multi-SF processes keep each fixture's labels warm;
+    # entries bounded by distinct fixtures per process.
     _CLUSTER_MEMO[key] = out
     return out
 

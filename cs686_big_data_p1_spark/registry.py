@@ -74,109 +74,88 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # streaming queries. Names absent from this list keep registration order
 # after it.
 PRIORITY_ORDER = [
-    # §2.A sources/sinks
+    # PINNED, slots 1-24: the SURVEY §2.A-2.D reference-parity core
+    # (sources/sinks, scalar layer, aggregations, joins). 13 straight
+    # green driver rounds AND pinned by the source-sha'd full sweeps.
     "chunk_plan", "chunk_assign", "recovery_scan", "reassembly_order",
-    "event_dispatch",
-    # §2.B scalar layer
-    "checksum_compute", "checksum_verify", "chunkname_parse",
-    "chunkname_format", "unit_convert",
-    # §2.C aggregations
-    "free_space_total", "replica_count", "chunk_count", "file_manifest",
-    "list_filenames", "incomplete_files", "dead_nodes", "node_inventory",
-    # §2.D joins / set ops
+    "event_dispatch", "checksum_compute", "checksum_verify",
+    "chunkname_parse", "chunkname_format", "unit_convert", "free_space_total",
+    "replica_count", "chunk_count", "file_manifest", "list_filenames",
+    "incomplete_files", "dead_nodes", "node_inventory",
     "replicas_on_offline_nodes", "surviving_replicas", "lost_chunks",
     "replicas_after_corruption", "placement_candidates", "inventory_delta",
-    "publish_upsert", "checksum_join",
-    # §2.E sorts/limits/windowy
-    "list_storage_nodes", "placement_pick", "round_robin_assign",
-    "under_replicated", "failover_choice", "queue_order",
-    # §2.F batch analogs + windows
-    "corruption_scan", "replication_orders", "hb_tumbling", "hb_sliding",
-    "hb_session",
-    # §2.I extensions (survey-required): one driver-checked
-    # representative per E-row (E1..E6) stays pinned in slots 38-43
-    "dedup_exact", "dedup_near", "knn_bruteforce", "text_stats",
-    "doc_embedding_join", "tpch_q1_pricing",
-    # ROTATING WINDOW, slots 44-50 (VERDICT r8 #10): these seven slots
-    # change every round across the extension surface so queries past
-    # the driver's 50-row window eventually earn a driver-grade
-    # correctness row. Round 13 picks (VERDICT r12 #2, all with zero
-    # driver history): the six r12 newcomers — the incremental-IVF trio
-    # knn_ivf_append / ivf_imbalance / stream_ivf_assign, the curation
-    # keeper cluster_keep_best, and the drift pair embedding_drift /
-    # stream_embedding_drift (both now 128-bit exact per ADVICE r12) —
-    # plus embedding_covariance (never driver-checked). Displaced r12
-    # occupants move to the head of the post-window list.
-    "knn_ivf_append", "ivf_imbalance", "stream_ivf_assign",
-    "cluster_keep_best", "embedding_drift", "stream_embedding_drift",
-    "embedding_covariance",
-    # extras past the driver window (judge self-checks these via the
-    # committed full-sweep artifacts); displaced rotation occupants
-    # lead the list
-    "retention_cohorts", "gram_power_topvec", "t_closeness",
-    "mmr_rerank", "dsir_sample", "substring_scrub", "knn_ivf_trained",
-    "ivf_store_prune", "decontaminate_semantic", "stream_ivf_maintenance",
-    "ivf_nprobe_sweep", "stream_decontaminate", "decontaminate_report",
-    "corpus_curate_decontaminated",
-    "pagerank_copurchase", "bpe_merges", "knn_pq_adc",
-    "substring_dedup", "kll_quantiles", "stream_attribution_outer",
-    "ann_recall_all",
+    # ROTATING WINDOW, slots 25-50 (VERDICT r13 #2 widened the r8-era
+    # 44-50 block: 143/229 queries had never earned a driver-grade
+    # row at 7/round, while the displaced §2.E-2.I representatives
+    # have 13 straight green rounds and stay pinned by the sweeps).
+    # Round-14 picks — ALL with zero driver history: the seven r13
+    # newcomers, the five r14 newcomers, and fourteen never-checked
+    # queries spanning TPC-H, ANN, dedup, streaming, sketches,
+    # search, sessions, and time-series.
+    "ivf_store_prune", "ivf_nprobe_sweep", "decontaminate_semantic",
+    "stream_decontaminate", "decontaminate_report",
+    "corpus_curate_decontaminated", "stream_ivf_maintenance",
+    "knn_ivfpq_residual", "pq_recall_compare", "ivf_retrain",
+    "ivf_store_delete", "stream_decontaminate_semantic", "knn_ivfpq",
+    "kmeans_lloyd", "ann_recall", "dedup_incremental", "stream_dedup_near",
+    "decontaminate", "dedup_clusters", "kmeans_cells", "tpch_q9_profit",
+    "order_date_cube", "asof_join", "hll_distinct", "inverted_index",
+    "scd2_user_state",
+    # Post-window (judge self-checks these via the committed full-sweep
+    # artifacts); displaced former window occupants lead the list, in
+    # their prior order.
+    "publish_upsert", "checksum_join", "list_storage_nodes", "placement_pick",
+    "round_robin_assign", "under_replicated", "failover_choice",
+    "queue_order", "corruption_scan", "replication_orders", "hb_tumbling",
+    "hb_sliding", "hb_session", "dedup_exact", "dedup_near", "knn_bruteforce",
+    "text_stats", "doc_embedding_join", "tpch_q1_pricing", "knn_ivf_append",
+    "ivf_imbalance", "stream_ivf_assign", "cluster_keep_best",
+    "embedding_drift", "stream_embedding_drift", "embedding_covariance",
+    "retention_cohorts", "gram_power_topvec", "t_closeness", "mmr_rerank",
+    "dsir_sample", "substring_scrub", "knn_ivf_trained",
+    "pagerank_copurchase", "bpe_merges", "knn_pq_adc", "substring_dedup",
+    "kll_quantiles", "stream_attribution_outer", "ann_recall_all",
     "triangle_count", "bfs_distances", "heavy_hitters", "allpairs_cosine",
     "dedup_semantic", "hybrid_search", "dsir_weights",
-    "corpus_curate_semantic",
-    "corpus_curate", "kmv_set_ops", "zorder_layout", "k_anonymity",
-    "customer_rfm", "bm25_search", "lm_score",
+    "corpus_curate_semantic", "corpus_curate", "kmv_set_ops", "zorder_layout",
+    "k_anonymity", "customer_rfm", "bm25_search", "lm_score",
     "tpch_q3_shipping", "tpch_q5_localsupp", "topk_orders_per_customer",
     "priority_rollup", "ann_lsh", "dedup_simhash", "dedup_embedding",
-    "knn_ivf", "dedup_ngram",
-    "tpch_q4_priority", "price_outliers", "customer_year_setops",
-    "order_date_cube", "priority_pivot", "price_median", "asof_join", "range_join_views",
-    "distinct_customers_approx",
-    "token_count", "quality_score", "doc_fingerprint", "lang_id", "hb_rate",
+    "knn_ivf", "dedup_ngram", "tpch_q4_priority", "price_outliers",
+    "customer_year_setops", "priority_pivot", "price_median",
+    "range_join_views", "distinct_customers_approx", "token_count",
+    "quality_score", "doc_fingerprint", "lang_id", "hb_rate",
     "stratified_sample", "pii_scrub", "repetition_score", "corpus_filter",
     "vocab_topk", "label_centroids", "oov_rate", "dataset_split",
-    "sequence_pack", "kmeans_cells",
-    "dedup_clusters",
-    "decontaminate", "event_sessionize", "event_funnel",
-    "doc_chunk", "span_dedup", "tfidf_topterms", "lexical_diversity",
-    "domain_mix", "text_normalize",
-    "tpch_q6_forecast", "tpch_q7_volume", "tpch_q8_marketshare",
-    "tpch_q10_returns", "tpch_q13_custdist", "tpch_q14_promo",
-    "tpch_q18_bigorders", "tpch_q19_brackets", "tpch_q22_prospects",
-    "fuzzy_name_match", "gapfill_ffill", "dedup_incremental", "pq_encode",
-    "media_metadata", "media_features",
-    # streaming (rows-only checks by design)
-    "stream_node_last_seen", "stream_hb_session", "stream_corruption_alerts",
-    "stream_liveness_state", "stream_replication_orders",
-    "stream_dedup_exact", "stream_event_dispatch",
-    # The remainder, in their historical registration order, listed
-    # EXPLICITLY (VERDICT r11 #9): the driver window's contents depend
-    # on this ordering being deliberate, so no query may ride on
-    # import-order accident — tests/test_entry.py pins
-    # len(PRIORITY_ORDER) == len(QUERIES).
-    "priority_unpivot", "asof_join_bucketed", "customer_value_deciles",
-    "skyline_orders", "priority_sets", "aqp_revenue", "dau_wau",
-    "ab_test_conversion", "supplier_balance_ranks", "dedup_simhash_pairs",
-    "bloom_prefilter", "minhash_estimate_error", "hard_negatives",
-    "ann_recall", "kmeans_lloyd", "pq_encode_lloyd", "knn_ivfpq",
-    "embedding_stats", "knn_graph", "bpe_encode", "remove_boilerplate",
-    "domain_resample", "negative_sampling", "domain_caps",
-    "corpus_curate_capped", "lm_quality_band", "reservoir_sample",
-    "weighted_sample_systematic", "rendezvous_placement",
-    "compaction_plan", "l_diversity",
-    "knn_label_eval", "pca_project", "media_phash_dedup",
-    "media_audio_dedup", "media_video_dedup", "referential_integrity",
-    "table_profile", "nation_reconcile", "value_histogram",
-    "inverted_index", "collocations_lift", "phrase_search",
-    "event_props_extract", "scd2_user_state", "event_debounce",
+    "sequence_pack", "event_sessionize", "event_funnel", "doc_chunk",
+    "span_dedup", "tfidf_topterms", "lexical_diversity", "domain_mix",
+    "text_normalize", "tpch_q6_forecast", "tpch_q7_volume",
+    "tpch_q8_marketshare", "tpch_q10_returns", "tpch_q13_custdist",
+    "tpch_q14_promo", "tpch_q18_bigorders", "tpch_q19_brackets",
+    "tpch_q22_prospects", "fuzzy_name_match", "gapfill_ffill", "pq_encode",
+    "media_metadata", "media_features", "stream_node_last_seen",
+    "stream_hb_session", "stream_corruption_alerts", "stream_liveness_state",
+    "stream_replication_orders", "stream_dedup_exact",
+    "stream_event_dispatch", "priority_unpivot", "asof_join_bucketed",
+    "customer_value_deciles", "skyline_orders", "priority_sets",
+    "aqp_revenue", "dau_wau", "ab_test_conversion", "supplier_balance_ranks",
+    "dedup_simhash_pairs", "bloom_prefilter", "minhash_estimate_error",
+    "hard_negatives", "pq_encode_lloyd", "embedding_stats", "knn_graph",
+    "bpe_encode", "remove_boilerplate", "domain_resample",
+    "negative_sampling", "domain_caps", "corpus_curate_capped",
+    "lm_quality_band", "reservoir_sample", "weighted_sample_systematic",
+    "rendezvous_placement", "compaction_plan", "l_diversity",
+    "knn_label_eval", "pca_project", "media_phash_dedup", "media_audio_dedup",
+    "media_video_dedup", "referential_integrity", "table_profile",
+    "nation_reconcile", "value_histogram", "collocations_lift",
+    "phrase_search", "event_props_extract", "event_debounce",
     "event_throttle", "max_concurrency", "event_transitions",
-    "event_session_assign", "attribution_credit", "coverage_time",
-    "hll_distinct", "cms_topk", "rolling_stats", "event_value_quantiles",
-    "anomaly_zscore", "approx_quantiles", "cusum_changepoints",
-    "ohlc_hourly", "tpch_q12_shipmode", "tpch_q15_topsupplier",
-    "tpch_q17_smallqty", "tpch_q21_waiting", "tpch_q2_mincost",
-    "tpch_q9_profit", "tpch_q11_stockvalue", "tpch_q16_partcount",
-    "tpch_q20_promotion", "stream_dedup_near", "stream_trending",
+    "event_session_assign", "attribution_credit", "coverage_time", "cms_topk",
+    "rolling_stats", "event_value_quantiles", "anomaly_zscore",
+    "approx_quantiles", "cusum_changepoints", "ohlc_hourly",
+    "tpch_q12_shipmode", "tpch_q15_topsupplier", "tpch_q17_smallqty",
+    "tpch_q21_waiting", "tpch_q2_mincost", "tpch_q11_stockvalue",
+    "tpch_q16_partcount", "tpch_q20_promotion", "stream_trending",
     "stream_attribution", "stream_throttle", "stream_dedup_ttl",
     "stream_distinct_users", "stream_sessionize", "stream_ohlc",
     "stream_hot_keys",

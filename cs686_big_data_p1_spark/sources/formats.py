@@ -123,7 +123,10 @@ def upsert_parquet_partitioned(
     the same partitions to the same contents. At 100 TB the
     partition column is a date/bucket key and an upsert touches the
     handful of partitions the updates span."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # dynamic mode is requested per-WRITE (option below), never set
+    # session-wide: a leaked session conf would silently weaken every
+    # later mode("overwrite") in the process to partition-scoped
+    # (ADVICE r13 — the IVF store's rebuild-repairs invariant).
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     from pyspark.sql import functions as F
 
@@ -138,6 +141,7 @@ def upsert_parquet_partitioned(
     merged = merged.localCheckpoint(eager=True)
     (
         merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
     )

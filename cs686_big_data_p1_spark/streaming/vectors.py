@@ -344,9 +344,17 @@ def fold_ivf_batch(batch: DataFrame, store_path: str, cent_rows) -> None:
         _assign_frozen(b, cents)
         .where(F.col("rk") == 1)
         .select(F.col("vec_id").alias("dv"), "cid")
+        .localCheckpoint(eager=True)
     )
+    # The frozen codebook makes a replayed row land in the SAME cid,
+    # so the exactly-once guard only needs the batch's target cells:
+    # partition-prune the existing-id read to those cids (ADVICE r13 —
+    # per-fold cost is O(batch cells), not O(store)). The cid list is
+    # a bounded driver collect (<= nlist rows).
+    batch_cids = [r.cid for r in assigned.select("cid").distinct().collect()]
     existing = (
         spark_b.read.parquet(store_path)
+        .where(F.col("cid").isin(batch_cids))
         .select(F.col("vec_id").alias("dv"))
         .localCheckpoint(eager=True)
     )
@@ -512,4 +520,253 @@ def stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drift_dims",
             (hot | (F.col("drift_dims") > 0)).alias("retrain"),
         )
+    )
+
+
+# --- stream_decontaminate_semantic: the paraphrase class goes live --------
+#
+# stream_decontaminate closes the verbatim-overlap class at ingest;
+# this closes the PARAPHRASE class the same way (VERDICT r13 #6):
+# arriving train-split embeddings are cell-assigned against the
+# broadcast SemDeDup codebook and scored — fixed-point cosine — only
+# against the STATIC eval-split vectors of the same cell, the
+# decontaminate_semantic co-bucketing applied as a stream-static join.
+# The eval side is a published table in production (rebuilt only when
+# the eval suite changes); here it is derived once per fixture and
+# persisted cid-partitioned so each micro-batch's join read prunes to
+# the batch's cells. Hit pairs FOLD into a cid-partitioned accumulator
+# with the anti-join idempotence contract (fold_ivf_batch's), so
+# at-least-once delivery still yields the exactly-once hit set and the
+# drained report equals batch decontaminate_semantic's — same oracle,
+# sweep-exact.
+
+def fold_sem_decon_batch(
+    batch: DataFrame,
+    eval_path: str,
+    hits_path: str,
+    cent_rows,
+    train_bound: str,
+) -> None:
+    """Fold ONE micro-batch of arriving embeddings into the
+    contamination-hit store: in-row train-split tag (embeddings ⊆
+    documents on every fixture — FIXTURES.md — so the tag equals the
+    batch query's documents join), cell assignment against the
+    driver-pinned codebook rows, cosine vs the persisted eval side of
+    the batch's cells only, anti-join against already-recorded pairs
+    (pruned to the same cells), append only the fresh hits."""
+    from pyspark.sql.window import Window
+
+    from ..operators.ann import DECON_SEM_TAU
+
+    if batch.isEmpty():
+        return
+    sb = batch.sparkSession
+    b_tag = F.substring(
+        F.md5(F.format_string("split|%d", F.col("vec_id"))), 1, 2
+    )
+    tr = batch.where(b_tag < train_bound).select(
+        "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+    )
+    cents = F.broadcast(
+        sb.createDataFrame(
+            cent_rows,
+            "cid bigint, cent_emb array<float>, cent_norm double",
+        )
+    )
+    cscore = (
+        pair_dot_pd(F.col("embedding"), F.col("cent_emb"))
+        / (F.col("norm") * F.col("cent_norm"))
+    ).alias("cscore")
+    scores = tr.crossJoin(cents).select(
+        "vec_id", "embedding", "norm", "cid", cscore
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.asc("cid")
+    )
+    assigned = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("vec_id").alias("train_doc"),
+            F.col("embedding").alias("a_emb"),
+            F.col("norm").alias("a_norm"),
+            "cid",
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Bounded control flow: <= ncells distinct cells per batch.
+    cids = [r.cid for r in assigned.select("cid").distinct().collect()]
+    ev = sb.read.parquet(eval_path).where(F.col("cid").isin(cids))
+    hits = (
+        assigned.join(ev, "cid")
+        .select(
+            "train_doc",
+            "eval_doc",
+            "cid",
+            (
+                pair_dot_pd(F.col("a_emb"), F.col("b_emb"))
+                / (F.col("a_norm") * F.col("b_norm"))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= DECON_SEM_TAU)
+    )
+    try:
+        existing = (
+            sb.read.parquet(hits_path)
+            .where(F.col("cid").isin(cids))
+            .select("train_doc", "eval_doc")
+            .localCheckpoint(eager=True)
+        )
+        fresh = hits.join(
+            existing, ["train_doc", "eval_doc"], "left_anti"
+        )
+    except Exception:  # first fold: no hit store yet
+        fresh = hits
+    (
+        fresh.select("train_doc", "eval_doc", "cosine", "cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(hits_path)
+    )
+
+
+def _sem_decon_oracle() -> str:
+    from ..operators.ann import DECONTAMINATE_SEMANTIC_ORACLE
+
+    return DECONTAMINATE_SEMANTIC_ORACLE
+
+
+_SEM_DECON_READY: dict[tuple, tuple] = {}
+
+
+@query("stream_decontaminate_semantic", oracle=_sem_decon_oracle())
+def stream_decontaminate_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Live semantic (paraphrase-class) eval decontamination — see the
+    section comment. The drained per-train-doc report (hit count,
+    closest eval doc, top cosine) is aggregated off the PHYSICAL hit
+    store, and the batch oracle replays it relationally, so a hash
+    match proves the streamed folds recorded exactly the co-bucketed
+    tau-hits — batch sizing, replays, and arrival order cannot change
+    the verdict (batch parity additionally pinned by pytest vs
+    decontaminate_semantic).
+
+    Scale: per batch — one broadcast-codebook assignment
+    (O(batch x ncells)), one cid-pruned join against the ~5 %-of-corpus
+    eval side, one cid-pruned anti-join for idempotence; no unbounded
+    stream state (a doc's verdict is final once its own cell is
+    scored). The report is one groupBy over int-pair hit rows."""
+    import atexit
+    import hashlib as _hl
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.ann import (
+        _corpus_n,
+        _nlist,
+        sem_assignment,
+    )
+    from ..operators.splits import SPLIT_BOUNDS
+    from ..tables import load_table, table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "embeddings")
+    app = spark.sparkContext.applicationId
+    digest = _hl.md5(repr((sf_dir, fp, "semdecon")).encode()).hexdigest()[
+        :12
+    ]
+    eval_path = os.path.join(
+        tempfile.gettempdir(), f"sem_decon_eval_{app}_{digest}"
+    )
+    hits_path = os.path.join(
+        tempfile.gettempdir(), f"sem_decon_hits_{app}_{digest}"
+    )
+    key = (app, sf_dir, fp)
+    if _SEM_DECON_READY.get(key) != (
+        eval_path,
+        hits_path,
+    ) or not os.path.isdir(eval_path):
+        # Static eval side, derived ONCE per fixture on the caller's
+        # session (shares the sem_assignment memo with the batch
+        # queries) and persisted cid-partitioned. Scratch dirs reaped
+        # at interpreter exit (the _ivf_store_ready convention).
+        e = load_table(spark, sf_dir, "embeddings")
+        d = load_table(spark, sf_dir, "documents")
+        vecs = e.select(
+            "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+        )
+        assigned = sem_assignment(spark, sf_dir).select("vec_id", "cid")
+        btag = F.substring(
+            F.md5(F.format_string("split|%d", F.col("doc_id"))), 1, 2
+        )
+        tags = d.select("doc_id", btag.alias("b"))
+        ev = (
+            assigned.join(tags, assigned.vec_id == tags.doc_id)
+            .where(F.col("b") >= SPLIT_BOUNDS[1])
+            .join(vecs, "vec_id")
+            .select(
+                F.col("vec_id").alias("eval_doc"),
+                "cid",
+                F.col("embedding").alias("b_emb"),
+                F.col("norm").alias("b_norm"),
+            )
+        )
+        (
+            ev.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("cid")
+            .parquet(eval_path)
+        )
+        shutil.rmtree(hits_path, True)  # stale hits of a prior build
+        atexit.register(shutil.rmtree, eval_path, True)
+        atexit.register(shutil.rmtree, hits_path, True)
+        _SEM_DECON_READY[key] = (eval_path, hits_path)
+    # Driver-pinned SemDeDup codebook rows: ncells = ceil(sqrt(n)),
+    # bounded O(ncells x d) — the fold_ivf_batch closure convention.
+    e = load_table(spark, sf_dir, "embeddings")
+    ncells = _nlist(_corpus_n(spark, sf_dir))
+    cent_rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding], float(r.norm))
+        for r in e.select(
+            "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+        )
+        .where(
+            (F.col("vec_id") >= ANN_N_QUERIES)
+            & (F.col("vec_id") < ANN_N_QUERIES + ncells)
+        )
+        .collect()
+    ]
+    spark = stream_clone(spark)
+    arrivals = (
+        spark.readStream.schema(SCHEMAS["embeddings"])
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    bound = SPLIT_BOUNDS[0]
+    q = (
+        arrivals.writeStream.foreachBatch(
+            lambda b, _i: fold_sem_decon_batch(
+                b, eval_path, hits_path, cent_rows, bound
+            )
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        hitsdf = spark.read.parquet(hits_path)
+    except Exception:  # clean corpus: no hits recorded at all
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, n_eval_hits bigint, "
+            "top_eval_doc bigint, top_cosine double",
+        )
+    return hitsdf.groupBy(F.col("train_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_eval_hits"),
+        F.expr("max_by(eval_doc, struct(cosine, -eval_doc))")
+        .cast("bigint")
+        .alias("top_eval_doc"),
+        F.max("cosine").alias("top_cosine"),
     )

@@ -876,8 +876,11 @@ def test_ivf_store_prune_scan_is_partition_pruned(spark, registry):
         assert 0 <= r.rows_scanned <= r.rows_total
         assert 0 <= r.delta_rows_scanned <= r.rows_scanned
         assert abs(r.scan_fraction - r.rows_scanned / r.rows_total) < 1e-12
-        # pruning is real: a 4-of-nlist probe never scans everything
-        assert r.rows_scanned < r.rows_total
+        # pruning is real: a 4-of-nlist probe never scans everything —
+        # but only when there ARE unprobed cells (ADVICE r13: a tiny
+        # fixture with nlist <= nprobe legitimately scans all rows)
+        if r.cells_total > IVF_NPROBE:
+            assert r.rows_scanned < r.rows_total
 
     # The partition filter reaches the store scan: re-derive the probe
     # scan the query builds and pin its plan.

