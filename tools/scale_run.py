@@ -68,6 +68,13 @@ EXTRA_QUERIES = [
     "decontaminate_report",
     "corpus_curate_decontaminated",
     "stream_ivf_maintenance",
+    # round-14 newcomers (residual PQ, retrain actuator, deletes,
+    # live semantic decontamination)
+    "knn_ivfpq_residual",
+    "pq_recall_compare",
+    "ivf_retrain",
+    "ivf_store_delete",
+    "stream_decontaminate_semantic",
 ]
 
 # Documented-complexity exponent allowlist (ADVICE r10): operators
@@ -106,6 +113,15 @@ EXPECTED_E = {
     "decontaminate_semantic": 1.5,
     "decontaminate_report": 1.5,
     "corpus_curate_decontaminated": 1.5,
+    # r14: residual PQ rides the same IVF assignment + cap-bounded
+    # training family; the retrain actuator composes both quantizer
+    # trainings + searches; deletes and live semantic decontamination
+    # ride the frozen-codebook / SemDeDup adaptive-cell families
+    "knn_ivfpq_residual": 1.5,
+    "pq_recall_compare": 1.5,
+    "ivf_retrain": 1.5,
+    "ivf_store_delete": 1.5,
+    "stream_decontaminate_semantic": 1.5,
 }
 
 
@@ -134,6 +150,12 @@ COLD_PATH = {
     "base-store write + delta fold",
     "stream_ivf_maintenance": "first _MAINT_BASE_READY consumer pays "
     "the base-store write; later drains fold as no-ops",
+    "ivf_store_delete": "composes _STORE_READY (physical store build) "
+    "and _SEM_ASSIGN_MEMO (the decontamination drop set); cold when "
+    "it runs before ivf_store_prune / the semantic hygiene queries",
+    "stream_decontaminate_semantic": "first run builds the persisted "
+    "cid-partitioned eval side and pays the _SEM_ASSIGN_MEMO "
+    "assignment pass; later drains fold as no-ops",
 }
 
 
