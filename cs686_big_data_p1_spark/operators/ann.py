@@ -4429,7 +4429,9 @@ def ivf_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # empty drop set at this fixture
         tomb = spark.createDataFrame([], "vec_id bigint, t int")
     rep = (
-        store.join(tomb, "vec_id", "left")
+        # tombstones are bounded by the drop set — broadcast them so
+        # the report join never shuffles the store side
+        store.join(F.broadcast(tomb), "vec_id", "left")
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).cast("long").alias("rows_total"),

@@ -359,6 +359,25 @@ AUDITS: dict[str, dict] = {
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
         "max_waived": 5,  # centroids, probes, ADC dtable side, refine query side
     },
+    # r14 additions
+    "knn_ivfpq_residual": {
+        "broadcast": True,
+        "bounded_broadcast": "per-probed-cell ADC tables + centroid "
+        "sub-vector slices, both bounded by the vec_id range / "
+        "query-count Filters (never the corpus)",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        # cents slices (assign + residual + query-residual), probes,
+        # assigned, per-cell ADC tables, refine query side — every one
+        # Filter/Aggregate-bounded (measured: 10 exchanges at sf0.01)
+        "max_waived": 10,
+    },
+    "ivf_store_delete": {
+        "broadcast": True,
+        "bounded_broadcast": "frozen codebook (O(nlist) id-slice Filter) "
+        "+ the decontamination drop set (tau-thresholded hit aggregate)",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 6,
+    },
     "event_props_extract": {"pruned": True, "codegen": True},
     "priority_unpivot": {"pruned": True, "codegen": True},
     "domain_resample": {
