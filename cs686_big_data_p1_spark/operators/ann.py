@@ -4448,3 +4448,377 @@ def ivf_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_live"),
     )
+
+
+# --- ivf_store_vacuum: applying tombstones physically ---------------------
+#
+# ivf_store_delete leaves dropped rows masked but stored; a long-lived
+# index eventually wants the space and the probe-time anti-join cost
+# back. Vacuum is the lakehouse compaction discipline applied to the
+# vector store: rewrite ONLY cells whose dead fraction exceeds
+# VACUUM_NUM/VACUUM_DEN (exact integer cross-multiply), via dynamic
+# partition overwrite of exactly those cids — untouched cells' base
+# files stay byte-identical (pytest) — then drop the rewritten cells'
+# tombstone partitions (they are applied). Cells below the threshold
+# keep their tombstones: a rewrite there would cost more IO than the
+# anti-join it saves. A cell vacuumed to EMPTY (every row dead) has no
+# rows to dynamic-overwrite with, so its directory is removed directly
+# — on a real table format that is the commit's drop-partition
+# metadata op. The reference analog: storage reclaim after FileTable's
+# corruption-cascade removes (FileTable.java:107-122).
+
+VACUUM_NUM, VACUUM_DEN = 1, 20  # vacuum a cell when >5 % of it is dead
+
+
+def vacuum_ivf_store(spark: SparkSession, path: str) -> list[int]:
+    """Apply tombstones to every cell whose dead fraction exceeds
+    VACUUM_NUM/VACUUM_DEN; returns the vacuumed cids (sorted). All
+    reads and writes are partition-pruned to tombstoned cells; the
+    live frame is localCheckpoint'ed BEFORE the overwrite (Spark must
+    not lazily read the files it is replacing — the
+    upsert_parquet_partitioned contract). Idempotent: vacuumed cells
+    lose their tombstones, so a re-run finds nothing above threshold."""
+    import os
+    import shutil
+
+    tomb_path = os.path.join(path, "_tombstones")
+    try:
+        tomb = (
+            spark.read.parquet(tomb_path)
+            .select("vec_id", "cid")
+            .localCheckpoint(eager=True)
+        )
+    except Exception:  # nothing ever deleted
+        return []
+    # Bounded control flow: tombstoned cells only.
+    tcids = [r.cid for r in tomb.select("cid").distinct().collect()]
+    if not tcids:
+        return []
+    store = spark.read.parquet(path).where(F.col("cid").isin(tcids))
+    dead = (
+        store.join(tomb.select("vec_id"), "vec_id", "left_semi")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("dead"))
+    )
+    occ = store.groupBy("cid").agg(F.count(F.lit(1)).alias("total"))
+    vac = sorted(
+        r.cid
+        for r in occ.join(dead, "cid")
+        .where(
+            F.col("dead") * F.lit(VACUUM_DEN)
+            > F.col("total") * F.lit(VACUUM_NUM)
+        )
+        .collect()
+    )
+    if not vac:
+        return []
+    live = (
+        store.where(F.col("cid").isin(vac))
+        .join(tomb.select("vec_id"), "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    live_cids = {r.cid for r in live.select("cid").distinct().collect()}
+    (
+        live.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    for cid in vac:
+        if cid not in live_cids:
+            # vacuumed to empty: dynamic overwrite wrote no partition
+            # for it — drop the directory (a metadata op on a real
+            # table format)
+            shutil.rmtree(os.path.join(path, f"cid={cid}"), True)
+        # applied tombstones: drop exactly the vacuumed cells'
+        # tombstone partitions; other cells' files stay byte-identical
+        shutil.rmtree(os.path.join(tomb_path, f"cid={cid}"), True)
+    return vac
+
+
+# Vacuum works on its OWN store path — ivf_store_prune /
+# stream_ivf_maintenance / ivf_store_delete share _ivf_store_ready's
+# store whose row set must stay the full assignment (delete only adds
+# hidden tombstones; vacuum REMOVES rows, which would corrupt their
+# oracles' denominators mid-process).
+_VACUUM_STORE_READY: dict[tuple, str] = {}
+
+
+def _vacuum_store_ready(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from ..tables import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    hit = _VACUUM_STORE_READY.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    digest = hashlib.md5(
+        repr((sf_dir, fp, "vacuum")).encode()
+    ).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_vac_{spark.sparkContext.applicationId}_{digest}",
+    )
+    write_ivf_base_store(spark, sf_dir, path)
+    append_ivf_store(spark, sf_dir, path)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, True)
+    _VACUUM_STORE_READY[key] = path
+    return path
+
+
+IVF_STORE_VACUUM_ORACLE = (
+    "WITH "
+    + _FROZEN_MERGED_CTES
+    + f""",
+drops AS (
+  SELECT doc_id AS vec_id FROM ({DECONTAMINATE_SEMANTIC_ORACLE})
+),
+occ AS (
+  SELECT a.cid,
+         count(*) AS total,
+         coalesce(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 END), 0)
+             AS dead
+  FROM fassigned a LEFT JOIN drops d ON d.vec_id = a.vec_id
+  GROUP BY a.cid
+)
+SELECT cid,
+       CAST(total AS BIGINT) AS rows_before,
+       CAST(dead AS BIGINT) AS rows_dropped,
+       (dead * {VACUUM_DEN} > total * {VACUUM_NUM}) AS vacuumed,
+       CAST(CASE WHEN dead * {VACUUM_DEN} > total * {VACUUM_NUM}
+                 THEN total - dead ELSE total END AS BIGINT)
+           AS rows_stored,
+       CAST(CASE WHEN dead * {VACUUM_DEN} > total * {VACUUM_NUM}
+                 THEN 0 ELSE dead END AS BIGINT) AS tombs_remaining,
+       CAST(total - dead AS BIGINT) AS rows_live
+FROM occ
+"""
+)
+
+
+@query("ivf_store_vacuum", oracle=IVF_STORE_VACUUM_ORACLE)
+def ivf_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delete lifecycle completed: fold the curation drop set as
+    tombstones (restricted to rows still present, so a post-vacuum
+    replay folds nothing), VACUUM the cells past the dead-fraction
+    threshold, then report per cell — rows_before / rows_dropped /
+    vacuumed (all relationally replayed) beside rows_stored /
+    tombs_remaining MEASURED FROM DISK after the vacuum. A hash match
+    proves the physical rewrite did exactly what the relational replay
+    predicts: vacuumed cells hold precisely their live rows and zero
+    tombstones, untouched cells hold everything plus their unapplied
+    tombstones. Runs against its own store path — the shared
+    _ivf_store_ready store's row set must stay the full assignment for
+    ivf_store_prune's denominators (deletes there stay mask-only).
+
+    Scale: the fold and the vacuum are both partition-pruned to
+    tombstoned cells; the rewrite touches only above-threshold cells
+    (the IO-vs-anti-join break-even the threshold encodes); the report
+    is one groupBy(cid) over two int columns plus a broadcast join of
+    the bounded disk tombstone set."""
+    import os
+
+    path = _vacuum_store_ready(spark, sf_dir)
+    _v, _b, _d, cents, merged, _p = _append_parts(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    dropped = decontaminate_semantic(spark, sf_dir).select("doc_id")
+    drop_vecs = e.join(
+        dropped, e.vec_id == dropped.doc_id
+    ).select(
+        "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+    )
+    drops = (
+        _assign_frozen(drop_vecs, cents)
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=True)
+    )
+    dcids = [r.cid for r in drops.select("cid").distinct().collect()]
+    present = (
+        spark.read.parquet(path)
+        .where(F.col("cid").isin(dcids))
+        .select("vec_id")
+    )
+    drops_present = drops.join(present, "vec_id", "left_semi")
+    delete_ivf_store(spark, path, drops_present)
+    vacuum_ivf_store(spark, path)
+
+    # Replayed before-state (deterministic under re-invocation)...
+    is_drop = F.col("dv").isNotNull()
+    occ = (
+        merged.select(F.col("neighbor_id").alias("vec_id"), "cid")
+        .join(
+            F.broadcast(drops.select(F.col("vec_id").alias("dv"))),
+            F.col("vec_id") == F.col("dv"),
+            "left",
+        )
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows_before"),
+            F.coalesce(F.sum(is_drop.cast("int")), F.lit(0))
+            .cast("long")
+            .alias("rows_dropped"),
+        )
+    )
+    # ...beside the disk-measured after-state.
+    stored = (
+        spark.read.parquet(path)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_stored"))
+    )
+    tomb_path = os.path.join(path, "_tombstones")
+    try:
+        tombs = (
+            spark.read.parquet(tomb_path)
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tombs"))
+        )
+    except Exception:  # every tombstone applied
+        tombs = spark.createDataFrame([], "cid bigint, n_tombs bigint")
+    vac_flag = (
+        F.col("rows_dropped") * F.lit(VACUUM_DEN)
+        > F.col("rows_before") * F.lit(VACUUM_NUM)
+    )
+    return (
+        occ.join(stored, "cid", "left")
+        .join(F.broadcast(tombs), "cid", "left")
+        .select(
+            "cid",
+            "rows_before",
+            "rows_dropped",
+            vac_flag.alias("vacuumed"),
+            F.coalesce(F.col("n_stored"), F.lit(0))
+            .cast("long")
+            .alias("rows_stored"),
+            F.coalesce(F.col("n_tombs"), F.lit(0))
+            .cast("long")
+            .alias("tombs_remaining"),
+            (F.col("rows_before") - F.col("rows_dropped"))
+            .cast("long")
+            .alias("rows_live"),
+        )
+    )
+
+
+# --- knn_ivf_store_live: search served FROM the store, deletes honored ----
+
+KNN_IVF_STORE_LIVE_ORACLE = (
+    "WITH "
+    + _FROZEN_MERGED_CTES
+    + f""",
+fprobes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cscore DESC, cid ASC) AS rk
+    FROM fcscores WHERE vec_id < {ANN_N_QUERIES})
+  WHERE rk <= {IVF_NPROBE}
+),
+drops AS (
+  SELECT doc_id AS vec_id FROM ({DECONTAMINATE_SEMANTIC_ORACLE})
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM fprobes p
+  JOIN fassigned a ON a.cid = p.cid
+  LEFT JOIN drops d ON d.vec_id = a.vec_id
+  WHERE d.vec_id IS NULL
+),
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST(sum(CAST(floor(q.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM cand cd
+  JOIN fex q ON q.vec_id = cd.query_id
+  JOIN fex c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / (nq.norm * nc.norm) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot / (nq.norm * nc.norm) DESC,
+                                     d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN fnorms nq ON nq.vec_id = d.query_id
+  JOIN fnorms nc ON nc.vec_id = d.neighbor_id)
+WHERE rank <= {ANN_K}
+"""
+)
+
+
+@query("knn_ivf_store_live", oracle=KNN_IVF_STORE_LIVE_ORACLE)
+def knn_ivf_store_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-visible semantics of remove_ids, end to end: top-k
+    search whose candidates AND vectors come off the PHYSICAL
+    cid-partitioned store through probe_ivf_store_live — partition-
+    pruned to the probed cells, tombstoned rows anti-joined out — so a
+    curation-dropped document can never be returned. The drop set is
+    folded first (idempotent, same set as ivf_store_delete); the
+    oracle replays assignment, probes, the drop exclusion, and exact
+    fixed-point cosine ranking relationally, so a hash match proves
+    disk-served search == the post-delete relational truth.
+
+    Scale: the probe reads nprobe cells' directories (PartitionFilter,
+    the ivf_store_prune pin) and one pruned tombstone anti-join; the
+    query side is a broadcast O(n_queries) slice; scoring touches only
+    probed-cell rows (the knn_ivf bound)."""
+    import os as _os
+
+    path = _ivf_store_ready(spark, sf_dir)
+    _v, _b, _d, cents, _m, probes = _append_parts(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    dropped = decontaminate_semantic(spark, sf_dir).select("doc_id")
+    drop_vecs = e.join(
+        dropped, e.vec_id == dropped.doc_id
+    ).select(
+        "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+    )
+    drops = (
+        _assign_frozen(drop_vecs, cents)
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    delete_ivf_store(spark, path, drops)
+    probes = track_cache(probes)
+    # Bounded control flow: <= n_queries x nprobe probed cells.
+    probed = sorted(
+        r[0] for r in probes.select("cid").distinct().collect()
+    )
+    live = probe_ivf_store_live(spark, path, probed).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        v_norm(F.col("embedding")).alias("c_norm"),
+        "cid",
+    )
+    qv = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        v_norm(F.col("embedding")).alias("q_norm"),
+    )
+    scored = (
+        F.broadcast(probes).join(live, "cid")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                pair_dot_pd(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

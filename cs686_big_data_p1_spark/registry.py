@@ -96,11 +96,11 @@ PRIORITY_ORDER = [
     "stream_decontaminate", "decontaminate_report",
     "corpus_curate_decontaminated", "stream_ivf_maintenance",
     "knn_ivfpq_residual", "pq_recall_compare", "ivf_retrain",
-    "ivf_store_delete", "stream_decontaminate_semantic", "knn_ivfpq",
+    "ivf_store_delete", "stream_decontaminate_semantic",
+    "ivf_store_vacuum", "knn_ivf_store_live", "knn_ivfpq",
     "kmeans_lloyd", "ann_recall", "dedup_incremental", "stream_dedup_near",
     "decontaminate", "dedup_clusters", "kmeans_cells", "tpch_q9_profit",
-    "order_date_cube", "asof_join", "hll_distinct", "inverted_index",
-    "scd2_user_state",
+    "order_date_cube", "asof_join", "hll_distinct",
     # Post-window (judge self-checks these via the committed full-sweep
     # artifacts); displaced former window occupants lead the list, in
     # their prior order.
@@ -108,7 +108,8 @@ PRIORITY_ORDER = [
     "round_robin_assign", "under_replicated", "failover_choice",
     "queue_order", "corruption_scan", "replication_orders", "hb_tumbling",
     "hb_sliding", "hb_session", "dedup_exact", "dedup_near", "knn_bruteforce",
-    "text_stats", "doc_embedding_join", "tpch_q1_pricing", "knn_ivf_append",
+    "text_stats", "doc_embedding_join", "tpch_q1_pricing",
+    "scd2_user_state", "inverted_index", "knn_ivf_append",
     "ivf_imbalance", "stream_ivf_assign", "cluster_keep_best",
     "embedding_drift", "stream_embedding_drift", "embedding_covariance",
     "retention_cohorts", "gram_power_topvec", "t_closeness", "mmr_rerank",

@@ -75,6 +75,8 @@ EXTRA_QUERIES = [
     "ivf_retrain",
     "ivf_store_delete",
     "stream_decontaminate_semantic",
+    "ivf_store_vacuum",
+    "knn_ivf_store_live",
 ]
 
 # Documented-complexity exponent allowlist (ADVICE r10): operators
@@ -122,6 +124,8 @@ EXPECTED_E = {
     "ivf_retrain": 1.5,
     "ivf_store_delete": 1.5,
     "stream_decontaminate_semantic": 1.5,
+    "ivf_store_vacuum": 1.5,
+    "knn_ivf_store_live": 1.5,
 }
 
 
@@ -156,6 +160,11 @@ COLD_PATH = {
     "stream_decontaminate_semantic": "first run builds the persisted "
     "cid-partitioned eval side and pays the _SEM_ASSIGN_MEMO "
     "assignment pass; later drains fold as no-ops",
+    "ivf_store_vacuum": "first run builds its own physical store "
+    "(_VACUUM_STORE_READY) and pays the _SEM_ASSIGN_MEMO drop-set "
+    "pass; the replayed fold+vacuum are then no-ops",
+    "knn_ivf_store_live": "composes _STORE_READY and the "
+    "_SEM_ASSIGN_MEMO drop set; cold when it runs first",
 }
 
 
