@@ -30,6 +30,22 @@ from ..registry import query
 from ..tables import SCHEMAS
 from .liveness import _run_to_memory, stream_clone
 
+def embeddings_arrivals(spark: SparkSession, sf_dir: str):
+    """Streaming source for the embeddings table, dual-shape (the
+    stream_decontaminate rule): the fixture ships a single FILE
+    (streamed via pathGlobFilter over sf_dir — a streaming source's
+    path must be a directory), but a multi-part DIRECTORY of the same
+    name — the shape a real ingest lands — must stream identically
+    (pytest pins the 3-part split for the consumers below)."""
+    import os
+
+    tbl = os.path.join(sf_dir, "embeddings.parquet")
+    rs = spark.readStream.schema(SCHEMAS["embeddings"])
+    if os.path.isdir(tbl):
+        return rs.parquet(tbl)
+    return rs.option("pathGlobFilter", "embeddings.parquet").parquet(sf_dir)
+
+
 STREAM_IVF_ASSIGN_ORACLE = f"""
 WITH ex AS (
   SELECT vec_id, CAST(x AS DOUBLE) AS x, i
@@ -105,9 +121,7 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Frozen codebook: the batch-side index that already exists.
     _v, _b, _d, cents, _m, _p = _append_parts(spark, sf_dir)
     arrivals = (
-        spark.readStream.schema(SCHEMAS["embeddings"])
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
+        embeddings_arrivals(spark, sf_dir)
         .where(
             (F.col("vec_id") >= ANN_N_QUERIES)
             & ((F.col("vec_id") % DELTA_MOD) == DELTA_RES)
@@ -156,9 +170,7 @@ def stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark = stream_clone(spark)
     arrivals = (
-        spark.readStream.schema(SCHEMAS["embeddings"])
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
+        embeddings_arrivals(spark, sf_dir)
         .where(F.col("vec_id") >= ANN_N_QUERIES)
     )
     is_delta = (F.col("vec_id") % DELTA_MOD) == DELTA_RES
@@ -435,9 +447,7 @@ def stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]  # bounded: nlist rows — the broadcast codebook, driver-pinned
 
     arrivals = (
-        spark.readStream.schema(SCHEMAS["embeddings"])
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
+        embeddings_arrivals(spark, sf_dir)
         .where(
             (F.col("vec_id") >= ANN_N_QUERIES)
             & ((F.col("vec_id") % DELTA_MOD) == DELTA_RES)
@@ -739,9 +749,7 @@ def stream_decontaminate_semantic(
     ]
     spark = stream_clone(spark)
     arrivals = (
-        spark.readStream.schema(SCHEMAS["embeddings"])
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
+        embeddings_arrivals(spark, sf_dir)
     )
     bound = SPLIT_BOUNDS[0]
     q = (

@@ -408,3 +408,36 @@ def test_store_live_search_never_returns_dropped(spark, registry):
     }
     for q, n in masked:
         assert (q, n) not in {(a, b) for a, b, _ in got}
+
+
+def test_stream_sem_decon_multibatch_matches_batch(
+    spark, registry, tmp_path
+):
+    """Multi-file arrival shape: the same corpus with embeddings split
+    into three parquet part-files (a directory named
+    embeddings.parquet — what a real ingest lands) must stream to the
+    IDENTICAL report, because the hit fold is idempotent and
+    cell-local. Pins embeddings_arrivals' dual-shape handling for all
+    four embedding-stream consumers."""
+    import shutil
+
+    batch = sorted(
+        map(tuple, registry.QUERIES["decontaminate_semantic"](
+            spark, SF_SMALL
+        ).collect())
+    )
+    alt = tmp_path / "alt"
+    alt.mkdir()
+    shutil.copy(
+        f"{SF_SMALL}/documents.parquet", alt / "documents.parquet"
+    )
+    src = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    src.repartition(3).write.parquet(str(alt / "embeddings.parquet"))
+    stream3 = sorted(
+        map(tuple, registry.QUERIES["stream_decontaminate_semantic"](
+            spark, str(alt)
+        ).collect())
+    )
+    registry.clear_caches()
+    assert stream3 == batch and batch
+    shutil.rmtree(alt, ignore_errors=True)
