@@ -118,3 +118,22 @@ def pair_sqdist_q_pd(a: pd.Series, b: pd.Series) -> pd.Series:
         d = av - bv
         out[lo:hi] = (d * d).sum(axis=1)
     return pd.Series(out)
+
+
+@F.pandas_udf(LongType())  # DataType object: usable before a session exists
+def pair_doti_q_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact int64 dot product between two ALREADY-INTEGER vectors
+    (array<bigint> columns): sum_i a_i * b_i, Arrow-batched. The SQ8
+    ADC kernel (knn_ivf_sq): the query side carries quantized unit
+    components (|q| <= ~1e6), the candidate side carries the scaled
+    int decode of its 8-bit codes (|x| <= ~1.6e9), so per-term
+    products stay <= ~1.6e15 and a 64-dim sum <= ~1.1e17 << 2^63 —
+    pure integer arithmetic, bit-identical to the oracle's exploded
+    per-dimension fold."""
+    out = np.empty(len(a), dtype=np.int64)
+    for lo in range(0, len(a), 4096):
+        hi = min(lo + 4096, len(a))
+        av = np.stack(a.iloc[lo:hi].to_numpy()).astype(np.int64)
+        bv = np.stack(b.iloc[lo:hi].to_numpy()).astype(np.int64)
+        out[lo:hi] = (av * bv).sum(axis=1)
+    return pd.Series(out)

@@ -43,7 +43,7 @@ from pyspark.sql.window import Window
 
 from ..functions.vector import SCALE
 from ..functions.vector import norm as v_norm
-from ..functions.vector import pair_dot_pd, pair_sqdist_q_pd
+from ..functions.vector import pair_dot_pd, pair_doti_q_pd, pair_sqdist_q_pd
 from ..registry import CLEAR_HOOKS, query, track_cache
 from ..tables import load_table
 from .llm import KNN_ORACLE, knn_bruteforce
@@ -3968,13 +3968,261 @@ def knn_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- knn_ivf_sq: IVF + 8-bit scalar quantization (VERDICT r14 #4) --------
+#
+# FAISS IndexIVFScalarQuantizer (QT_8bit) beside the PQ family: the
+# same probed-cell candidate generation, but each stored vector is
+# compressed to one int8 code PER DIMENSION via trained per-dim linear
+# quantization, and ADC is a pure-integer dot against the decoded
+# codes. Where PQ's codebook is learned (Lloyd), SQ's "codebook" is
+# just per-dim (vmin, vmax) bounds off the train sample — which makes
+# the whole pipeline NATURALLY exact in integer arithmetic: train is
+# min/max over quantized unit components, encode is one clamped
+# integer division, decode is affine in ints, ADC is an int64 dot.
+# Nothing needs a float epsilon anywhere, so DuckDB replays training,
+# encoding, ADC shortlisting, and the exact refine bit for bit.
+#
+# FAISS parity notes: codes follow Codec8bit (encode = floor(255 *
+# clamp01(x_scaled)), decode = (code + 0.5) / 255), the train sample
+# is the engine-standard md5 bottom-k cap (the FAISS train()
+# convention _pq_sample encodes), and the decode stays scaled by
+# 2*255 so the ADC never divides: with q the quantized unit component
+# (|q| <= ~1e6) and span = vmax - vmin, the scaled decode is
+# xhat2 = 510*vmin + (2*code + 1)*span and rank order under
+# sum(q * xhat2) equals rank order under the float decode.
+
+SQ_CODE_MAX = 255  # 8-bit codes: one byte per dimension
+
+
+def _unit_q(e: DataFrame) -> DataFrame:
+    """(vec_id, uq): per-dimension quantized UNIT components,
+    q_i = floor(x_i / norm * 1e6) — the uex convention as one
+    array<bigint> column (no component fan-out; the transform is
+    whole-stage codegen over the row's own norm)."""
+    vecs = e.select(
+        "vec_id", "embedding", v_norm(F.col("embedding")).alias("norm")
+    )
+    return vecs.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") / F.col("norm") * F.lit(float(_LQ))
+            ).cast("long"),
+        ).alias("uq"),
+    )
+
+
+def _sq_train(uq: DataFrame, samp: DataFrame) -> tuple[list, list]:
+    """Per-dimension (vmin, vmax) bounds over the md5 bottom-k train
+    sample — the ScalarQuantizer RS_minmax train pass. The explode is
+    SAMPLE-bounded (<= PQ_TRAIN_CAP x EMB_DIM rows) and the collect is
+    EMB_DIM rows of two ints: control flow, never data."""
+    rows = (
+        uq.join(F.broadcast(samp.select("vec_id")), "vec_id")
+        .select(F.posexplode("uq").alias("i", "q"))
+        .groupBy("i")
+        .agg(F.min("q").alias("vmin"), F.max("q").alias("vmax"))
+        .collect()
+    )
+    vmin = [0] * EMB_DIM
+    vmax = [0] * EMB_DIM
+    for r in rows:
+        vmin[r.i] = int(r.vmin)
+        vmax[r.i] = int(r.vmax)
+    return vmin, vmax
+
+
+def _sq_xhat2(uqcol, vmin_c, vmax_c):
+    """Scaled int decode of the 8-bit SQ encode of a quantized-unit
+    array column: per dim, code = (clamp(q) - vmin) * 255 // span
+    (operands non-negative, so truncation == floor in Spark and
+    DuckDB alike; Spark's floor(a / b) over these magnitudes is exact
+    — a <= ~5.1e8 is integer-exact in double and the rounding error
+    ~a * 2^-53 is far below the 1/span >= 5e-7 gap to the next
+    integer), then xhat2 = 510*vmin + (2*code + 1)*span. Constant
+    dims (span = 0) encode as code 0 and decode to 510*vmin (exactly
+    2*255*q: the dim contributes its true value)."""
+
+    def per_dim(q, i):
+        lo = F.element_at(vmin_c, i + 1)
+        hi = F.element_at(vmax_c, i + 1)
+        span = hi - lo
+        qc = F.greatest(lo, F.least(hi, q))
+        code = F.when(span == F.lit(0), F.lit(0)).otherwise(
+            F.floor(
+                ((qc - lo) * F.lit(SQ_CODE_MAX)).cast("double")
+                / span.cast("double")
+            ).cast("long")
+        )
+        return (
+            F.lit(2 * SQ_CODE_MAX) * lo
+            + (F.lit(2) * code + F.lit(1)) * span
+        )
+
+    return F.transform(uqcol, per_dim)
+
+
+KNN_IVF_SQ_ORACLE = (
+    "WITH "
+    + f"""
+exd AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM exd GROUP BY vec_id
+),
+uqd AS (
+  SELECT e.vec_id, e.i,
+         CAST(floor(e.x / n.norm * {_LQ}) AS BIGINT) AS q
+  FROM exd e JOIN norms n ON n.vec_id = e.vec_id
+),
+sqsamp AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rk
+    FROM (SELECT vec_id, md5(printf('pqtrain|%d', vec_id)) AS h
+          FROM embeddings))
+  WHERE rk <= {PQ_TRAIN_CAP}
+),
+sqt AS (
+  SELECT u.i, min(u.q) AS vmin, max(u.q) AS vmax
+  FROM uqd u JOIN sqsamp m ON m.vec_id = u.vec_id
+  GROUP BY u.i
+),"""
+    + _ivf_cand_ctes()
+    + f""",
+sqcodes AS (
+  SELECT u.vec_id, u.i,
+         CASE WHEN t.vmax = t.vmin THEN CAST(0 AS BIGINT)
+              ELSE ((greatest(t.vmin, least(t.vmax, u.q)) - t.vmin)
+                    * {SQ_CODE_MAX}) // (t.vmax - t.vmin)
+         END AS code,
+         t.vmin, t.vmax
+  FROM uqd u JOIN sqt t ON t.i = u.i
+  WHERE u.vec_id >= {ANN_N_QUERIES}
+),
+sqadc AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         sum(qq.q * ({2 * SQ_CODE_MAX} * c.vmin
+                     + (2 * c.code + 1) * (c.vmax - c.vmin))) AS dot2
+  FROM cand cd
+  JOIN sqcodes c ON c.vec_id = cd.neighbor_id
+  JOIN uqd qq ON qq.vec_id = cd.query_id AND qq.i = c.i
+  GROUP BY cd.query_id, cd.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot2 DESC, neighbor_id ASC) AS rk
+    FROM sqadc)
+  WHERE rk <= {IVFPQ_SHORTLIST}
+),
+dots AS (
+  SELECT sh.query_id, sh.neighbor_id,
+         CAST(sum(CAST(floor(q.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM short sh
+  JOIN exd q ON q.vec_id = sh.query_id
+  JOIN exd c ON c.vec_id = sh.neighbor_id AND c.i = q.i
+  GROUP BY sh.query_id, sh.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT d.query_id, d.neighbor_id,
+         d.dot / (nq.norm * nc.norm) AS cosine,
+         row_number() OVER (PARTITION BY d.query_id
+                            ORDER BY d.dot / (nq.norm * nc.norm) DESC,
+                                     d.neighbor_id ASC) AS rank
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id)
+WHERE rank <= {ANN_K}
+"""
+)
+
+
+@query("knn_ivf_sq", oracle=KNN_IVF_SQ_ORACLE)
+def knn_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + 8-bit scalar quantization with exact refinement — FAISS
+    IndexIVFScalarQuantizer(QT_8bit) + IndexRefineFlat beside the PQ
+    family: same probed-cell candidates as knn_ivfpq, each candidate
+    scored by a pure-int64 ADC dot against its decoded per-dim int8
+    codes, the top IVFPQ_SHORTLIST exactly re-ranked. The quantizer
+    trains per-dim (vmin, vmax) on the engine-standard md5 bottom-k
+    sample; encode/decode follow FAISS Codec8bit (floor(255*x) /
+    (code+0.5)/255), held in a 2*255-scaled integer form so no step
+    divides. DuckDB replays train, encode, ADC, and refine bit for
+    bit. tests/test_ann.py pins determinism, a recall floor vs
+    knn_bruteforce, and the byte-budget contrast with PQ.
+
+    Scale shape: the trained quantizer is 2 x EMB_DIM ints BROADCAST
+    as literal arrays (vs PQ's PQ_M x PQ_K x PQ_SUB codebook); at
+    100 TB the store keeps 1 byte/dim codes (8x smaller than floats,
+    32x larger than this PQ config — the recall/bytes trade
+    pq_recall_compare reports) and decodes at probe time from the
+    broadcast bounds; here the decode is one corpus pass fused into
+    the encode projection (whole-stage codegen, no fan-out, raw
+    floats never move past it). ADC touches probed-cell candidates
+    only; exact scoring touches SHORTLIST rows per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = _corpus_n(spark, sf_dir)
+    uq = track_cache(_unit_q(e))
+    vmins, vmaxs = _sq_train(uq, _pq_sample(e))
+    vmin_c = F.array(*[F.lit(v) for v in vmins])
+    vmax_c = F.array(*[F.lit(v) for v in vmaxs])
+    _, probes, assigned = _ivf_cells(e, n=n)
+    cand = F.broadcast(probes).join(assigned, "cid").select(
+        "query_id", "neighbor_id"
+    )
+    nside = uq.where(F.col("vec_id") >= ANN_N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        _sq_xhat2(F.col("uq"), vmin_c, vmax_c).alias("xh"),
+    )
+    qside = uq.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("uq").alias("q_arr")
+    )
+    adc = (
+        cand.join(nside, "neighbor_id")
+        .join(F.broadcast(qside), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            pair_doti_q_pd(F.col("q_arr"), F.col("xh")).alias("dot2"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("dot2"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .where(F.col("rk") <= IVFPQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_refine(e, shortlist)
+
+
+# PQ stores PQ_M codes of log2(PQ_K) bits; SQ8 stores one byte per
+# dimension. The report carries both so the recall column is read
+# against its cost (FAISS's memory-vs-recall framing).
+PQ_CODE_BYTES = (PQ_M * 4 + 7) // 8  # 4 = log2(PQ_K) bits per code
+SQ_CODE_BYTES = EMB_DIM
+
+
 PQ_RECALL_COMPARE_ORACLE = f"""
 WITH truth AS (SELECT query_id, neighbor_id FROM ({KNN_ORACLE})),
 rawpq AS (SELECT query_id, neighbor_id FROM ({KNN_IVFPQ_ORACLE})),
 respq AS (SELECT query_id, neighbor_id FROM ({KNN_IVFPQ_RESIDUAL_ORACLE})),
+sq8 AS (SELECT query_id, neighbor_id FROM ({KNN_IVF_SQ_ORACLE})),
 approx AS (
   SELECT 'ivfpq_raw' AS method, query_id, neighbor_id FROM rawpq
   UNION ALL SELECT 'ivfpq_residual', query_id, neighbor_id FROM respq
+  UNION ALL SELECT 'ivf_sq8', query_id, neighbor_id FROM sq8
 ),
 hits AS (
   SELECT a.method, count(*) AS n_hits
@@ -3984,11 +4232,13 @@ hits AS (
 ),
 tc AS (SELECT count(*) AS n_true FROM truth)
 SELECT m.method,
+       CAST(m.code_bytes AS INTEGER) AS code_bytes,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        CAST(tc.n_true AS BIGINT) AS n_true,
        CAST(coalesce(h.n_hits, 0) AS DOUBLE) / tc.n_true AS recall
-FROM (SELECT 'ivfpq_raw' AS method
-      UNION ALL SELECT 'ivfpq_residual') m
+FROM (SELECT 'ivfpq_raw' AS method, {PQ_CODE_BYTES} AS code_bytes
+      UNION ALL SELECT 'ivfpq_residual', {PQ_CODE_BYTES}
+      UNION ALL SELECT 'ivf_sq8', {SQ_CODE_BYTES}) m
 LEFT JOIN hits h ON h.method = m.method
 CROSS JOIN tc
 """
@@ -3996,13 +4246,15 @@ CROSS JOIN tc
 
 @query("pq_recall_compare", oracle=PQ_RECALL_COMPARE_ORACLE)
 def pq_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw-vector PQ vs residual PQ at the IDENTICAL code budget
-    (PQ_M x PQ_K, same sample cap, same shortlist, same refine) —
-    the measurement VERDICT r13 #3 asked for alongside the residual
-    variant itself: recall@k of knn_ivfpq and knn_ivfpq_residual
-    against the brute-force cosine ground truth, micro-averaged
-    exact-integer hit counts (the ann_recall_all report shape,
-    narrowed to the pair that differs only in by_residual).
+    """The quantizer tuning report, widened to the 3-way FAISS lineup
+    (VERDICT r14 #4): raw-vector PQ vs residual PQ at the IDENTICAL
+    code budget (PQ_M x PQ_K, same sample cap, same shortlist, same
+    refine), beside 8-bit scalar quantization (knn_ivf_sq) at its own
+    budget — each row carries code_bytes so recall is read against
+    memory cost, FAISS's framing: recall@k of each index against the
+    brute-force cosine ground truth, micro-averaged exact-integer hit
+    counts (the ann_recall_all report shape, narrowed to the
+    quantizer family).
 
     What it reports on the FIXTURES, honestly: residual measures
     slightly WORSE there (0.40 vs 0.48 at sf0.001) — the fixture
@@ -4020,11 +4272,12 @@ def pq_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     )
     legs = [
-        ("ivfpq_raw", knn_ivfpq),
-        ("ivfpq_residual", knn_ivfpq_residual),
+        ("ivfpq_raw", PQ_CODE_BYTES, knn_ivfpq),
+        ("ivfpq_residual", PQ_CODE_BYTES, knn_ivfpq_residual),
+        ("ivf_sq8", SQ_CODE_BYTES, knn_ivf_sq),
     ]
     approx = None
-    for tag, fn in legs:
+    for tag, _bytes, fn in legs:
         leg = fn(spark, sf_dir).select(
             F.lit(tag).alias("method"), "query_id", "neighbor_id"
         )
@@ -4035,7 +4288,7 @@ def pq_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     methods = spark.createDataFrame(
-        [(t,) for t, _ in legs], "method string"
+        [(t, b) for t, b, _ in legs], "method string, code_bytes int"
     )
     tc = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
@@ -4044,6 +4297,7 @@ def pq_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tc))
         .select(
             "method",
+            "code_bytes",
             n_hits.alias("n_hits"),
             F.col("n_true").cast("long").alias("n_true"),
             (n_hits.cast("double") / F.col("n_true")).alias("recall"),
@@ -4302,6 +4556,25 @@ def ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # remove cascading from corruption reports (FileTable.java:107-122)
 # applied at file-store granularity.
 
+def _tombstones_present(path: str) -> bool:
+    """True iff the store's tombstone directory exists AND holds at
+    least one data file. The explicit check replaces the earlier broad
+    try/except around the tombstone read: a missing directory is the
+    expected never-deleted state, but any OTHER read failure
+    (transient IO, corrupt footer, permissions) must PROPAGATE — a
+    live probe that silently treats a failed read as "no tombstones"
+    would return curation-dropped rows, and a delete fold would
+    re-append duplicate tombstone pairs (ADVICE r14)."""
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def delete_ivf_store(
     spark: SparkSession, path: str, drops: DataFrame
 ) -> None:
@@ -4317,7 +4590,7 @@ def delete_ivf_store(
     drops = drops.select("vec_id", "cid").localCheckpoint(eager=True)
     # Bounded control flow: <= nlist distinct cells per batch.
     cids = [r.cid for r in drops.select("cid").distinct().collect()]
-    try:
+    if _tombstones_present(tomb):
         existing = (
             spark.read.parquet(tomb)
             .where(F.col("cid").isin(cids))
@@ -4327,7 +4600,7 @@ def delete_ivf_store(
         fresh = drops.join(
             existing, drops.vec_id == F.col("tv"), "left_anti"
         )
-    except Exception:  # first delete: no tombstone dir yet
+    else:  # first delete: no tombstone dir yet
         fresh = drops
     (
         fresh.write.mode("append")
@@ -4342,19 +4615,19 @@ def probe_ivf_store_live(
     """probe_ivf_store minus tombstoned rows: both the data read and
     the tombstone read are partition-pruned to the probed cells, and
     the exclusion is an int-key anti-join bounded by the probed
-    cells' tombstone counts."""
+    cells' tombstone counts. A failed tombstone READ raises (never
+    "no tombstones") — see _tombstones_present."""
     import os
 
     live = spark.read.parquet(path).where(F.col("cid").isin(cids))
     tomb = os.path.join(path, "_tombstones")
-    try:
-        dead = (
-            spark.read.parquet(tomb)
-            .where(F.col("cid").isin(cids))
-            .select("vec_id")
-        )
-    except Exception:  # nothing ever deleted
+    if not _tombstones_present(tomb):  # nothing ever deleted
         return live
+    dead = (
+        spark.read.parquet(tomb)
+        .where(F.col("cid").isin(cids))
+        .select("vec_id")
+    )
     return live.join(dead, "vec_id", "left_anti")
 
 
@@ -4420,13 +4693,13 @@ def ivf_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete_ivf_store(spark, path, drops)
     store = spark.read.parquet(path).select("vec_id", "cid")
     tomb_path = os.path.join(path, "_tombstones")
-    try:
+    if _tombstones_present(tomb_path):
         tomb = (
             spark.read.parquet(tomb_path)
             .select("vec_id")
             .withColumn("t", F.lit(1))
         )
-    except Exception:  # empty drop set at this fixture
+    else:  # empty drop set at this fixture
         tomb = spark.createDataFrame([], "vec_id bigint, t int")
     rep = (
         # tombstones are bounded by the drop set — broadcast them so
@@ -4482,19 +4755,58 @@ def vacuum_ivf_store(spark: SparkSession, path: str) -> list[int]:
     import shutil
 
     tomb_path = os.path.join(path, "_tombstones")
-    try:
-        tomb = (
-            spark.read.parquet(tomb_path)
-            .select("vec_id", "cid")
-            .localCheckpoint(eager=True)
-        )
-    except Exception:  # nothing ever deleted
+    if not _tombstones_present(tomb_path):  # nothing ever deleted
         return []
+    tomb = (
+        spark.read.parquet(tomb_path)
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=True)
+    )
     # Bounded control flow: tombstoned cells only.
     tcids = [r.cid for r in tomb.select("cid").distinct().collect()]
     if not tcids:
         return []
     store = spark.read.parquet(path).where(F.col("cid").isin(tcids))
+    # Self-heal the crash window between a prior vacuum's data
+    # overwrite and its tombstone cleanup (ADVICE r14): a tombstone
+    # whose vec_id is no longer stored in its cell is already APPLIED
+    # — keeping it makes the cell's dead fraction read 0 forever, so
+    # a re-run would never clear it and tombs_remaining would diverge
+    # from the relational truth. Drop orphans per cell: rewrite a
+    # partially-orphaned cell's tombstone partition with only its
+    # still-live rows, remove a fully-orphaned cell's partition.
+    valid = tomb.join(
+        store.select("vec_id"), "vec_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    n_tomb = {r.cid: r.n for r in tomb.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n_valid = {r.cid: r.n for r in valid.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    orphan_cids = sorted(
+        c for c in n_tomb if n_valid.get(c, 0) < n_tomb[c]
+    )
+    if orphan_cids:
+        partial = [c for c in orphan_cids if n_valid.get(c, 0) > 0]
+        if partial:
+            (
+                valid.where(F.col("cid").isin(partial))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cid")
+                .parquet(tomb_path)
+            )
+        for cid in orphan_cids:
+            if n_valid.get(cid, 0) == 0:
+                shutil.rmtree(
+                    os.path.join(tomb_path, f"cid={cid}"), True
+                )
+        tomb = valid
+        tcids = sorted(n_valid)
+        if not tcids:
+            return []
+        store = spark.read.parquet(path).where(
+            F.col("cid").isin(tcids)
+        )
     dead = (
         store.join(tomb.select("vec_id"), "vec_id", "left_semi")
         .groupBy("cid")
@@ -4673,13 +4985,13 @@ def ivf_store_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_stored"))
     )
     tomb_path = os.path.join(path, "_tombstones")
-    try:
+    if _tombstones_present(tomb_path):
         tombs = (
             spark.read.parquet(tomb_path)
             .groupBy("cid")
             .agg(F.count(F.lit(1)).cast("long").alias("n_tombs"))
         )
-    except Exception:  # every tombstone applied
+    else:  # every tombstone applied
         tombs = spark.createDataFrame([], "cid bigint, n_tombs bigint")
     vac_flag = (
         F.col("rows_dropped") * F.lit(VACUUM_DEN)

@@ -97,7 +97,7 @@ PRIORITY_ORDER = [
     "corpus_curate_decontaminated", "stream_ivf_maintenance",
     "knn_ivfpq_residual", "pq_recall_compare", "ivf_retrain",
     "ivf_store_delete", "stream_decontaminate_semantic",
-    "ivf_store_vacuum", "knn_ivf_store_live", "knn_ivfpq",
+    "ivf_store_vacuum", "knn_ivf_store_live", "knn_ivf_sq", "knn_ivfpq",
     "kmeans_lloyd", "ann_recall", "dedup_incremental", "stream_dedup_near",
     "decontaminate", "dedup_clusters", "kmeans_cells", "tpch_q9_profit",
     "order_date_cube", "asof_join", "hll_distinct",

@@ -28,6 +28,7 @@ Exit code 1 if any assertion fails.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
@@ -821,12 +822,34 @@ def main() -> int:
         return 1
     # The committed PLANS.md carries one "## " section per audited
     # query PLUS the two structural audits above; the log must quote
-    # the same total so artifact and log agree (VERDICT r13 #7) —
-    # fail loudly if the section arithmetic ever drifts.
+    # the same total so artifact and log agree (VERDICT r13 #7).
+    # Verify, don't assert (ADVICE r14): count the actual "## "
+    # headers in the committed PLANS.md and fail on mismatch — the
+    # arithmetic is only trustworthy if the artifact agrees.
     n_sections = len(AUDITS) + 2
+    # The gate runs this script as `plan_audit.py ... > PLANS.md`:
+    # flush stdout so the file on disk holds every section before we
+    # count. A mismatch on an ad-hoc terminal run means the committed
+    # artifact is stale vs AUDITS — also worth failing loudly on.
+    sys.stdout.flush()
+    plans_path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    if os.path.isfile(plans_path):
+        with open(plans_path) as fh:
+            n_committed = sum(
+                1 for line in fh if line.startswith("## ")
+            )
+        if n_committed != n_sections:
+            print(
+                f"\nFAILED: committed PLANS.md has {n_committed} "
+                f"'## ' sections, expected {n_sections} "
+                f"({len(AUDITS)} query plans + 2 structural audits)",
+                file=sys.stderr,
+            )
+            return 1
     print(
         f"\nall {n_sections} PLANS.md sections ok "
-        f"({len(AUDITS)} query plans + 2 structural audits)",
+        f"({len(AUDITS)} query plans + 2 structural audits; "
+        f"committed artifact header count verified)",
         file=sys.stderr,
     )
     return 0
