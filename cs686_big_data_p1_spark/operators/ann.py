@@ -4170,8 +4170,17 @@ def knn_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the encode projection (whole-stage codegen, no fan-out, raw
     floats never move past it). ADC touches probed-cell candidates
     only; exact scoring touches SHORTLIST rows per query."""
-    e = load_table(spark, sf_dir, "embeddings")
-    n = _corpus_n(spark, sf_dir)
+    return sq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        n=_corpus_n(spark, sf_dir),
+    )
+
+
+def sq_topk(e: DataFrame, n: int | None = None) -> DataFrame:
+    """Core of knn_ivf_sq over any (vec_id, embedding) frame (the
+    query wrapper binds it to the fixture table; tests feed synthetic
+    corpora with planted exact duplicates). `n` = known corpus count,
+    else counted inside _ivf_cells off its cache."""
     uq = track_cache(_unit_q(e))
     vmins, vmaxs = _sq_train(uq, _pq_sample(e))
     vmin_c = F.array(*[F.lit(v) for v in vmins])
@@ -5134,3 +5143,179 @@ def knn_ivf_store_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= ANN_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --- ivf_release_versions: versioned index releases (VERDICT r14 #3) ------
+#
+# The r12-r14 store arc built mutation (append folds, tombstone
+# deletes, vacuum) on ONE mutable path; a production training-data
+# pipeline ships its index as IMMUTABLE RELEASES so a training run can
+# pin the exact index it was built against and a bad release can be
+# rolled back by repointing, not rebuilding. This composes the two
+# halves the engine already has: sources/snapshots.py's verified-CAS
+# atomic-rename versioning (S9) applied to the IVF store's membership
+# relation. Three releases are published — v1 the base build, v2 the
+# delta fold, v3 post-curation (semantic-decontamination drops
+# applied) — and the report reads every number back from the PHYSICAL
+# versioned table: per-release row/cell counts plus snapshot_diff
+# change counts against the previous release. The oracle replays all
+# of it relationally (frozen assignment, residue-class delta split,
+# decontamination verdict), so a hash match proves the published
+# releases are exactly the relational states they claim to be —
+# including upd_from_prev = 0, the frozen-codebook stability invariant
+# (a vector's cell NEVER changes between releases; growth and curation
+# are pure inserts/deletes). Reference analog: FileTable's atomic
+# publish of a file's chunk list under its lock
+# (controller/FileTable.java synchronized publish), generalized to
+# table versions.
+
+_RELEASE_READY: dict[tuple, str] = {}
+
+
+def _release_table_ready(spark: SparkSession, sf_dir: str) -> str:
+    """Publish the three index releases once per (application, table
+    fingerprint): each release is the (vec_id, cid) membership
+    relation — the index METADATA, 2 ints/row — staged and atomically
+    renamed into <path>/v=NNNNNNNN by write_snapshot's verified CAS.
+    Memoized: a re-invocation reuses the published versions (snapshots
+    are immutable, so re-reads are byte-stable by construction).
+
+    Scale: each release write is one parallel parquet pass over the
+    membership relation; at 100 TB the vectors themselves stay in the
+    cid-partitioned store and a release pins (membership version,
+    store manifest) — snapshotting partition directories instead of
+    rows, as the snapshots module documents."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.snapshots import write_snapshot
+    from ..tables import table_fingerprint
+
+    fp = table_fingerprint(sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    hit = _RELEASE_READY.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    digest = hashlib.md5(repr((sf_dir, fp, "rel")).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_rel_{spark.sparkContext.applicationId}_{digest}",
+    )
+    shutil.rmtree(path, True)  # stale same-app leftovers: rebuild clean
+    _v, _b, _d, _cents, merged, _p = _append_parts(spark, sf_dir)
+    member = merged.select(
+        F.col("neighbor_id").alias("vec_id"), "cid"
+    )
+    is_delta = (F.col("vec_id") % DELTA_MOD) == DELTA_RES
+    drops = decontaminate_semantic(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    write_snapshot(spark, member.where(~is_delta), path)  # v1: base build
+    write_snapshot(spark, member, path)  # v2: delta fold
+    write_snapshot(  # v3: curation drops applied
+        spark, member.join(drops, "vec_id", "left_anti"), path
+    )
+    atexit.register(shutil.rmtree, path, True)
+    _RELEASE_READY.clear()
+    _RELEASE_READY[key] = path
+    return path
+
+
+IVF_RELEASE_VERSIONS_ORACLE = (
+    "WITH "
+    + _FROZEN_MERGED_CTES
+    + f""",
+drops AS (
+  SELECT doc_id AS vec_id FROM ({DECONTAMINATE_SEMANTIC_ORACLE})
+),
+v1 AS (SELECT vec_id, cid FROM fassigned
+       WHERE vec_id % {DELTA_MOD} <> {DELTA_RES}),
+v3 AS (SELECT a.vec_id, a.cid FROM fassigned a
+       LEFT JOIN drops d ON d.vec_id = a.vec_id
+       WHERE d.vec_id IS NULL)
+SELECT CAST(1 AS INTEGER) AS version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT cid) AS BIGINT) AS n_cells,
+       CAST(0 AS BIGINT) AS ins_from_prev,
+       CAST(0 AS BIGINT) AS del_from_prev,
+       CAST(0 AS BIGINT) AS upd_from_prev
+FROM v1
+UNION ALL
+SELECT CAST(2 AS INTEGER),
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT cid) AS BIGINT),
+       CAST((SELECT count(*) FROM fassigned
+             WHERE vec_id % {DELTA_MOD} = {DELTA_RES}) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM fassigned
+UNION ALL
+SELECT CAST(3 AS INTEGER),
+       CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT cid) AS BIGINT),
+       CAST(0 AS BIGINT),
+       CAST((SELECT count(*) FROM fassigned a
+             JOIN drops d ON d.vec_id = a.vec_id) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM v3
+"""
+)
+
+
+@query("ivf_release_versions", oracle=IVF_RELEASE_VERSIONS_ORACLE)
+def ivf_release_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible index releases, end to end: publish the IVF
+    membership relation as three immutable snapshot versions (base
+    build -> delta fold -> curation drops applied) through the
+    verified-CAS atomic-rename publish, then report each release's
+    rows/cells AND its snapshot_diff change counts vs the previous
+    release — every number MEASURED from the published versioned
+    table, every number REPLAYED relationally by the oracle. A hash
+    match therefore proves (a) the releases hold exactly the frozen
+    assignment / fold / curation states, (b) the physical CDC between
+    releases is pure inserts (v1->v2, the delta fold) and pure deletes
+    (v2->v3, the drop set), and (c) upd_from_prev = 0 — the frozen
+    codebook never reassigns a vector between releases.
+    tests/test_snapshots.py pins the serving properties on top:
+    time-travel reads pinned to v2 are unaffected by v3's publish and
+    by vacuuming v1, and a version-pinned probe can still return a
+    curation-dropped vector at v2 but never at v3.
+
+    Scale: three parallel writes of the 2-int membership relation +
+    one groupBy and two key-shuffled diffs per adjacent pair; version
+    discovery is one O(#versions) driver listing (the metadata cost
+    any table format pays)."""
+    from ..sources.snapshots import read_snapshot, snapshot_diff
+
+    path = _release_table_ready(spark, sf_dir)
+    out = None
+    for v in (1, 2, 3):
+        snap = read_snapshot(spark, path, v)
+        st = snap.agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("cid").cast("long").alias("n_cells"),
+        )
+        if v == 1:
+            row = st.select(
+                "version",
+                "n_rows",
+                "n_cells",
+                F.lit(0).cast("long").alias("ins_from_prev"),
+                F.lit(0).cast("long").alias("del_from_prev"),
+                F.lit(0).cast("long").alias("upd_from_prev"),
+            )
+        else:
+            ch = snapshot_diff(spark, path, v - 1, v, ["vec_id"])
+            n_of = lambda t: F.coalesce(  # noqa: E731
+                F.sum((F.col("change_type") == t).cast("long")), F.lit(0)
+            ).cast("long")
+            d = ch.agg(
+                n_of("inserted").alias("ins_from_prev"),
+                n_of("deleted").alias("del_from_prev"),
+                n_of("updated").alias("upd_from_prev"),
+            )
+            row = st.crossJoin(F.broadcast(d))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -88,19 +88,19 @@ PRIORITY_ORDER = [
     # 44-50 block: 143/229 queries had never earned a driver-grade
     # row at 7/round, while the displaced §2.E-2.I representatives
     # have 13 straight green rounds and stay pinned by the sweeps).
-    # Round-14 picks — ALL with zero driver history: the seven r13
-    # newcomers, the five r14 newcomers, and fourteen never-checked
-    # queries spanning TPC-H, ANN, dedup, streaming, sketches,
-    # search, sessions, and time-series.
-    "ivf_store_prune", "ivf_nprobe_sweep", "decontaminate_semantic",
-    "stream_decontaminate", "decontaminate_report",
-    "corpus_curate_decontaminated", "stream_ivf_maintenance",
-    "knn_ivfpq_residual", "pq_recall_compare", "ivf_retrain",
-    "ivf_store_delete", "stream_decontaminate_semantic",
-    "ivf_store_vacuum", "knn_ivf_store_live", "knn_ivf_sq", "knn_ivfpq",
-    "kmeans_lloyd", "ann_recall", "dedup_incremental", "stream_dedup_near",
-    "decontaminate", "dedup_clusters", "kmeans_cells", "tpch_q9_profit",
-    "order_date_cube", "asof_join", "hll_distinct",
+    # Round-15 picks — ALL with zero driver history: the three r15
+    # newcomers (SQ8, versioned index releases, live store-served
+    # search), then twenty-three never-checked queries, oldest
+    # extensions first per VERDICT r14 #1: the r2-r7 text/quality
+    # family and the never-checked TPC-H block.
+    "knn_ivf_sq", "ivf_release_versions", "stream_knn_store",
+    "pii_scrub", "repetition_score", "corpus_filter", "vocab_topk",
+    "oov_rate", "text_normalize", "lexical_diversity", "doc_chunk",
+    "span_dedup", "tfidf_topterms", "dedup_ngram", "inverted_index",
+    "bm25_search", "lm_score", "dsir_weights", "knn_ivf",
+    "tpch_q4_priority", "tpch_q6_forecast", "tpch_q7_volume",
+    "tpch_q8_marketshare", "tpch_q10_returns", "tpch_q13_custdist",
+    "tpch_q14_promo",
     # Post-window (judge self-checks these via the committed full-sweep
     # artifacts); displaced former window occupants lead the list, in
     # their prior order.
@@ -109,7 +109,17 @@ PRIORITY_ORDER = [
     "queue_order", "corruption_scan", "replication_orders", "hb_tumbling",
     "hb_sliding", "hb_session", "dedup_exact", "dedup_near", "knn_bruteforce",
     "text_stats", "doc_embedding_join", "tpch_q1_pricing",
-    "scd2_user_state", "inverted_index", "knn_ivf_append",
+    # r14's window occupants, displaced with driver-green history.
+    "ivf_store_prune", "ivf_nprobe_sweep", "decontaminate_semantic",
+    "stream_decontaminate", "decontaminate_report",
+    "corpus_curate_decontaminated", "stream_ivf_maintenance",
+    "knn_ivfpq_residual", "pq_recall_compare", "ivf_retrain",
+    "ivf_store_delete", "stream_decontaminate_semantic",
+    "ivf_store_vacuum", "knn_ivf_store_live", "knn_ivfpq",
+    "kmeans_lloyd", "ann_recall", "dedup_incremental", "stream_dedup_near",
+    "decontaminate", "dedup_clusters", "kmeans_cells", "tpch_q9_profit",
+    "order_date_cube", "asof_join", "hll_distinct",
+    "scd2_user_state", "knn_ivf_append",
     "ivf_imbalance", "stream_ivf_assign", "cluster_keep_best",
     "embedding_drift", "stream_embedding_drift", "embedding_covariance",
     "retention_cohorts", "gram_power_topvec", "t_closeness", "mmr_rerank",
@@ -117,22 +127,17 @@ PRIORITY_ORDER = [
     "pagerank_copurchase", "bpe_merges", "knn_pq_adc", "substring_dedup",
     "kll_quantiles", "stream_attribution_outer", "ann_recall_all",
     "triangle_count", "bfs_distances", "heavy_hitters", "allpairs_cosine",
-    "dedup_semantic", "hybrid_search", "dsir_weights",
-    "corpus_curate_semantic", "corpus_curate", "kmv_set_ops", "zorder_layout",
-    "k_anonymity", "customer_rfm", "bm25_search", "lm_score",
-    "tpch_q3_shipping", "tpch_q5_localsupp", "topk_orders_per_customer",
-    "priority_rollup", "ann_lsh", "dedup_simhash", "dedup_embedding",
-    "knn_ivf", "dedup_ngram", "tpch_q4_priority", "price_outliers",
+    "dedup_semantic", "hybrid_search", "corpus_curate_semantic",
+    "corpus_curate", "kmv_set_ops", "zorder_layout", "k_anonymity",
+    "customer_rfm", "tpch_q3_shipping", "tpch_q5_localsupp",
+    "topk_orders_per_customer", "priority_rollup", "ann_lsh",
+    "dedup_simhash", "dedup_embedding", "price_outliers",
     "customer_year_setops", "priority_pivot", "price_median",
     "range_join_views", "distinct_customers_approx", "token_count",
     "quality_score", "doc_fingerprint", "lang_id", "hb_rate",
-    "stratified_sample", "pii_scrub", "repetition_score", "corpus_filter",
-    "vocab_topk", "label_centroids", "oov_rate", "dataset_split",
-    "sequence_pack", "event_sessionize", "event_funnel", "doc_chunk",
-    "span_dedup", "tfidf_topterms", "lexical_diversity", "domain_mix",
-    "text_normalize", "tpch_q6_forecast", "tpch_q7_volume",
-    "tpch_q8_marketshare", "tpch_q10_returns", "tpch_q13_custdist",
-    "tpch_q14_promo", "tpch_q18_bigorders", "tpch_q19_brackets",
+    "stratified_sample", "label_centroids", "dataset_split",
+    "sequence_pack", "event_sessionize", "event_funnel", "domain_mix",
+    "tpch_q18_bigorders", "tpch_q19_brackets",
     "tpch_q22_prospects", "fuzzy_name_match", "gapfill_ffill", "pq_encode",
     "media_metadata", "media_features", "stream_node_last_seen",
     "stream_hb_session", "stream_corruption_alerts", "stream_liveness_state",

@@ -489,6 +489,81 @@ AUDITS: dict[str, dict] = {
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
         "max_waived": 3,
     },
+    # --- top-cost bench lines (VERDICT r14 #2): every query in the
+    # bench's top-10 now has its own plan section. These compose 2-5
+    # full index pipelines by design, so their waived-exchange budgets
+    # are the SUM of their audited legs' budgets; the ceilings below
+    # are the exact counts measured from the committed plans — one
+    # unintended extra fact broadcast still fails the audit.
+    "dedup_ngram": {
+        "broadcast": True,
+        "bounded_broadcast": "df-capped n-gram posting-list derivatives "
+        "(document-frequency cap aggregates) — every exchange bounds "
+        "via Aggregate/Limit before the documents scan",
+        "max_waived": 15,
+    },
+    "ann_recall": {
+        "broadcast": True,
+        "bounded_broadcast": "knn_ivf + brute-force truth legs: query "
+        "sides bounded by the vec_id < ANN_N_QUERIES Filter, centroid "
+        "slices by the O(nlist) id Filter, probes/top-k by aggregates",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 11,
+    },
+    "ann_recall_all": {
+        "broadcast": True,
+        "bounded_broadcast": "five complete index pipelines vs truth "
+        "(the cost IS the feature): every exchange is a Filter-bounded "
+        "query/centroid slice or a cap-bounded training/probe aggregate",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 21,
+    },
+    "pq_recall_compare": {
+        "broadcast": True,
+        "bounded_broadcast": "three full quantizer pipelines vs truth "
+        "(raw PQ / residual PQ / SQ8): Filter-bounded query and "
+        "centroid slices, cap-bounded codebooks and distance tables",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 28,
+    },
+    "ivf_retrain": {
+        "broadcast": True,
+        "bounded_broadcast": "two full trainings by definition (before/"
+        "after): Filter-bounded seed/query slices + cap-bounded Lloyd "
+        "sample and codebook aggregates on both phases",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 18,
+    },
+    "ivf_store_vacuum": {
+        # store reads are the temp cid-partitioned store (not a fixture
+        # fact table); the only broadcasts are bounded metadata sides
+        # (tombstone counts, drop-set assignment) — no fact-table
+        # exchange may appear at all.
+        "broadcast": True,
+    },
+    "knn_ivf_store_live": {
+        "broadcast": True,
+        "bounded_broadcast": "query slice bounded by the vec_id < "
+        "ANN_N_QUERIES Filter; probes by the frozen-codebook aggregate; "
+        "candidates come off the partition-pruned store, not a fixture "
+        "fact scan",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 2,
+    },
+    "knn_ivf_sq": {
+        "broadcast": True,
+        "bounded_broadcast": "SQ8 search: Filter-bounded query/centroid "
+        "slices, sample-cap (vmin,vmax) trainer aggregate, ADC "
+        "shortlist aggregates",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 7,
+    },
+    "ivf_release_versions": {
+        # reads the published snapshot versions (temp table, not a
+        # fixture fact scan); diffs shuffle on vec_id; the only
+        # broadcasts are the one-row diff-count aggregates.
+        "broadcast": True,
+    },
 }
 
 

@@ -195,6 +195,10 @@ def main() -> None:
         ]
         top += [q for q in EXTRA_QUERIES if q not in top]
     registry.load_all()
+    # Record the load BEFORE any work starts (VERDICT r14 #6): the
+    # artifact must be able to PROVE the box was idle at the start,
+    # not just report whatever the run itself drove the load to.
+    loadavg_start = round(os.getloadavg()[0], 2)
     spark = get_spark("scale_run")
     spark.sparkContext.setLogLevel("ERROR")
     # JVM + python-worker warmup (bench.py's convention)
@@ -240,7 +244,8 @@ def main() -> None:
         results = merged
     out = {
         "sf_pair": [0.1, 1.0],
-        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "loadavg_1m_start": loadavg_start,
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
         "queries": results,
     }
     with open(os.path.join(REPO, "SCALING_SF1.json"), "w") as f:
