@@ -77,6 +77,10 @@ EXTRA_QUERIES = [
     "stream_decontaminate_semantic",
     "ivf_store_vacuum",
     "knn_ivf_store_live",
+    # round-15 newcomers (SQ8, versioned releases, live serving)
+    "knn_ivf_sq",
+    "ivf_release_versions",
+    "stream_knn_store",
 ]
 
 # Documented-complexity exponent allowlist (ADVICE r10): operators
@@ -126,6 +130,12 @@ EXPECTED_E = {
     "stream_decontaminate_semantic": 1.5,
     "ivf_store_vacuum": 1.5,
     "knn_ivf_store_live": 1.5,
+    # r15: SQ8 rides the IVF assignment + sample-capped trainer family;
+    # releases publish the O(n) membership relation three times; live
+    # serving is the store-live search as a stream
+    "knn_ivf_sq": 1.5,
+    "ivf_release_versions": 1.5,
+    "stream_knn_store": 1.5,
 }
 
 
@@ -165,6 +175,13 @@ COLD_PATH = {
     "pass; the replayed fold+vacuum are then no-ops",
     "knn_ivf_store_live": "composes _STORE_READY and the "
     "_SEM_ASSIGN_MEMO drop set; cold when it runs first",
+    "knn_ivf_sq": "first _SEM/_corpus consumers may pay shared memo "
+    "builds; its own SQ trainer is sample-capped (never corpus-scale)",
+    "ivf_release_versions": "first run PUBLISHES the three snapshot "
+    "versions (_RELEASE_READY) and pays the _SEM_ASSIGN_MEMO drop-set "
+    "pass; re-invocations read the immutable versions",
+    "stream_knn_store": "composes _STORE_READY and the _SEM_ASSIGN_MEMO "
+    "drop set; first drain serves every query, replays fold nothing",
 }
 
 
