@@ -495,20 +495,20 @@ AUDITS: dict[str, dict] = {
     # are the SUM of their audited legs' budgets; the ceilings below
     # are the exact counts measured from the committed plans — one
     # unintended extra fact broadcast still fails the audit.
-    "dedup_ngram": {
-        "broadcast": True,
-        "bounded_broadcast": "df-capped n-gram posting-list derivatives "
-        "(document-frequency cap aggregates) — every exchange bounds "
-        "via Aggregate/Limit before the documents scan",
-        "max_waived": 15,
-    },
+    # dedup_ngram deliberately carries NO explicit broadcast hints: its
+    # joins are digest-only shuffles on gram/doc keys with df-capped
+    # posting lists (the caps are Aggregates in-plan), which is the
+    # shape that survives 100 TB — under the audit's disabled
+    # auto-broadcast they all compile to shuffle joins, so the audit
+    # asserts pruning + no cartesian instead of a broadcast.
+    "dedup_ngram": {"pruned": ["documents"], "codegen": True},
     "ann_recall": {
         "broadcast": True,
         "bounded_broadcast": "knn_ivf + brute-force truth legs: query "
         "sides bounded by the vec_id < ANN_N_QUERIES Filter, centroid "
         "slices by the O(nlist) id Filter, probes/top-k by aggregates",
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
-        "max_waived": 11,
+        "max_waived": 9,
     },
     "ann_recall_all": {
         "broadcast": True,
@@ -516,7 +516,7 @@ AUDITS: dict[str, dict] = {
         "(the cost IS the feature): every exchange is a Filter-bounded "
         "query/centroid slice or a cap-bounded training/probe aggregate",
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
-        "max_waived": 21,
+        "max_waived": 17,
     },
     "pq_recall_compare": {
         "broadcast": True,
@@ -524,7 +524,7 @@ AUDITS: dict[str, dict] = {
         "(raw PQ / residual PQ / SQ8): Filter-bounded query and "
         "centroid slices, cap-bounded codebooks and distance tables",
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
-        "max_waived": 28,
+        "max_waived": 23,
     },
     "ivf_retrain": {
         "broadcast": True,
@@ -532,7 +532,7 @@ AUDITS: dict[str, dict] = {
         "after): Filter-bounded seed/query slices + cap-bounded Lloyd "
         "sample and codebook aggregates on both phases",
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
-        "max_waived": 18,
+        "max_waived": 16,
     },
     "ivf_store_vacuum": {
         # store reads are the temp cid-partitioned store (not a fixture
@@ -556,7 +556,7 @@ AUDITS: dict[str, dict] = {
         "slices, sample-cap (vmin,vmax) trainer aggregate, ADC "
         "shortlist aggregates",
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
-        "max_waived": 7,
+        "max_waived": 5,
     },
     "ivf_release_versions": {
         # reads the published snapshot versions (temp table, not a
