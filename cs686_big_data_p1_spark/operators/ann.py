@@ -5319,3 +5319,228 @@ def ivf_release_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
             row = st.crossJoin(F.broadcast(d))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- round 15b: the remaining FAISS index-API surface ---------------------
+#
+# FAISS's Index API is search / range_search / add / remove_ids /
+# reconstruct (faiss/Index.h). The engine already has search (the
+# knn_* family), add (knn_ivf_append / the store fold), and remove_ids
+# (ivf_store_delete); the two below close the surface:
+#
+#   * ivf_range_search — range_search on the IVF index: every neighbor
+#     within a similarity radius, not a fixed top-k. The training-data
+#     use is "find ALL near-matches of these seed documents" (contamination
+#     sweeps, recall-oriented dedup), where top-k silently truncates.
+#   * sq_reconstruct_error — reconstruct/sa_decode on the SQ8 codec:
+#     decode every stored code and report per-cell reconstruction
+#     error, the quantization-health audit that tells the maintenance
+#     loop (ivf_retrain's trigger family) WHERE the codec is stale.
+#
+# Both replay bit-for-bit in DuckDB: range search filters an exact
+# fixed-point cosine; SQ decode is affine integer math end to end.
+
+RANGE_COS_RADIUS = 0.25  # cosine radius; ~2% of random-pair mass at d=64
+
+
+IVF_RANGE_SEARCH_ORACLE = (
+    "WITH "
+    + f"""
+exd AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM exd GROUP BY vec_id
+),"""
+    + _ivf_cand_ctes()
+    + f""",
+dots AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         CAST(sum(CAST(floor(q.x * c.x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+             AS dot
+  FROM cand cd
+  JOIN exd q ON q.vec_id = cd.query_id
+  JOIN exd c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+  GROUP BY cd.query_id, cd.neighbor_id
+)
+SELECT d.query_id, d.neighbor_id,
+       d.dot / (nq.norm * nc.norm) AS cosine
+FROM dots d
+JOIN norms nq ON nq.vec_id = d.query_id
+JOIN norms nc ON nc.vec_id = d.neighbor_id
+WHERE d.dot / (nq.norm * nc.norm) >= {RANGE_COS_RADIUS}
+"""
+)
+
+
+@query("ivf_range_search", oracle=IVF_RANGE_SEARCH_ORACLE)
+def ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS range_search on the IVF index: ALL neighbors within a
+    cosine radius (not a fixed top-k) among the IVF_NPROBE probed
+    cells' candidates — the primitive for contamination sweeps and
+    recall-oriented dedup where top-k truncation loses matches. Same
+    coarse quantizer as knn_ivf (seeded centroids, ceil(sqrt(n))
+    cells); candidates are scored with the exact fixed-point cosine
+    and filtered by RANGE_COS_RADIUS, so the radius compare is the
+    same IEEE double in both engines and DuckDB replays the result
+    bit for bit.
+
+    Scale shape: identical to knn_ivf's — per-query work is the
+    probed cells' inverted lists (~ n * nprobe / nlist rows), never
+    the corpus; the query side is broadcast; output is bounded by
+    radius selectivity (~2% of candidate mass at this radius on
+    near-isotropic fixtures), not by corpus size. No window, so the
+    only shuffle is the candidate join's."""
+    return ivf_range(
+        load_table(spark, sf_dir, "embeddings"),
+        n=_corpus_n(spark, sf_dir),
+    )
+
+
+def ivf_range(e: DataFrame, n: int | None = None) -> DataFrame:
+    """Core of ivf_range_search over any (vec_id, embedding) frame
+    (tests feed planted-neighbor corpora)."""
+    vecs, probes, assigned = _ivf_cells(e, n=n)
+    cand = F.broadcast(probes).join(assigned, "cid").select(
+        "query_id", "neighbor_id"
+    )
+    qv = vecs.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cv = vecs.where(F.col("vec_id") >= ANN_N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                pair_dot_pd(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= F.lit(RANGE_COS_RADIUS))
+
+
+SQ_RECONSTRUCT_ORACLE = (
+    "WITH "
+    + f"""
+exd AS (
+  SELECT vec_id, CAST(x AS DOUBLE) AS x, i
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             AS norm
+  FROM exd GROUP BY vec_id
+),
+uqd AS (
+  SELECT e.vec_id, e.i,
+         CAST(floor(e.x / n.norm * {_LQ}) AS BIGINT) AS q
+  FROM exd e JOIN norms n ON n.vec_id = e.vec_id
+),
+sqsamp AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rk
+    FROM (SELECT vec_id, md5(printf('pqtrain|%d', vec_id)) AS h
+          FROM embeddings))
+  WHERE rk <= {PQ_TRAIN_CAP}
+),
+sqt AS (
+  SELECT u.i, min(u.q) AS vmin, max(u.q) AS vmax
+  FROM uqd u JOIN sqsamp m ON m.vec_id = u.vec_id
+  GROUP BY u.i
+),"""
+    + _ivf_cand_ctes()
+    + f""",
+verr AS (
+  SELECT vec_id, CAST(sum(ee * ee) AS BIGINT) AS err2
+  FROM (
+    SELECT u.vec_id,
+           {2 * SQ_CODE_MAX} * u.q
+           - ({2 * SQ_CODE_MAX} * t.vmin
+              + (2 * (CASE WHEN t.vmax = t.vmin THEN CAST(0 AS BIGINT)
+                      ELSE ((greatest(t.vmin, least(t.vmax, u.q)) - t.vmin)
+                            * {SQ_CODE_MAX}) // (t.vmax - t.vmin) END) + 1)
+                * (t.vmax - t.vmin)) AS ee
+    FROM uqd u JOIN sqt t ON t.i = u.i
+    WHERE u.vec_id >= {ANN_N_QUERIES})
+  GROUP BY vec_id
+)
+SELECT a.cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(v.err2) AS BIGINT) AS sum_err2,
+       CAST(max(v.err2) AS BIGINT) AS max_err2
+FROM verr v JOIN iassigned a ON a.vec_id = v.vec_id
+GROUP BY a.cid
+"""
+)
+
+
+@query("sq_reconstruct_error", oracle=SQ_RECONSTRUCT_ORACLE)
+def sq_reconstruct_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS reconstruct / sa_decode for the SQ8 codec, rolled up as
+    the per-cell quantization-health audit: decode every stored
+    vector's 8-bit codes (the exact affine integer decode knn_ivf_sq
+    scores with — xhat2 = 510*vmin + (2*code + 1)*span in the
+    2*255-scaled integer frame) and report, per coarse cell, the
+    vector count, total and max squared reconstruction error
+    ||510*q - xhat2||^2 against the quantized-unit original. This is
+    the number the maintenance loop (ivf_retrain's trigger family)
+    reads to find cells whose codec has gone stale after folds — the
+    codec-health complement of ivf_imbalance's occupancy audit.
+    Everything is int64 arithmetic, so DuckDB replays train, encode,
+    decode, and the error fold bit for bit.
+
+    Scale shape: one corpus pass computes the error array fused with
+    the encode projection (whole-stage codegen, no fan-out); the
+    trained bounds are 2 x EMB_DIM broadcast literals; the cell
+    rollup shuffles O(n) pre-aggregated (vec_id, err2) longs — digest
+    volume, not vectors — and outputs O(nlist) rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = _corpus_n(spark, sf_dir)
+    uq = track_cache(_unit_q(e))
+    vmins, vmaxs = _sq_train(uq, _pq_sample(e))
+    vmin_c = F.array(*[F.lit(v) for v in vmins])
+    vmax_c = F.array(*[F.lit(v) for v in vmaxs])
+    two = F.lit(2 * SQ_CODE_MAX)
+    xh = _sq_xhat2(F.col("uq"), vmin_c, vmax_c)
+    err_arr = F.zip_with(
+        F.col("uq"), xh, lambda q, x: (two * q - x) * (two * q - x)
+    )
+    verr = uq.where(F.col("vec_id") >= ANN_N_QUERIES).select(
+        "vec_id",
+        F.aggregate(
+            err_arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("err2"),
+    )
+    _, _, assigned = _ivf_cells(e, n=n)
+    return (
+        verr.join(
+            assigned.select(
+                F.col("neighbor_id").alias("vec_id"), "cid"
+            ),
+            "vec_id",
+        )
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("err2").alias("sum_err2"),
+            F.max("err2").alias("max_err2"),
+        )
+    )

