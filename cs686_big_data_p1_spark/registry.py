@@ -165,10 +165,12 @@ PRIORITY_ORDER = [
     "stream_attribution", "stream_throttle", "stream_dedup_ttl",
     "stream_distinct_users", "stream_sessionize", "stream_ohlc",
     "stream_hot_keys",
-    # Round-15b tail: the remaining FAISS index-API surface
-    # (range_search + reconstruct). Appended past the window; they
+    # Round-15b/c tail: the remaining FAISS index-API surface
+    # (range_search + reconstruct), 1-bit binary quantization, and
+    # Matryoshka prefix-dim retrieval. Appended past the window; they
     # enter the slot 25-50 rotation next round.
     "ivf_range_search", "sq_reconstruct_error",
+    "knn_ivf_binary", "knn_mrl", "mrl_recall_compare",
 ]
 
 

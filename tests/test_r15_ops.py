@@ -365,3 +365,111 @@ def test_sq_reconstruct_error_zero_for_two_point_dims(spark):
     }
     dup_errs = {errs[vid] for vid in range(40, 50)}
     assert len(dup_errs) == 1, "identical vectors must decode identically"
+
+
+# --- knn_ivf_binary / knn_mrl / mrl_recall_compare (round 15c) ------------
+
+def test_binary_planted_duplicate_and_probed_candidates(spark, registry):
+    """The sign codec keeps enough signal to put an exact duplicate at
+    rank 1 (its sign pattern matches the query's on every dim, so the
+    asymmetric dot is maximal), and every neighbor comes from a probed
+    cell. Plus determinism."""
+    import numpy as np
+
+    from cs686_big_data_p1_spark.operators.ann import (
+        EMB_DIM,
+        binary_topk,
+        _ivf_cells,
+    )
+    from cs686_big_data_p1_spark.tables import load_table
+
+    q = registry.QUERIES["knn_ivf_binary"]
+    a = q(spark, SF_SMALL).collect()
+    b = q(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 25
+    e = load_table(spark, SF_SMALL, "embeddings")
+    _, probes, assigned = _ivf_cells(e)
+    cand = {
+        (r.query_id, r.neighbor_id)
+        for r in probes.join(assigned, "cid").collect()
+    }
+    assert {(r.query_id, r.neighbor_id) for r in a} <= cand
+
+    rng = np.random.RandomState(31)
+    rows = [
+        (vid, [float(x) for x in rng.randn(EMB_DIM)]) for vid in range(120)
+    ]
+    rows[90] = (90, rows[1][1])  # duplicate of query 1
+    e2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = binary_topk(e2, n=120).collect()
+    top = {r.query_id: (r.neighbor_id, r.cosine) for r in got if r.rank == 1}
+    assert top[1][0] == 90 and top[1][1] > 0.999999
+
+
+def test_mrl_funnel_planted_duplicate_and_full_dim_refine(spark):
+    """A planted exact duplicate shares the query's prefix exactly, so
+    the prefix shortlist must keep it and the full-dim refine must
+    rank it 1 with cosine ~1; the refine is full-dimension (a
+    prefix-only collision with a DIFFERENT tail must rank below the
+    true duplicate)."""
+    import numpy as np
+
+    from cs686_big_data_p1_spark.operators.ann import (
+        EMB_DIM,
+        MRL_DIM,
+        mrl_topk,
+    )
+
+    rng = np.random.RandomState(43)
+    rows = [
+        (vid, [float(x) for x in rng.randn(EMB_DIM)]) for vid in range(140)
+    ]
+    rows[100] = (100, rows[4][1])  # exact duplicate of query 4
+    # vec 110: same PREFIX as query 4, random tail — passes stage 1,
+    # must lose the refine to the true duplicate
+    decoy = list(rows[4][1][:MRL_DIM]) + [
+        float(x) for x in rng.randn(EMB_DIM - MRL_DIM)
+    ]
+    rows[110] = (110, decoy)
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = mrl_topk(e, MRL_DIM, n=140).collect()
+    by_rank = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in got
+    }
+    assert by_rank[(4, 1)][0] == 100 and by_rank[(4, 1)][1] > 0.999999
+    ranked4 = {r.neighbor_id: r.rank for r in got if r.query_id == 4}
+    if 110 in ranked4:
+        assert ranked4[110] > 1
+
+
+def test_quantizer_report_is_4way_with_byte_budgets(spark, registry):
+    """pq_recall_compare now carries the full lineup: 4 methods, the
+    binary row at EMB_DIM/8 bytes (the storage floor), recalls in
+    [0, 1], and n_true shared across rows."""
+    from cs686_big_data_p1_spark.operators.ann import (
+        BIN_CODE_BYTES,
+        PQ_CODE_BYTES,
+        SQ_CODE_BYTES,
+    )
+
+    rep = registry.QUERIES["pq_recall_compare"](spark, SF_SMALL).collect()
+    by = {r.method: r for r in rep}
+    assert set(by) == {"ivfpq_raw", "ivfpq_residual", "ivf_sq8", "ivf_binary"}
+    assert by["ivf_binary"].code_bytes == BIN_CODE_BYTES
+    assert by["ivf_sq8"].code_bytes == SQ_CODE_BYTES
+    assert by["ivfpq_raw"].code_bytes == PQ_CODE_BYTES
+    assert len({r.n_true for r in rep}) == 1
+    assert all(0.0 <= r.recall <= 1.0 for r in rep)
+
+
+def test_mrl_recall_monotone_in_prefix_budget(spark, registry):
+    """On the fixtures, the 32-dim funnel's recall must be at least
+    the 16-dim funnel's minus slack — the budget axis must not be
+    inverted (exact-integer counts make this stable; slack covers
+    shortlist boundary flips)."""
+    rep = registry.QUERIES["mrl_recall_compare"](spark, SF_SMALL).collect()
+    by = {r.method: r for r in rep}
+    assert set(by) == {"mrl16", "mrl32"}
+    assert by["mrl16"].scan_bytes == 64 and by["mrl32"].scan_bytes == 128
+    assert by["mrl32"].recall >= by["mrl16"].recall - 0.2

@@ -194,6 +194,36 @@ AUDITS: dict[str, dict] = {
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
         "max_waived": 4,
     },
+    "knn_ivf_binary": {
+        # sign-bit codec: no trainer at all; broadcasts are the
+        # Filter-bounded centroid/probe/query slices; ADC shuffles
+        # 8-byte codes; refine touches SHORTLIST rows per query.
+        "broadcast": True,
+        "bounded_broadcast": "query/centroid sides bounded by vec_id "
+        "predicates (Filters); codec is data-independent (no trainer)",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 5,
+    },
+    "knn_mrl": {
+        # prefix-renormalized shortlist: first stage reads only the
+        # MRL_DIM slice (fused into the scan projection); query side
+        # broadcast (Filter-bounded); full-dim reads are the
+        # SHORTLIST refine only.
+        "broadcast": True,
+        "bounded_broadcast": "query side bounded by vec_id predicate "
+        "(Filter); prefix slice fused into the scan projection",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 4,
+    },
+    "mrl_recall_compare": {
+        # composes two audited knn_mrl funnels + the brute-force
+        # truth; joins are int pairs; output is a 2-row aggregate.
+        "broadcast": True,
+        "bounded_broadcast": "legs are the audited funnel pipelines; "
+        "hit joins are int pairs; 2-row method table + 1-row count",
+        "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
+        "max_waived": 8,
+    },
     "knn_ivf_append": {
         "broadcast": True,
         "bounded_broadcast": "frozen codebook (nlist-row checkpoint) + "
@@ -541,11 +571,12 @@ AUDITS: dict[str, dict] = {
     },
     "pq_recall_compare": {
         "broadcast": True,
-        "bounded_broadcast": "three full quantizer pipelines vs truth "
-        "(raw PQ / residual PQ / SQ8): Filter-bounded query and "
-        "centroid slices, cap-bounded codebooks and distance tables",
+        "bounded_broadcast": "four full quantizer pipelines vs truth "
+        "(raw PQ / residual PQ / SQ8 / binary): Filter-bounded query "
+        "and centroid slices, cap-bounded codebooks and distance "
+        "tables; the binary leg has no trainer, only slice broadcasts",
         "waiver_bound_nodes": ("Filter", "Aggregate", "Limit", "TakeOrdered"),
-        "max_waived": 23,
+        "max_waived": 28,
     },
     "ivf_retrain": {
         "broadcast": True,
