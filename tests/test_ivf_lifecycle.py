@@ -49,18 +49,22 @@ def test_pq_recall_compare_matches_direct_intersection(spark, registry):
             spark, SF_SMALL
         ).collect()
     }
-    assert set(rows) == {"ivfpq_raw", "ivfpq_residual", "ivf_sq8"}
+    assert set(rows) == {"ivfpq_raw", "ivfpq_residual", "ivf_sq8", "ivf_binary"}
     bf = _pairs(registry.QUERIES["knn_bruteforce"](spark, SF_SMALL))
     raw = _pairs(registry.QUERIES["knn_ivfpq"](spark, SF_SMALL))
     res = _pairs(registry.QUERIES["knn_ivfpq_residual"](spark, SF_SMALL))
     sq = _pairs(registry.QUERIES["knn_ivf_sq"](spark, SF_SMALL))
+    bq = _pairs(registry.QUERIES["knn_ivf_binary"](spark, SF_SMALL))
     assert rows["ivfpq_raw"].n_hits == len(raw & bf)
     assert rows["ivfpq_residual"].n_hits == len(res & bf)
     assert rows["ivf_sq8"].n_hits == len(sq & bf)
-    # the byte-budget column: PQ_M 4-bit codes vs one byte per dim
+    assert rows["ivf_binary"].n_hits == len(bq & bf)
+    # the byte-budget column: PQ_M 4-bit codes vs one byte per dim vs
+    # one sign bit per dim
     assert rows["ivfpq_raw"].code_bytes == 2
     assert rows["ivfpq_residual"].code_bytes == 2
     assert rows["ivf_sq8"].code_bytes == 64
+    assert rows["ivf_binary"].code_bytes == 8
     for r in rows.values():
         assert r.n_true == len(bf) == 25
         assert abs(r.recall - r.n_hits / r.n_true) < 1e-12
