@@ -404,17 +404,25 @@ def test_weighted_sample_arithmetic_properties():
         off = stride // 2
         cum = 0
         picks = []
+        los = []
         for w in weights:
             cum += w
             hi = min((cum - 1 - off + stride) // stride, K)
             lo = min((cum - w - 1 - off + stride) // stride, K)
             picks.append(hi - lo)
+            los.append(lo)
         assert sum(picks) == K, (weights, picks)
-        for w, p in zip(weights, picks):
+        for w, p, lo in zip(weights, picks, los):
             assert p >= 0
             if w == 0:
                 assert p == 0
-            if w >= stride:
+            # pigeonhole holds only while the K-clamp hasn't consumed
+            # the remaining pick points: mass beyond off + K*stride
+            # (at most stride-1 + off units, the flooring remainder)
+            # maps past the last pick. hypothesis found weights=[64,1]
+            # with K=64: total=65, stride=1, the trailing unit of mass
+            # lies beyond pick point 64 and is never sampled.
+            if w >= stride and lo < K:
                 assert p >= 1, (w, stride, p)
             assert p <= w // stride + 1, (w, stride, p)
 
