@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 from pyspark.sql.window import Window
 
+from ..functions.legs import parallel_legs
 from ..functions.vector import SCALE
 from ..functions.vector import norm as v_norm
 from ..functions.vector import pair_dot_pd, pair_doti_q_pd, pair_sqdist_q_pd
@@ -535,16 +536,24 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: truth/lsh/ivf are the audited bounded pipelines; the join
     keys are (query_id, neighbor_id) int pairs, the aggregate is
-    2 rows, and the 1-row truth count is broadcast.
+    2 rows, and the 1-row truth count is broadcast. The three
+    pipelines are constructed concurrently (functions/legs.py, guide
+    §2.6) so their plan-time jobs overlap.
     """
-    truth = track_cache(
-        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    _n = _corpus_n(spark, sf_dir)  # warm the shared memo once
+    built = parallel_legs(
+        lambda: knn_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        lambda: ann_lsh(spark, sf_dir),
+        lambda: knn_ivf(spark, sf_dir),
     )
+    truth = track_cache(built[0])
     approx = (
-        ann_lsh(spark, sf_dir)
+        built[1]
         .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id")
         .unionByName(
-            knn_ivf(spark, sf_dir).select(
+            built[2].select(
                 F.lit("ivf").alias("method"), "query_id", "neighbor_id"
             )
         )
@@ -2519,10 +2528,13 @@ def ann_recall_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each leg is its own audited bounded pipeline; this query
     adds only int-pair joins over five top-k lists (<= 5*k*q rows) and
-    a 5-row aggregate."""
-    truth = track_cache(
-        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    )
+    a 5-row aggregate. The six pipelines are CONSTRUCTED concurrently
+    (functions/legs.py): the trained legs run eager driver-side work
+    (sample collects, Lloyd rounds, localCheckpoint jobs) while being
+    built, and overlapping those independent jobs across cores removes
+    the serialized plan-time chain (guide §2.6) without sharing any
+    state between legs (the r11 rule)."""
+    _n = _corpus_n(spark, sf_dir)  # warm the shared memo once, not 6x
     legs = [
         ("lsh", ann_lsh),
         ("ivf", knn_ivf),
@@ -2530,9 +2542,16 @@ def ann_recall_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivfpq", knn_ivfpq),
         ("pq_adc", knn_pq_adc),
     ]
+    built = parallel_legs(
+        lambda: knn_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        *[lambda fn=fn: fn(spark, sf_dir) for _, fn in legs],
+    )
+    truth = track_cache(built[0])
     approx = None
-    for tag, fn in legs:
-        leg = fn(spark, sf_dir).select(
+    for (tag, _fn), leg_df in zip(legs, built[1:]):
+        leg = leg_df.select(
             F.lit(tag).alias("method"), "query_id", "neighbor_id"
         )
         approx = leg if approx is None else approx.unionByName(leg)
@@ -4419,19 +4438,27 @@ def pq_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     (residual total PQ distortion ~3.1x lower at the same budget).
 
     Scale: two audited bounded index pipelines + int-pair joins over
-    two top-k lists and a 2-row aggregate."""
-    truth = track_cache(
-        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    )
+    two top-k lists and a 2-row aggregate. Legs are constructed
+    concurrently (functions/legs.py, guide §2.6): their eager
+    training/checkpoint jobs overlap instead of serializing the
+    driver thread."""
+    _n = _corpus_n(spark, sf_dir)  # warm the shared memo once, not 5x
     legs = [
         ("ivfpq_raw", PQ_CODE_BYTES, knn_ivfpq),
         ("ivfpq_residual", PQ_CODE_BYTES, knn_ivfpq_residual),
         ("ivf_sq8", SQ_CODE_BYTES, knn_ivf_sq),
         ("ivf_binary", BIN_CODE_BYTES, knn_ivf_binary),
     ]
+    built = parallel_legs(
+        lambda: knn_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        *[lambda fn=fn: fn(spark, sf_dir) for _, _b, fn in legs],
+    )
+    truth = track_cache(built[0])
     approx = None
-    for tag, _bytes, fn in legs:
-        leg = fn(spark, sf_dir).select(
+    for (tag, _bytes, _fn), leg_df in zip(legs, built[1:]):
+        leg = leg_df.select(
             F.lit(tag).alias("method"), "query_id", "neighbor_id"
         )
         approx = leg if approx is None else approx.unionByName(leg)
@@ -4622,16 +4649,28 @@ def ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT-r11-#4 rule against cross-leg memo sharing)."""
     e = load_table(spark, sf_dir, "embeddings")
     n = _corpus_n(spark, sf_dir)
-    truth = track_cache(
-        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # The five builders below are independent pipelines whose
+    # construction runs eager work (training collects, checkpoint
+    # jobs); build them concurrently (functions/legs.py, guide §2.6).
+    built = parallel_legs(
+        lambda: knn_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        lambda: knn_ivf_append(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        lambda: knn_ivf_trained(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        lambda: _append_parts(spark, sf_dir),
+        lambda: _lloyd_train_sampled(e, CELLS_ITERS, n=n),
     )
-    b_top = knn_ivf_append(spark, sf_dir).select("query_id", "neighbor_id")
-    a_top = knn_ivf_trained(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    )
-    _v, _b, _d, _c, merged, _p = _append_parts(spark, sf_dir)
+    truth = track_cache(built[0])
+    b_top = built[1]
+    a_top = built[2]
+    _v, _b, _d, _c, merged, _p = built[3]
     b_assign = merged.select(F.col("neighbor_id").alias("vec_id"), "cid")
-    _, assigned_all, _, _ = _lloyd_train_sampled(e, CELLS_ITERS, n=n)
+    _, assigned_all, _, _ = built[4]
     a_assign = assigned_all.where(
         F.col("vec_id") >= ANN_N_QUERIES
     ).select("vec_id", "cid")
@@ -5883,15 +5922,20 @@ def mrl_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts; DuckDB replays every leg.
 
     Scale: two funnel pipelines + int-pair joins and a 2-row
-    aggregate; each funnel's first stage reads only its prefix."""
+    aggregate; each funnel's first stage reads only its prefix. Legs
+    are constructed concurrently (functions/legs.py, guide §2.6)."""
     e = load_table(spark, sf_dir, "embeddings")
     n = _corpus_n(spark, sf_dir)
-    truth = track_cache(
-        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    built = parallel_legs(
+        lambda: knn_bruteforce(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        ),
+        *[lambda d=dims: mrl_topk(e, d, n=n) for dims in MRL_DIMS],
     )
+    truth = track_cache(built[0])
     approx = None
-    for dims in MRL_DIMS:
-        leg = mrl_topk(e, dims, n=n).select(
+    for dims, leg_df in zip(MRL_DIMS, built[1:]):
+        leg = leg_df.select(
             F.lit(f"mrl{dims}").alias("method"),
             F.lit(dims).alias("dims"),
             "query_id",
