@@ -238,7 +238,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    ce = track_cache(ce)
+    ce = track_cache(ce, eager=True)
     deg = (
         ce.select(F.col("a").alias("v"))
         .unionAll(ce.select(F.col("b").alias("v")))

@@ -243,7 +243,9 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Output is over class representatives — pair exact
     duplicates via dedup_exact's classes.
     """
-    return near_pairs(track_cache(_rep_shingles_df(spark, sf_dir)))
+    return near_pairs(
+        track_cache(_rep_shingles_df(spark, sf_dir), eager=True)
+    )
 
 
 def near_pairs(sh: DataFrame) -> DataFrame:
@@ -562,7 +564,7 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", g.alias("g"))
         .distinct()
     )
-    grams = track_cache(grams)
+    grams = track_cache(grams, eager=True)
     rare = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -752,7 +754,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    sim = track_cache(simhash_frame(d.join(reps, "doc_id", "left_semi")))
+    sim = track_cache(
+        simhash_frame(d.join(reps, "doc_id", "left_semi")), eager=True
+    )
     band_k = F.explode(
         F.array(*[F.lit(k) for k in range(SIMHASH_N_BANDS)])
     ).alias("k")
@@ -1387,7 +1391,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     instrument — estimates, exact values, errors — hash-matches the
     DuckDB oracle.
     """
-    sh = track_cache(_rep_shingles_df(spark, sf_dir))
+    sh = track_cache(_rep_shingles_df(spark, sf_dir), eager=True)
     pairs = near_pairs(sh).select("doc_a", "doc_b", "jaccard")
     wide = minhash_wide(sh)
     slots = [
@@ -1514,7 +1518,8 @@ def allpairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
                 )
             ).alias("term"),
-        ).distinct()
+        ).distinct(),
+        eager=True,
     )
     sizes = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

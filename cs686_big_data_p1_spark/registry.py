@@ -29,11 +29,26 @@ ORACLES: dict[str, str] = {}
 TRACKED_CACHES: list[DataFrame] = []
 
 
-def track_cache(df: DataFrame) -> DataFrame:
+def track_cache(df: DataFrame, eager: bool = False) -> DataFrame:
     """Cache a frame used more than once within one query's plan and
-    remember it for driver-side unpersist after materialization."""
+    remember it for driver-side unpersist after materialization.
+
+    ``eager=True`` materializes the cache NOW (one count job). Use it
+    when the cached frame feeds several BROADCAST subtrees of the same
+    query: Spark computes broadcast exchanges as concurrent jobs at
+    action start, and a lazily-cached frame none of them has
+    materialized yet is recomputed by EVERY one of them (measured on
+    dedup_near at sf0.1: the shingle stage — the query's most
+    expensive — executed 4x per pass, ~18 core-seconds each; eager
+    materialization cut the cold pass 8.5 s -> 4.1 s). The flag stays
+    opt-in per site: for cheap-to-derive frames the extra count job
+    serializes the critical path and LOSES (the r11 ann_recall_all
+    measurement, re-confirmed this round on a window-capped signature
+    variant: 3.8 s -> 6.9 s)."""
     df = df.cache()
     TRACKED_CACHES.append(df)
+    if eager:
+        df.count()
     return df
 
 
