@@ -207,7 +207,10 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # probed twice (query + candidate side); (id, t, bucket) ints only
     bk = track_cache(
-        _bucketed(e.select("vec_id", "embedding")).select("vec_id", "t", "bucket")
+        _bucketed(e.select("vec_id", "embedding")).select(
+            "vec_id", "t", "bucket"
+        ),
+        eager=True,
     )
     qb = bk.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "t", "bucket"
@@ -640,7 +643,8 @@ def dedup_embedding_pairs(e: DataFrame) -> DataFrame:
         .select("vec_id", "t", "bucket")
         .withColumn("bsz", F.count(F.lit(1)).over(wb))
         .where(F.col("bsz") <= MAX_BUCKET_VECS)
-        .drop("bsz")
+        .drop("bsz"),
+        eager=True,
     )
     a = bk.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
     b = bk.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
@@ -2434,7 +2438,8 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "t", "bucket")
         .withColumn("bsz", F.count(F.lit(1)).over(wb))
         .where(F.col("bsz") <= MAX_BUCKET_VECS)
-        .drop("bsz")
+        .drop("bsz"),
+        eager=True,
     )
     a = bk.select(F.col("vec_id").alias("src_id"), "t", "bucket")
     b = bk.select(F.col("vec_id").alias("dst_id"), "t", "bucket")
@@ -3695,7 +3700,7 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid", cscore)
         .withColumn("rk", F.row_number().over(w_assign))
     )
-    ranked = track_cache(ranked)
+    ranked = track_cache(ranked, eager=True)
     assigned = ranked.where(
         (F.col("rk") == 1) & (F.col("vec_id") >= ANN_N_QUERIES)
     ).select(F.col("vec_id").alias("neighbor_id"), "cid")
