@@ -29,6 +29,38 @@ PR_SCALE = 1_000_000_000_000  # 1e-12 fixed point
 # damping 0.85 as the exact rational 85/100, applied in integer math
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DIRECTED co-purchase edge list pagerank and bfs share, built
+    through its canonical half: the symmetric pair set {(s,d): s≠d}
+    equals lt ∪ swap(lt) for lt = the a<b pairs, so the dedup —
+    the build's dominant exchange (~10M raw pair rows at sf0.1) —
+    runs over HALF the rows, and the localCheckpoint materializes half
+    the bytes (guide §2.3: shuffle fewer bytes; the mirror is a
+    map-side projection over checkpointed blocks). Result set is
+    bit-identical to distinct-ing the directed pairs directly."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    lt = (
+        a.join(b, "k")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return lt.unionAll(
+        lt.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 def _pagerank_oracle() -> str:
     """Unroll PR_ITERS identical update steps as chained CTEs.
 
@@ -100,24 +132,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric, so no dangling-mass term is needed (every vertex has
     out-degree >= 1; the coalesce(0) guard still covers isolated-in-
     iteration vertices)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "k")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     outdeg = track_cache(outdeg)
     verts = edges.select(F.col("src").alias("v")).distinct()
@@ -263,7 +278,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = oe.groupBy("u").agg(
         F.sort_array(F.collect_list("v")).alias("nbrs")
     )
-    adj = track_cache(adj)
+    adj = track_cache(adj, eager=True)
     au = adj.select(F.col("u"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
     tri = (
@@ -342,24 +357,7 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract). Only frontiers checkpoint: the settled set is a union
     of checkpointed waves, depth-1 by construction.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "k")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     s0 = edges.agg(F.min("src").alias("s"))
     frontier = (
         edges.select(F.col("src").alias("v"))
@@ -385,8 +383,8 @@ def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Control-flow-only driver read (the dedup_clusters contract):
         # once a wave comes back empty every later wave is empty too,
         # so stop instead of paying (K - diameter) no-op rounds.
-        if frontier.rdd.isEmpty():
-            break
+        if frontier.isEmpty():  # JVM-side take(1) on the checkpointed
+            break  # frame — no RDD conversion (guide §1.4)
     return dist.select(
         F.col("v").alias("part_id"), F.col("d").cast("int").alias("dist")
     )

