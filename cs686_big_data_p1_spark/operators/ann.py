@@ -4873,10 +4873,15 @@ def ivf_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     only."""
     import os
 
-    path = _ivf_store_ready(spark, sf_dir)
-    _v, _b, _d, cents, _m, _p = _append_parts(spark, sf_dir)
+    # Store build (memoized), frozen-codebook parts, and the semantic
+    # drop set are independent pipelines: build concurrently (§2.6).
+    path, parts, dropped = parallel_legs(
+        lambda: _ivf_store_ready(spark, sf_dir),
+        lambda: _append_parts(spark, sf_dir),
+        lambda: decontaminate_semantic(spark, sf_dir).select("doc_id"),
+    )
+    _v, _b, _d, cents, _m, _p = parts
     e = load_table(spark, sf_dir, "embeddings")
-    dropped = decontaminate_semantic(spark, sf_dir).select("doc_id")
     drop_vecs = e.join(
         dropped, e.vec_id == dropped.doc_id
     ).select(

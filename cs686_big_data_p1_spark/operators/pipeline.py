@@ -1389,12 +1389,19 @@ def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both legs are audited bounded pipelines (the semantic leg
     rides the sem_assignment memo); this adds four counting aggregates
     over int doc_id sets."""
+    from ..functions.legs import parallel_legs
     from .ann import decontaminate_semantic
 
-    ng = track_cache(decontaminate(spark, sf_dir).select("doc_id"))
-    sem = track_cache(
-        decontaminate_semantic(spark, sf_dir).select("doc_id")
+    # Two independent hygiene pipelines: build them concurrently
+    # (functions/legs.py, guide §2.6), then eager-cache both flag sets
+    # — each is consumed by four counting subtrees below, several of
+    # them broadcast sides that would otherwise recompute the leg.
+    built = parallel_legs(
+        lambda: decontaminate(spark, sf_dir).select("doc_id"),
+        lambda: decontaminate_semantic(spark, sf_dir).select("doc_id"),
     )
+    ng = track_cache(built[0])
+    sem = track_cache(built[1])
 
     def tag(df: DataFrame, method: str) -> DataFrame:
         return df.agg(
@@ -1441,15 +1448,21 @@ def corpus_curate_decontaminated(
     the memoized curated set; the hygiene legs are the audited bounded
     pipelines (the semantic leg rides sem_assignment's memo, the
     n-gram leg's gram join is the decontaminate semi-join shape)."""
+    from ..functions.legs import parallel_legs
     from .ann import decontaminate_semantic
 
     b = F.substring(
         F.md5(F.format_string("split|%d", F.col("doc_id"))), 1, 2
     )
-    ng = decontaminate(spark, sf_dir).select("doc_id")
-    sem = decontaminate_semantic(spark, sf_dir).select("doc_id")
+    # The curated-set materialization and the two hygiene legs are
+    # independent pipelines — build them concurrently (guide §2.6).
+    curated, ng, sem = parallel_legs(
+        lambda: _curated_set(spark, sf_dir),
+        lambda: decontaminate(spark, sf_dir).select("doc_id"),
+        lambda: decontaminate_semantic(spark, sf_dir).select("doc_id"),
+    )
     return (
-        _curated_set(spark, sf_dir)
+        curated
         .where(b < SPLIT_BOUNDS[0])
         .join(ng, "doc_id", "left_anti")
         .join(sem, "doc_id", "left_anti")
