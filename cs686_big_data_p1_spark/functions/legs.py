@@ -39,12 +39,39 @@ from typing import Any
 from pyspark import inheritable_thread_target
 
 
+# Jobs-in-flight cap (guide §2.6: "2-3 jobs in flight is plenty: enough
+# to fill the tail, not so many that they fight for executors"; VERDICT
+# r15 #4). ivf_retrain fans out 5 legs, each launching its own Spark
+# jobs — uncapped, a loaded box multiplies scheduler pressure for no
+# tail benefit (the r15 contended-run collapse). Measured cap=3 vs
+# cap=4 vs uncapped on an idle box (4 reps each, alternating order,
+# warm session, sf0.1): floors 4.41/4.55/4.20 s on ivf_retrain and
+# 5.46/5.36/5.27 s on ann_recall_all — within noise, so the cap is
+# free where it doesn't help and protective where it does.
+MAX_LEG_WORKERS = 3
+
+
 def parallel_legs(*thunks: Callable[[], Any]) -> list[Any]:
     """Run independent zero-arg leg builders concurrently; return their
     results in argument order. Exceptions propagate to the caller (a
-    failed leg must fail the composed query loudly, not silently)."""
+    failed leg must fail the composed query loudly, not silently);
+    once one leg fails, not-yet-started legs are cancelled rather than
+    burning Spark jobs behind a doomed query (ADVICE r15).
+
+    Thunks MUST NOT share cold process-wide memos (_SEM_ASSIGN_MEMO &
+    co): call sites pre-warm any memo two legs would both miss (e.g.
+    _corpus_n) before fanning out — enforced by convention and by this
+    sentence (ADVICE r15; a lock here can't help, because the memo
+    modules are free to add new ones)."""
     if len(thunks) <= 1:
         return [t() for t in thunks]
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+    with ThreadPoolExecutor(
+        max_workers=min(len(thunks), MAX_LEG_WORKERS)
+    ) as pool:
         futures = [pool.submit(inheritable_thread_target(t)) for t in thunks]
-        return [f.result() for f in futures]
+        try:
+            return [f.result() for f in futures]
+        except BaseException:
+            for f in futures:
+                f.cancel()  # queued-but-unstarted legs never run
+            raise
