@@ -436,6 +436,14 @@ def _ivf_cells(e: DataFrame, n: int | None = None):
         F.desc("cscore"), F.asc("cid")
     )
     ranked = scores.withColumn("rk", F.row_number().over(w_assign))
+    # `ranked` IS computed twice per consumer pair (once inside the
+    # broadcast(probes) job, once in the main plan for `assigned`) —
+    # measured and left UNCACHED (r16, VERDICT r15 #6 follow-up): a
+    # 3-variant alternating A/B over the six _ivf_cells consumers
+    # (none/lazy/eager, 3 reps, warm session, sf0.1 floors) scored
+    # 22.35 / 22.18 / 23.56 s — the duplicate overlaps across cores
+    # while a cache serializes materialization and blocks pipelining
+    # the window into its consumers (the r11 cross-leg rule, intra-leg).
     assigned = ranked.where(
         (F.col("rk") == 1) & (F.col("vec_id") >= ANN_N_QUERIES)
     ).select(F.col("vec_id").alias("neighbor_id"), "cid")
@@ -2236,9 +2244,19 @@ def ivfpq_topk(e: DataFrame, n: int | None = None) -> DataFrame:
     cand = F.broadcast(probes).join(assigned, "cid").select(
         "query_id", "neighbor_id"
     )
+    # The ADC-table subtree lives inside broadcast(dt), and Spark runs
+    # broadcast exchanges as concurrent jobs at action start — derived
+    # from the shared lazily-cached `usq`, that job recomputed the FULL
+    # corpus subspace projection before filtering to the handful of
+    # query rows (r16 probe: a 32-task 6.3 core-s duplicate stage).
+    # Deriving the query slices from a FILTERED scan instead pushes
+    # vec_id < ANN_N_QUERIES down to parquet; _pq_subspaces is per-row,
+    # so filter-then-project is bit-identical to project-then-filter.
+    qsq = _pq_subspaces(
+        e.where(F.col("vec_id") < ANN_N_QUERIES), unit=True
+    )
     dt = (
-        usq.where(F.col("vec_id") < ANN_N_QUERIES)
-        .withColumnRenamed("vec_id", "query_id")
+        qsq.withColumnRenamed("vec_id", "query_id")
         .join(F.broadcast(codebook), "s")
         .select(
             "query_id",
@@ -3795,10 +3813,18 @@ def ivfpq_residual_topk(e: DataFrame, n: int | None = None) -> DataFrame:
     vecs, probes, assigned = _ivf_cells(e, n=n)
     nlist = _nlist(vecs.count() if n is None else n)
     # Coarse-centroid sub-vectors: bounded nlist x PQ_M rows, broadcast
-    # everywhere below (the codebook-closure shape).
-    cent_sq = usq.where(
-        (F.col("vec_id") >= ANN_N_QUERIES)
-        & (F.col("vec_id") < ANN_N_QUERIES + nlist)
+    # everywhere below (the codebook-closure shape). Derived from a
+    # FILTERED scan, not the shared `usq` cache: this subtree runs as a
+    # concurrent broadcast job at action start, and off the cold cache
+    # it recomputed the full corpus projection (r16 probe — the
+    # ivfpq_topk dt rationale); the vec_id range pushes down to
+    # parquet and _pq_subspaces is per-row, so rows are bit-identical.
+    cent_sq = _pq_subspaces(
+        e.where(
+            (F.col("vec_id") >= ANN_N_QUERIES)
+            & (F.col("vec_id") < ANN_N_QUERIES + nlist)
+        ),
+        unit=True,
     ).select(
         F.col("vec_id").alias("cid"),
         "s",
@@ -3829,9 +3855,11 @@ def ivfpq_residual_topk(e: DataFrame, n: int | None = None) -> DataFrame:
     # Per-probed-cell query ADC tables: residual of the QUERY against
     # each probed cell's centroid, scored against every codeword —
     # n_queries x nprobe x PQ_M x PQ_K integer rows, broadcast.
-    qsq = usq.where(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "s", "sub_q"
-    )
+    # Query slices from a filtered scan too (same broadcast-subtree
+    # rationale as cent_sq above; ~ANN_N_QUERIES x PQ_M rows).
+    qsq = _pq_subspaces(
+        e.where(F.col("vec_id") < ANN_N_QUERIES), unit=True
+    ).select(F.col("vec_id").alias("query_id"), "s", "sub_q")
     dt = (
         F.broadcast(probes)
         .join(qsq, "query_id")
