@@ -24,6 +24,7 @@ streaming), so no oracle entry.
 
 from __future__ import annotations
 
+import os
 import uuid
 from contextlib import contextmanager
 
@@ -111,7 +112,21 @@ def heartbeat_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cores: size it so each store's state fits executor memory, exactly
 # like spark.sql.shuffle.partitions for batch — the two are sized by
 # different denominators, which is why streams set their own.
-STREAM_STATE_PARTITIONS = 8
+#
+# r16 re-measure: every watermarked AvailableNow drain runs a SECOND,
+# zero-input micro-batch (the watermark-finalization flush), whose
+# addBatch is pure per-partition state-store open/scan/commit — 0.5 to
+# 1.3 s at width 8 (progress metrics: stream_attribution batch 1
+# addBatch 971 ms on 0 rows). Width 8 -> 4 -> 2 floors over the
+# 14-query JVM-agg family: 20.46 / 18.46 / 16.83 s (attribution
+# 2.81 -> 1.85). The fixture family's TOTAL state is a few MB, so 2
+# partitions is the guide-§2 "size partitions by data volume" answer,
+# with one spare for overlap — not a local-core-count artifact. A
+# deployment with bigger per-key state raises it via the env override
+# (state-bytes / store-memory-budget is the denominator, as above).
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "2")
+)
 
 
 def python_state_partitions(spark: SparkSession) -> int:
@@ -126,6 +141,23 @@ def python_state_partitions(spark: SparkSession) -> int:
     the Python fold is embarrassingly parallel across keys."""
     return max(
         STREAM_STATE_PARTITIONS, spark.sparkContext.defaultParallelism
+    )
+
+
+def batch_fold_partitions(spark: SparkSession) -> int:
+    """Clone width for drains whose foreachBatch bodies run CORPUS-
+    SCALE batch plans (the LSH dedup chain, the replication order
+    book, the IVF store folds/serves): the heavy work is ordinary
+    batch shuffling on the clone session, so it wants the batch
+    engine's own width — AQE coalesces small stages down — not the
+    state-store width. Measured r16 at state width 2: these drains ran
+    2-4x slower (stream_replication_orders 9.4 s vs 2.7, because the
+    in-batch order book inherited 2 shuffle partitions); at this width
+    they match their batch siblings. Their streaming state is trivial
+    (a bare file source or one control-plane-sized complete-mode agg),
+    so the per-store fixed cost the state width bounds is noise here."""
+    return max(
+        spark.sparkContext.defaultParallelism, STREAM_STATE_PARTITIONS
     )
 
 

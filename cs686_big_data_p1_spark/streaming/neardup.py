@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from ..operators.llm import MAX_BUCKET_DOCS, band_signatures, shingles_of
 from ..registry import query
 from ..tables import SCHEMAS, load_table
-from .liveness import _run_to_memory, stream_clone
+from .liveness import _run_to_memory, batch_fold_partitions, stream_clone
 
 STREAM_NEARDUP_MIN_JACCARD = 0.5  # same cut as dedup_clusters' edges
 
@@ -521,7 +521,8 @@ def stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity pytests, not to the dedup verdict). The multi-batch and
     persisted-store pytests still pin the cross-batch semantics the
     single-drain oracle can't see."""
-    spark = stream_clone(spark)  # session-local drain conf
+    # heavy-fold drain: batch-plan width, not state width (liveness.py)
+    spark = stream_clone(spark, batch_fold_partitions(spark))
     docs = (
         spark.readStream.schema(SCHEMAS["documents"])
         .option("pathGlobFilter", "documents.parquet")
@@ -563,7 +564,8 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the eval suite changes."""
     from ..operators.pipeline import DECON_N, SPLIT_BOUNDS
 
-    spark = stream_clone(spark)
+    # heavy-fold drain: batch-plan width, not state width (liveness.py)
+    spark = stream_clone(spark, batch_fold_partitions(spark))
     d = load_table(spark, sf_dir, "documents")
     b_static = F.substring(
         F.md5(F.format_string("split|%d", F.col("doc_id"))), 1, 2

@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 from ..operators.dfs_meta import REPLICATION_ORDERS_ORACLE, replication_orders
 from ..registry import query
 from ..views import MAX_HEARTBEAT_AGE_SQL
-from .liveness import heartbeat_stream, nanos_as_long, stream_clone
+from .liveness import (
+    batch_fold_partitions,
+    heartbeat_stream,
+    nanos_as_long,
+    stream_clone,
+)
 
 
 @query("stream_replication_orders", oracle=REPLICATION_ORDERS_ORACLE)
@@ -47,7 +52,9 @@ def stream_replication_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every intermediate batch's book is superseded, the reference's
     stale-order semantics). The parity pytest additionally pins
     stream ≡ batch row-for-row."""
-    spark = stream_clone(spark)  # session-local drain conf
+    # heavy-fold drain: the in-batch order book is a corpus-scale
+    # batch plan — clone at batch-plan width (liveness.py rationale)
+    spark = stream_clone(spark, batch_fold_partitions(spark))
     result: dict[str, DataFrame] = {}
 
     def emit_orders(snapshot: DataFrame, batch_id: int) -> None:

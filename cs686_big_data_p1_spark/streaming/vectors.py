@@ -28,7 +28,11 @@ from ..operators.ann import (
 )
 from ..registry import query
 from ..tables import SCHEMAS
-from .liveness import _run_to_memory, stream_clone
+from .liveness import (
+    _run_to_memory,
+    batch_fold_partitions,
+    stream_clone,
+)
 
 def embeddings_arrivals(spark: SparkSession, sf_dir: str):
     """Streaming source for the embeddings table, dual-shape (the
@@ -417,7 +421,8 @@ def stream_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..tables import table_fingerprint
 
-    spark = stream_clone(spark)
+    # heavy-fold drain: batch-plan width, not state width (liveness.py)
+    spark = stream_clone(spark, batch_fold_partitions(spark))
     # Yesterday's index: base-only store + frozen codebook. The base
     # write is memoized per (application, sf_dir, fingerprint) — on a
     # re-invocation the stream's folds anti-join into the already-
@@ -747,7 +752,8 @@ def stream_decontaminate_semantic(
         )
         .collect()
     ]
-    spark = stream_clone(spark)
+    # heavy-fold drain: batch-plan width, not state width (liveness.py)
+    spark = stream_clone(spark, batch_fold_partitions(spark))
     arrivals = (
         embeddings_arrivals(spark, sf_dir)
     )
@@ -928,7 +934,8 @@ def stream_knn_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..tables import load_table, table_fingerprint
 
-    spark = stream_clone(spark)
+    # heavy-fold drain: batch-plan width, not state width (liveness.py)
+    spark = stream_clone(spark, batch_fold_partitions(spark))
     path = _ivf_store_ready(spark, sf_dir)
     _v, _b, _d, cents, _m, _p = _append_parts(spark, sf_dir)
     # Fold the curation drop set as tombstones (idempotent — the
