@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..registry import query, track_cache
@@ -595,8 +596,6 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is touched exactly once, inside bm25_search. The greedy
     chain replays in DuckDB as unrolled CTEs, so the full selection
     trajectory is hash-exact."""
-    from functools import reduce
-
     from ..functions.vector import dot as v_dot
     from ..functions.vector import norm as v_norm
 
@@ -638,54 +637,54 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim_e6"),
         )
     )
-    first = (
-        cands.orderBy(F.col("rel_e6").desc(), F.col("doc_id"))
-        .limit(1)
-        .localCheckpoint(eager=True)
-    )
-    picks = [
-        first.select(
-            F.lit(1).cast("int").alias("pick"),
-            "doc_id",
-            "rel_e6",
-            (F.lit(_MMR_REL_W) * F.col("rel_e6"))
-            .cast("bigint")
-            .alias("mmr_e6"),
-        )
-    ]
-    sel = first.select("doc_id")
+    # Greedy selection runs DRIVER-SIDE over two bounded collects
+    # (<= {BM25_K} candidate rows + <= {BM25_K}^2 sim rows — control
+    # flow, not data; the corpus was touched exactly once inside
+    # bm25_search and the cosine matrix was computed distributed
+    # above). The old per-round eager-localCheckpoint chain serialized
+    # MMR_K job round-trips of <= 1 row each — measured 35 driver jobs
+    # and a 1.9 s floor; the recurrence itself is exact bigint
+    # arithmetic either way (Python ints ARE the integers Spark's
+    # bigint ops compute), and the DuckDB oracle replays the identical
+    # trajectory, so the hash pins the rewrite (r16, guide §5 — the
+    # collect is K-bounded, never corpus-bounded).
+    rel = {r["doc_id"]: r["rel_e6"] for r in cands.collect()}
+    sim: dict = {}
+    for r in sims.collect():
+        sim.setdefault(r["da"], {})[r["db"]] = r["sim_e6"]
+    first_id = min(rel, key=lambda d: (-rel[d], d))
+    picks = [(1, first_id, rel[first_id], _MMR_REL_W * rel[first_id])]
+    sel = [first_id]
     for i in range(2, MMR_K + 1):
-        msim = (
-            sims.join(
-                F.broadcast(sel.withColumnRenamed("doc_id", "db")), "db"
-            )
-            .groupBy("da")
-            .agg(F.max("sim_e6").alias("msim"))
-        )
-        pick = (
-            cands.join(sel, "doc_id", "left_anti")
-            .join(msim, F.col("doc_id") == F.col("da"))
-            .select(
-                "doc_id",
-                "rel_e6",
-                (
-                    F.lit(_MMR_REL_W) * F.col("rel_e6")
-                    - F.lit(_MMR_SIM_W) * F.col("msim")
-                )
-                .cast("bigint")
-                .alias("mmr_e6"),
-            )
-            .orderBy(F.col("mmr_e6").desc(), F.col("doc_id"))
-            .limit(1)
-            .localCheckpoint(eager=True)
-        )
-        picks.append(
-            pick.select(
-                F.lit(i).cast("int").alias("pick"),
-                "doc_id",
-                "rel_e6",
-                "mmr_e6",
-            )
-        )
-        sel = sel.unionByName(pick.select("doc_id"))
-    return reduce(lambda x, y: x.unionByName(y), picks)
+        best = None
+        for d, rv in rel.items():
+            if d in sel:
+                continue
+            # inner-join faithfulness: a candidate with no sim row to
+            # any selected doc was dropped by the old msim join too
+            edges = [sim[d][s] for s in sel if s in sim.get(d, {})]
+            if not edges:
+                continue
+            score = _MMR_REL_W * rv - _MMR_SIM_W * max(edges)
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, rv, score)
+        if best is None:
+            # no candidate has a sim edge to the selected set (e.g.
+            # the top BM25 hit carries no embedding): the round emits
+            # nothing and the selection is unchanged — exactly the old
+            # inner-join-with-empty-msim behavior and the oracle's
+            # s{i}-empty CTE (the sf0.1 fixture exercises this: the
+            # swept result is 1 row there).
+            continue
+        picks.append((i, best[1], best[2], best[3]))
+        sel.append(best[1])
+    out_schema = T.StructType(
+        [
+            T.StructField("pick", T.IntegerType(), False),
+            cands.schema["doc_id"],
+            cands.schema["rel_e6"],
+            T.StructField("mmr_e6", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(picks, out_schema)
