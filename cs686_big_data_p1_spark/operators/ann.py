@@ -206,6 +206,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     # probed twice (query + candidate side); (id, t, bucket) ints only
+    # eager bound: N_TABLES rows of 3 ints per vector (per-vec bounded).
     bk = track_cache(
         _bucketed(e.select("vec_id", "embedding")).select(
             "vec_id", "t", "bucket"
@@ -646,6 +647,7 @@ def dedup_embedding_pairs(e: DataFrame) -> DataFrame:
     degenerate corpora)."""
     wb = Window.partitionBy("t", "bucket")
     # self-joined below; without the cache both sides recompute
+    # eager bound: <= N_TABLES x 3-int rows per vector (per-vec bounded).
     bk = track_cache(
         _bucketed(e.select("vec_id", "embedding"))
         .select("vec_id", "t", "bucket")
@@ -2451,6 +2453,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     wb = Window.partitionBy("t", "bucket")
+    # eager bound: <= N_TABLES x 3-int rows per vector (per-vec bounded).
     bk = track_cache(
         _bucketed(e.select("vec_id", "embedding"))
         .select("vec_id", "t", "bucket")
@@ -3718,6 +3721,10 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid", cscore)
         .withColumn("rk", F.row_number().over(w_assign))
     )
+    # eager bound: n x nlist(=ceil sqrt n) scored rows — the one
+    # SUPERLINEAR eager cache (n^1.5); MEMORY_AND_DISK spills to disk
+    # past memory, and at deployment scale the sweep should rank from
+    # the stored cell layout instead of re-scoring (write_ivf_store).
     ranked = track_cache(ranked, eager=True)
     assigned = ranked.where(
         (F.col("rk") == 1) & (F.col("vec_id") >= ANN_N_QUERIES)

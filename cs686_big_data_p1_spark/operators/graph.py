@@ -253,6 +253,8 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
+    # eager bound: one (a, b) long pair per distinct co-purchase edge
+    # = O(|E|); MEMORY_AND_DISK spills, never OOMs (§5).
     ce = track_cache(ce, eager=True)
     deg = (
         ce.select(F.col("a").alias("v"))
@@ -278,6 +280,8 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = oe.groupBy("u").agg(
         F.sort_array(F.collect_list("v")).alias("nbrs")
     )
+    # eager bound: one row per vertex, arrays sum to O(|E|) ints
+    # (forward-degree orientation caps each at O(sqrt m)); spills (§5).
     adj = track_cache(adj, eager=True)
     au = adj.select(F.col("u"), F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))

@@ -243,6 +243,9 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs. Output is over class representatives — pair exact
     duplicates via dedup_exact's classes.
     """
+    # eager bound: one md5 long per shingle per representative doc =
+    # O(corpus tokens) narrow digest rows; DF cache is MEMORY_AND_DISK,
+    # so past memory it spills to local disk, never OOMs (§5).
     return near_pairs(
         track_cache(_rep_shingles_df(spark, sf_dir), eager=True)
     )
@@ -564,6 +567,8 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", g.alias("g"))
         .distinct()
     )
+    # eager bound: distinct (doc_id, gram) digests = O(corpus tokens)
+    # rows of two longs; MEMORY_AND_DISK cache spills, never OOMs (§5).
     grams = track_cache(grams, eager=True)
     rare = (
         grams.groupBy("g")
@@ -754,6 +759,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    # eager bound: ONE signature row per representative doc (per-doc
+    # bounded — the smallest frame in the query); no spill exposure.
     sim = track_cache(
         simhash_frame(d.join(reps, "doc_id", "left_semi")), eager=True
     )
@@ -1391,12 +1398,15 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     instrument — estimates, exact values, errors — hash-matches the
     DuckDB oracle.
     """
+    # eager bound: O(corpus tokens) digest rows (the dedup_near frame);
+    # MEMORY_AND_DISK — spills past memory, never OOMs (§5).
     sh = track_cache(_rep_shingles_df(spark, sf_dir), eager=True)
     pairs = near_pairs(sh).select("doc_a", "doc_b", "jaccard")
     # wa/wb below are two join sides over the same signature matrix —
     # without the (tiny: one row per doc) cache each side re-evaluates
     # the 8-way md5 chain over every shingle (measured 10.2 -> 6.6 s
     # at sf0.1 with the cache)
+    # eager bound: one row per doc x 8 minhash longs (per-doc bounded).
     wide = track_cache(minhash_wide(sh), eager=True)
     slots = [
         (k, j)

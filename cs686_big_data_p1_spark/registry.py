@@ -99,26 +99,76 @@ PRIORITY_ORDER = [
     "incomplete_files", "dead_nodes", "node_inventory",
     "replicas_on_offline_nodes", "surviving_replicas", "lost_chunks",
     "replicas_after_corruption", "placement_candidates", "inventory_delta",
-    # ROTATING WINDOW, slots 25-50 (VERDICT r13 #2 widened the r8-era
-    # 44-50 block: 143/229 queries had never earned a driver-grade
-    # row at 7/round, while the displaced §2.E-2.I representatives
-    # have 13 straight green rounds and stay pinned by the sweeps).
-    # Round-15 picks — ALL with zero driver history: the three r15
-    # newcomers (SQ8, versioned index releases, live store-served
-    # search), then twenty-three never-checked queries, oldest
-    # extensions first per VERDICT r14 #1: the r2-r7 text/quality
-    # family and the never-checked TPC-H block.
-    "knn_ivf_sq", "ivf_release_versions", "stream_knn_store",
-    "pii_scrub", "repetition_score", "corpus_filter", "vocab_topk",
-    "oov_rate", "text_normalize", "lexical_diversity", "doc_chunk",
-    "span_dedup", "tfidf_topterms", "dedup_ngram", "inverted_index",
-    "bm25_search", "lm_score", "dsir_weights", "knn_ivf",
-    "tpch_q4_priority", "tpch_q6_forecast", "tpch_q7_volume",
-    "tpch_q8_marketshare", "tpch_q10_returns", "tpch_q13_custdist",
-    "tpch_q14_promo",
+    # ROTATING WINDOW, slots 25-50 (VERDICT r13 #2; r15 #9 keeps it
+    # turning: ~98 queries had never earned a driver-grade row).
+    # Round-16 picks: the five r15c newcomers with zero driver history
+    # (range_search/SQ-reconstruct/binary/MRL), the optimizer-touched
+    # never-checked trio (minhash_estimate_error, knn_graph,
+    # dedup_simhash_pairs), FIVE re-verify rows so the driver directly
+    # re-checks r15/r16 optimization edits (ann_recall_all,
+    # pq_recall_compare, pagerank_copurchase, triangle_count,
+    # allpairs_cosine — VERDICT r15 #9 names them), then never-checked
+    # sketch (cms_topk, reservoir_sample, weighted_sample_systematic,
+    # bloom_prefilter, value_histogram), governance/quality
+    # (l_diversity, referential_integrity, table_profile,
+    # nation_reconcile, lm_quality_band, customer_rfm), and the two
+    # streaming rows this round's width change touches most
+    # (stream_hb_session, stream_replication_orders).
+    "ivf_range_search",
+    "sq_reconstruct_error",
+    "knn_ivf_binary",
+    "knn_mrl",
+    "mrl_recall_compare",
+    "minhash_estimate_error",
+    "knn_graph",
+    "dedup_simhash_pairs",
+    "ann_recall_all",
+    "pq_recall_compare",
+    "pagerank_copurchase",
+    "triangle_count",
+    "allpairs_cosine",
+    "cms_topk",
+    "reservoir_sample",
+    "weighted_sample_systematic",
+    "bloom_prefilter",
+    "value_histogram",
+    "l_diversity",
+    "referential_integrity",
+    "table_profile",
+    "nation_reconcile",
+    "lm_quality_band",
+    "customer_rfm",
+    "stream_hb_session",
+    "stream_replication_orders",
     # Post-window (judge self-checks these via the committed full-sweep
     # artifacts); displaced former window occupants lead the list, in
     # their prior order.
+    "knn_ivf_sq",
+    "ivf_release_versions",
+    "stream_knn_store",
+    "pii_scrub",
+    "repetition_score",
+    "corpus_filter",
+    "vocab_topk",
+    "oov_rate",
+    "text_normalize",
+    "lexical_diversity",
+    "doc_chunk",
+    "span_dedup",
+    "tfidf_topterms",
+    "dedup_ngram",
+    "inverted_index",
+    "bm25_search",
+    "lm_score",
+    "dsir_weights",
+    "knn_ivf",
+    "tpch_q4_priority",
+    "tpch_q6_forecast",
+    "tpch_q7_volume",
+    "tpch_q8_marketshare",
+    "tpch_q10_returns",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
     "publish_upsert", "checksum_join", "list_storage_nodes", "placement_pick",
     "round_robin_assign", "under_replicated", "failover_choice",
     "queue_order", "corruption_scan", "replication_orders", "hb_tumbling",
@@ -128,7 +178,7 @@ PRIORITY_ORDER = [
     "ivf_store_prune", "ivf_nprobe_sweep", "decontaminate_semantic",
     "stream_decontaminate", "decontaminate_report",
     "corpus_curate_decontaminated", "stream_ivf_maintenance",
-    "knn_ivfpq_residual", "pq_recall_compare", "ivf_retrain",
+    "knn_ivfpq_residual", "ivf_retrain",
     "ivf_store_delete", "stream_decontaminate_semantic",
     "ivf_store_vacuum", "knn_ivf_store_live", "knn_ivfpq",
     "kmeans_lloyd", "ann_recall", "dedup_incremental", "stream_dedup_near",
@@ -139,12 +189,10 @@ PRIORITY_ORDER = [
     "embedding_drift", "stream_embedding_drift", "embedding_covariance",
     "retention_cohorts", "gram_power_topvec", "t_closeness", "mmr_rerank",
     "dsir_sample", "substring_scrub", "knn_ivf_trained",
-    "pagerank_copurchase", "bpe_merges", "knn_pq_adc", "substring_dedup",
-    "kll_quantiles", "stream_attribution_outer", "ann_recall_all",
-    "triangle_count", "bfs_distances", "heavy_hitters", "allpairs_cosine",
-    "dedup_semantic", "hybrid_search", "corpus_curate_semantic",
+    "bpe_merges", "knn_pq_adc", "substring_dedup",
+    "kll_quantiles", "stream_attribution_outer", "bfs_distances", "heavy_hitters", "dedup_semantic", "hybrid_search", "corpus_curate_semantic",
     "corpus_curate", "kmv_set_ops", "zorder_layout", "k_anonymity",
-    "customer_rfm", "tpch_q3_shipping", "tpch_q5_localsupp",
+    "tpch_q3_shipping", "tpch_q5_localsupp",
     "topk_orders_per_customer", "priority_rollup", "ann_lsh",
     "dedup_simhash", "dedup_embedding", "price_outliers",
     "customer_year_setops", "priority_pivot", "price_median",
@@ -155,24 +203,18 @@ PRIORITY_ORDER = [
     "tpch_q18_bigorders", "tpch_q19_brackets",
     "tpch_q22_prospects", "fuzzy_name_match", "gapfill_ffill", "pq_encode",
     "media_metadata", "media_features", "stream_node_last_seen",
-    "stream_hb_session", "stream_corruption_alerts", "stream_liveness_state",
-    "stream_replication_orders", "stream_dedup_exact",
+    "stream_corruption_alerts", "stream_liveness_state",
+    "stream_dedup_exact",
     "stream_event_dispatch", "priority_unpivot", "asof_join_bucketed",
     "customer_value_deciles", "skyline_orders", "priority_sets",
     "aqp_revenue", "dau_wau", "ab_test_conversion", "supplier_balance_ranks",
-    "dedup_simhash_pairs", "bloom_prefilter", "minhash_estimate_error",
-    "hard_negatives", "pq_encode_lloyd", "embedding_stats", "knn_graph",
-    "bpe_encode", "remove_boilerplate", "domain_resample",
+    "hard_negatives", "pq_encode_lloyd", "embedding_stats", "bpe_encode", "remove_boilerplate", "domain_resample",
     "negative_sampling", "domain_caps", "corpus_curate_capped",
-    "lm_quality_band", "reservoir_sample", "weighted_sample_systematic",
-    "rendezvous_placement", "compaction_plan", "l_diversity",
-    "knn_label_eval", "pca_project", "media_phash_dedup", "media_audio_dedup",
-    "media_video_dedup", "referential_integrity", "table_profile",
-    "nation_reconcile", "value_histogram", "collocations_lift",
+    "rendezvous_placement", "compaction_plan", "knn_label_eval", "pca_project", "media_phash_dedup", "media_audio_dedup",
+    "media_video_dedup", "collocations_lift",
     "phrase_search", "event_props_extract", "event_debounce",
     "event_throttle", "max_concurrency", "event_transitions",
-    "event_session_assign", "attribution_credit", "coverage_time", "cms_topk",
-    "rolling_stats", "event_value_quantiles", "anomaly_zscore",
+    "event_session_assign", "attribution_credit", "coverage_time", "rolling_stats", "event_value_quantiles", "anomaly_zscore",
     "approx_quantiles", "cusum_changepoints", "ohlc_hourly",
     "tpch_q12_shipmode", "tpch_q15_topsupplier", "tpch_q17_smallqty",
     "tpch_q21_waiting", "tpch_q2_mincost", "tpch_q11_stockvalue",
@@ -184,9 +226,7 @@ PRIORITY_ORDER = [
     # (range_search + reconstruct), 1-bit binary quantization, and
     # Matryoshka prefix-dim retrieval. Appended past the window; they
     # enter the slot 25-50 rotation next round.
-    "ivf_range_search", "sq_reconstruct_error",
-    "knn_ivf_binary", "knn_mrl", "mrl_recall_compare",
-]
+    ]
 
 
 def load_all() -> None:
